@@ -1,0 +1,43 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loaders + cross-engine determinism helpers.
+  *
+  * Two hazards every query must respect (SURVEY.md Appendix A):
+  *  - `events.ts` is a nanosecond parquet timestamp: Spark 4.x refuses it
+  *    by default; DuckDB silently truncates to µs. The [[events]] loader
+  *    encapsulates the verified reconciliation recipe.
+  *  - double aggregation is accumulation-order dependent: all money/metric
+  *    aggregates go through [[D]] (decimal 18,4) so partial/final merge
+  *    order can't change the answer, on either engine.
+  */
+object Tables {
+
+  /** Plain parquet table at `sfDir/name.parquet`. */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events` with the ns-timestamp recipe: raw `ts` column stays as
+    * epoch-nanos Long (via nanosAsLong), and a derived `ts_us` Timestamp
+    * equals DuckDB's µs-truncated read of the same column. Integer `div`
+    * is mandatory — double `/1000` is only ~0.25 µs-granular at 1.7e18.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** The fixed decimal type all cross-engine-compared aggregates use. */
+  val Dec: DecimalType = DecimalType(18, 4)
+
+  /** Decimal-ize BEFORE aggregating (order-independent exact sums). */
+  def D(c: Column): Column = c.cast(Dec)
+
+  /** Final fixed-width cast so Spark and DuckDB output schemas agree
+    * (sum/avg widen precision differently per engine). */
+  def d4(c: Column): Column = c.cast(Dec)
+}
