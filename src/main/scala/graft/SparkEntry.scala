@@ -10,6 +10,9 @@ object SparkEntry {
 
   /** Every implemented category bundle (SURVEY.md §2.1–§2.10). */
   private val sets: Seq[QSet] = Seq(
+    ScanQueries,
+    FilterQueries,
+    FnQueries,
     AggQueries
   )
 

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+
+/** SURVEY.md §2.7 — scalar function families. One query per family.
+  *
+  * Cross-engine type alignment (verified hazards):
+  *  - DuckDB `length`/`year`/`date_diff` return BIGINT where Spark gives
+  *    INT → Spark side casts to long.
+  *  - Spark `ceil(double)` returns LONG; DuckDB returns DOUBLE → oracle
+  *    casts to BIGINT.
+  *  - DuckDB `regexp_replace` replaces FIRST match unless given the 'g'
+  *    flag; Spark replaces all → oracle always passes 'g'.
+  *  - float math runs in DOUBLE on both engines, `round(,4)` only where
+  *    accumulation order could differ (SURVEY.md A.2).
+  */
+object FnQueries extends QSet {
+
+  val queries: Map[String, QFn] = Map(
+    "q_fn_string" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          lower(col("p_name")).as("lo"),
+          upper(col("p_type")).as("up"),
+          length(col("p_name")).cast("long").as("len"),
+          substring(col("p_name"), 1, 4).as("sub4"),
+          concat(col("p_brand"), lit("-"), col("p_type")).as("cat"),
+          regexp_replace(col("p_name"), " ", "_").as("undescored"),
+          element_at(split(col("p_name"), " "), 1).as("tok1"),
+          lpad(col("p_type"), 10, ".").as("padded"),
+          trim(col("p_name")).as("trimmed"))
+        .orderBy("p_partkey")
+    }),
+
+    "q_fn_regexp" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "*").as("devoweled"))
+        .orderBy("p_partkey")
+    }),
+
+    "q_fn_date" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          // DuckDB date_trunc('month') yields DATE — align on DATE.
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).cast("long")
+            .as("days_since"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          last_day(col("o_orderdate")).as("eom"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_fn_math" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          abs(col("o_totalprice") - 250000.0).as("dist_mid"),
+          ceil(col("o_totalprice")).as("ceiled"),
+          floor(col("o_totalprice")).as("floored"),
+          sqrt(col("o_totalprice")).as("rooted"),
+          // Java Math.log and libm log differ in the last ulp (measured at
+          // sf0.001) — transcendentals are rounded to 8dp on both engines.
+          round(log(col("o_totalprice")), 8).as("logged"),
+          round(pow(col("o_totalprice") / 1000.0, 2.0), 6).as("powed"),
+          (col("o_orderkey") % 7).as("modded"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_fn_array" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first_elem"),
+          slice(col("embedding"), 1, 3).as("head3"),
+          size(expr("filter(embedding, x -> x > 0)")).cast("long")
+            .as("n_pos"),
+          // 64-element sequential fold in DOUBLE: same order on both
+          // engines; round(,4) guards the last-ulp (SURVEY.md §2.8).
+          expr("round(sqrt(aggregate(embedding, cast(0 as double), " +
+            "(acc, x) -> acc + cast(x as double) * cast(x as double))), 4)")
+            .as("l2_norm"))
+        .orderBy("vec_id")
+    }),
+
+    "q_fn_explode" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("val"))
+        .orderBy("vec_id", "pos")
+    }),
+
+    "q_fn_json" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_fn_string" ->
+      """SELECT p_partkey,
+        | lower(p_name) AS lo, upper(p_type) AS up,
+        | length(p_name) AS len,
+        | substring(p_name, 1, 4) AS sub4,
+        | p_brand || '-' || p_type AS cat,
+        | regexp_replace(p_name, ' ', '_', 'g') AS undescored,
+        | string_split(p_name, ' ')[1] AS tok1,
+        | lpad(p_type, 10, '.') AS padded,
+        | trim(p_name) AS trimmed
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_fn_regexp" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        | regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_fn_date" ->
+      """SELECT o_orderkey,
+        | year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        | dayofmonth(o_orderdate) AS dom,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        | date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        | CAST(o_orderdate AS DATE) + 30 AS plus30,
+        | last_day(o_orderdate) AS eom
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_fn_math" ->
+      """SELECT o_orderkey,
+        | abs(o_totalprice - 250000.0) AS dist_mid,
+        | CAST(ceil(o_totalprice) AS BIGINT) AS ceiled,
+        | CAST(floor(o_totalprice) AS BIGINT) AS floored,
+        | sqrt(o_totalprice) AS rooted,
+        | round(ln(o_totalprice), 8) AS logged,
+        | round(pow(o_totalprice / 1000.0, 2.0), 6) AS powed,
+        | o_orderkey % 7 AS modded
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_fn_array" ->
+      """SELECT vec_id,
+        | CAST(len(embedding) AS BIGINT) AS dim,
+        | CAST(embedding[1] AS DOUBLE) AS first_elem,
+        | embedding[1:3] AS head3,
+        | CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        | round(sqrt(list_sum(list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_fn_explode" ->
+      """SELECT * FROM (
+        | SELECT vec_id,
+        |  unnest(range(len(embedding))) AS pos,
+        |  unnest(embedding) AS val
+        | FROM embeddings)
+        |ORDER BY vec_id, pos""".stripMargin,
+
+    "q_fn_json" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        | SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
