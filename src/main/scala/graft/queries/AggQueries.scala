@@ -47,10 +47,182 @@ object AggQueries extends QSet {
   }
 
   val queries: Map[String, QFn] = Map(
-    "q_agg_pricing_summary" -> (pricingSummary _)
+    "q_agg_pricing_summary" -> (pricingSummary _),
+
+    "q_agg_global" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        d4(sum(D(col("l_quantity")))).as("sum_qty"),
+        d4(sum(D(col("l_extendedprice")))).as("sum_price"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+    }),
+
+    "q_agg_count_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Non-oracle (HLL impls differ across engines): scalatest asserts
+    // within 5% of exact instead. Declared for the rows-only check.
+    "q_agg_approx_distinct" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
+    "q_agg_stats" -> ((s, dir) => {
+      // Built-in stddev/var are order-dependent double folds — instead
+      // derive from EXACT decimal sums with the same IEEE expression
+      // shape as the oracle: bit-identical, no rounding step needed.
+      // DECIMAL(19,4) for the square: precision ≥19 forces DuckDB onto
+      // its int128 multiply path (int64 overflows on these magnitudes).
+      val xd = col("o_totalprice").cast(DecimalType(19, 4))
+      val sq = (xd * xd).cast(DecimalType(28, 4)) // 2dp² = 4dp: exact
+      val n = count(lit(1))
+      val sx = sum(D(col("o_totalprice"))).cast(DoubleType)
+      val sxx = sum(sq).cast(DoubleType)
+      val vr = (sxx - sx * sx / n) / (n - lit(1L))
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          n.as("n_orders"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          vr.as("var_samp"),
+          sqrt(vr).as("stddev_samp"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q_agg_percentile" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("round(percentile(o_totalprice, 0.5), 4)").as("p50"),
+          expr("round(percentile(o_totalprice, 0.9), 4)").as("p90"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q_agg_rollup" -> ((s, dir) => {
+      // Via the SQL front-end: sorting over a DF-API rollup of a join
+      // trips the analyzer's ambiguous-attribute check (the grouping-set
+      // aggregate re-aliases its keys); the SQL path resolves cleanly
+      // and plans identically.
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      t(s, dir, "nation").createOrReplaceTempView("g_nation")
+      s.sql(
+        """SELECT n_name, o_orderpriority, COUNT(*) AS n_orders,
+          | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+          |FROM g_orders
+          |JOIN g_customer ON o_custkey = c_custkey
+          |JOIN g_nation ON c_nationkey = n_nationkey
+          |GROUP BY ROLLUP (n_name, o_orderpriority)
+          |ORDER BY n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
+    "q_agg_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          d4(sum(D(col("l_quantity")))).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q_agg_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupingSets(
+          Seq(Seq(col("lang")), Seq(col("source")), Seq()),
+          col("lang"), col("source"))
+        .agg(
+          grouping(col("lang")).cast("long").as("g_lang"),
+          grouping(col("source")).cast("long").as("g_source"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("g_lang"), col("g_source"),
+          col("lang").asc_nulls_first, col("source").asc_nulls_first)
+    }),
+
+    "q_agg_having" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          d4(sum(D(col("o_totalprice")))).as("sum_price"))
+        .filter(col("n_orders") > 100)
+        .orderBy("o_orderpriority")
+    })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_global" ->
+      """SELECT COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
+        | COUNT(DISTINCT l_suppkey) AS n_supp,
+        | MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+        |FROM lineitem""".stripMargin,
+
+    "q_agg_count_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        | MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        | (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_totalprice AS DECIMAL(19,4)) AS DECIMAL(28,4))) AS DOUBLE)
+        |  - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+        |  / (COUNT(*) - 1) AS var_samp,
+        | sqrt((CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_totalprice AS DECIMAL(19,4)) AS DECIMAL(28,4))) AS DOUBLE)
+        |  - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+        |  / (COUNT(*) - 1)) AS stddev_samp
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_percentile" ->
+      """SELECT o_orderstatus,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT n_name, o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, o_orderpriority)
+        |ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT lang, source,
+        | CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+        | CAST(GROUPING(source) AS BIGINT) AS g_source,
+        | COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    "q_agg_having" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |FROM orders GROUP BY o_orderpriority
+        |HAVING COUNT(*) > 100
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
