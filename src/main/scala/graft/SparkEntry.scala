@@ -13,7 +13,8 @@ object SparkEntry {
     ScanQueries,
     FilterQueries,
     FnQueries,
-    AggQueries
+    AggQueries,
+    JoinQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

