@@ -14,7 +14,9 @@ object SparkEntry {
     FilterQueries,
     FnQueries,
     AggQueries,
-    JoinQueries
+    JoinQueries,
+    WindowQueries,
+    SortSetQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

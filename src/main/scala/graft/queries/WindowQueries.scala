@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.engine.Tables._
+
+/** SURVEY.md §2.5 — window functions.
+  *
+  * Determinism rules (SURVEY.md A.3/A.5): every window ORDER BY carries a
+  * unique tiebreak column; frames are spelled explicitly (ROWS, never the
+  * default RANGE — RANGE over ties differs); rank-family outputs cast to
+  * long (DuckDB returns BIGINT).
+  */
+object WindowQueries extends QSet {
+
+  val queries: Map[String, QFn] = Map(
+    "q_win_rownumber_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q_win_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      t(s, dir, "part")
+        .select(
+          col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("p_brand", "p_partkey")
+    }),
+
+    "q_win_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      events(s, dir)
+        .select(
+          col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_val"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy("event_id")
+    }),
+
+    "q_win_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          d4(sum(D(col("o_totalprice"))).over(w)).as("run_sum"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_win_moving_avg" -> ((s, dir) => {
+      // two-level: daily decimal totals, then a 7-row moving average as
+      // window-decimal-sum / window-count (windowed DOUBLE sums may use
+      // segment trees with engine-specific addition order — decimals
+      // make the frame sum exact, division is then identical IEEE).
+      val daily = events(s, dir)
+        .groupBy(date_trunc("day", col("ts_us")).cast("date").as("day"))
+        .agg(sum(D(col("value"))).as("daily_total"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily.select(
+          col("day"),
+          d4(col("daily_total")).as("daily_total"),
+          (sum(col("daily_total")).over(w).cast(DoubleType) /
+            count(lit(1)).over(w)).as("ma7"))
+        .orderBy("day")
+    }),
+
+    "q_win_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, dir)
+        .select(
+          col("event_id"), col("user_id"), col("event_type"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"))
+        .orderBy("event_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rownumber_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        | FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_win_rank" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+        | CAST(rank() OVER w AS BIGINT) AS rnk,
+        | CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+        |ORDER BY p_brand, p_partkey""".stripMargin,
+
+    "q_win_lag_lead" ->
+      """SELECT event_id, user_id, value,
+        | lag(value, 1) OVER w AS prev_val,
+        | value - lag(value, 1) OVER w AS delta,
+        | lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_win_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS run_sum
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_moving_avg" ->
+      """SELECT day, CAST(daily_total AS DECIMAL(18,4)) AS daily_total,
+        | CAST(SUM(daily_total) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma7
+        |FROM (
+        | SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  SUM(CAST(value AS DECIMAL(18,4))) AS daily_total
+        | FROM events GROUP BY 1)
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+
+    "q_win_first_last" ->
+      """SELECT event_id, user_id, event_type,
+        | first_value(event_type) OVER w AS first_type,
+        | last_value(event_type) OVER w AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin
+  )
+}
