@@ -16,7 +16,9 @@ object SparkEntry {
     AggQueries,
     JoinQueries,
     WindowQueries,
-    SortSetQueries
+    SortSetQueries,
+    DedupQueries,
+    TextQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables._
+
+/** SURVEY.md §2.8 — dedup + similarity-search operators (the LLM-data
+  * north star).
+  *
+  * Scale design:
+  *  - exact dedup: hash-groupBy — shuffles only (hash, doc_id) pairs.
+  *  - n-gram Jaccard: shingle-explode + equi-join on shingle. This is the
+  *    exact ground truth; it is quadratic per shared shingle, so at
+  *    100 TB you run [[q_dedup_minhash]] instead and reserve this for
+  *    candidate verification.
+  *  - MinHash-LSH: per-doc signature (narrow map), band-explode, and an
+  *    equi-join on (band, signature) — no all-pairs stage anywhere, the
+  *    100 TB path. Deterministic seeded xxhash64 permutations
+  *    (SURVEY.md A.6 — no runtime randomness).
+  *  - cosine top-k: brute-force baseline over id1<id2 with norms
+  *    precomputed once per vector; the LSH-bucketed variant for scale is
+  *    in graft.functions (library surface).
+  */
+object DedupQueries extends QSet {
+
+  /** (doc_id, tk: array<string>) tokenization shared by shingle queries. */
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+
+  /** Distinct 3-gram shingles per doc: (doc_id, sh). Spark arrays are
+    * 0-indexed (DuckDB's are 1-indexed — the oracle shifts accordingly).
+    */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    tokens(s, dir)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+        .as("sh"))
+
+  private val MinhashPerms = 32
+  private val Bands = 8 // × 4 rows per band
+
+  val queries: Map[String, QFn] = Map(
+    "q_dedup_exact" -> ((s, dir) => {
+      // keep the lowest doc_id per md5(text): one shuffle on the hash,
+      // no self-join (row_number over the hash partition).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"), col("lang"),
+          col("n_chars"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("doc_id")
+    }),
+
+    "q_dedup_near_ngram" -> ((s, dir) => {
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val pairs = sh.select(col("doc_id").as("d1"), col("sh"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")),
+          col("sh") === col("sh2") && col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+        .select("d1", "d2", "inter", "jaccard")
+        .orderBy("d1", "d2")
+    }),
+
+    // Non-oracle (implementation-defined signatures): property-tested to
+    // cover every pair q_dedup_near_ngram finds at jaccard ≥ 0.9.
+    "q_dedup_minhash" -> ((s, dir) => minhashCandidates(s, dir)),
+
+    "q_sim_cosine_topk" -> ((s, dir) => {
+      // Brute force id1<id2 with norms computed once per vector; ranking
+      // on cosine ROUNDED to 4dp (+ id tiebreak) so both engines rank
+      // bit-identically.
+      val v = t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+      val n = v.select(col("vec_id"),
+        expr("sqrt(aggregate(transform(e, x -> x * x), cast(0 as double), (acc, x) -> acc + x))")
+          .as("nrm"))
+      val a = v.select(col("vec_id").as("id1"), col("e").as("e1"))
+      val b = v.select(col("vec_id").as("id2"), col("e").as("e2"))
+      a.join(b, col("id1") < col("id2"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(e1, e2, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"))
+        .join(n.select(col("vec_id").as("id1"), col("nrm").as("n1")), "id1")
+        .join(n.select(col("vec_id").as("id2"), col("nrm").as("n2")), "id2")
+        .select(col("id1"), col("id2"),
+          round(col("dot") / (col("n1") * col("n2")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("id1"), col("id2"))
+        .limit(10)
+    })
+  )
+
+  /** MinHash-LSH candidate pairs (d1 < d2, distinct). Signature h_i =
+    * min over shingles of xxhash64(shingle || '#' || i); bands of 4
+    * minhashes hash to one bucket key; docs sharing any (band, key)
+    * bucket become candidates via equi-join — never an all-pairs scan.
+    */
+  def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = shingles(s, dir).groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("shs"))
+    val sigCols: Seq[Column] = (0 until MinhashPerms).map { i =>
+      array_min(transform(col("shs"),
+        x => xxhash64(concat(x, lit("#" + i))))).as(s"h$i")
+    }
+    val sig = perDoc.select(col("doc_id") +: sigCols: _*)
+    val bandCols: Seq[Column] = (0 until Bands).map { band =>
+      struct(lit(band).as("band"),
+        xxhash64((4 * band until 4 * band + 4).map(i => col(s"h$i")): _*)
+          .as("key"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    buckets.select(col("doc_id").as("d1"), col("band"), col("key"))
+      .join(buckets.select(col("doc_id").as("d2"), col("band").as("band2"),
+        col("key").as("key2")),
+        col("band") === col("band2") && col("key") === col("key2") &&
+          col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+      .orderBy("d1", "d2")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS h, lang, n_chars FROM documents
+        |WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_near_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 2),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, inter,
+        |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = d1
+        |JOIN sizes sb ON sb.doc_id = d2
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q_sim_cosine_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+        |  FROM v)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_sum(list_transform(generate_series(1, len(a.e)),
+        |    i -> a.e[i] * b.e[i])) / (na.nrm * nb.nrm), 4) AS cos
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |JOIN n na ON na.vec_id = a.vec_id
+        |JOIN n nb ON nb.vec_id = b.vec_id
+        |ORDER BY cos DESC, id1, id2 LIMIT 10""".stripMargin
+  )
+}
