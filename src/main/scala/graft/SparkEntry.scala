@@ -18,7 +18,9 @@ object SparkEntry {
     WindowQueries,
     SortSetQueries,
     DedupQueries,
-    TextQueries
+    TextQueries,
+    UdfQueries,
+    StreamQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

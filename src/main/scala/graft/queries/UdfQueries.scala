@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+import graft.functions.GeoMean
+
+/** SURVEY.md §2.9 — UDF / UDAF / UDTF extension surface.
+  *
+  * The scalar UDF and the generator are SQL-expressible on purpose (so
+  * they stay oracle-able); the typed Aggregator demonstrates the stable
+  * public extension API (functions.udaf) — no Catalyst internals.
+  */
+object UdfQueries extends QSet {
+
+  val queries: Map[String, QFn] = Map(
+    "q_udf_scalar" -> ((s, dir) => {
+      val tier = udf((price: Double) =>
+        if (price < 10000.0) "low"
+        else if (price < 100000.0) "mid"
+        else "high")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          tier(col("o_totalprice")).as("tier"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_udaf_typed" -> ((s, dir) => {
+      val geoMean = udaf(GeoMean)
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(geoMean(col("o_totalprice")), 4).as("geo_mean"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q_udtf_generator" -> ((s, dir) => {
+      // one-row→many generator in expression form (Catalyst sees through
+      // it: posexplode is a built-in Generator, fully codegen-adjacent).
+      t(s, dir, "part")
+        .filter(length(col("p_name")) >= 3)
+        .select(col("p_partkey"), posexplode(expr(
+          "transform(sequence(0, length(p_name) - 3), i -> substr(p_name, i + 1, 3))"))
+          .as(Seq("pos", "gram")))
+        .select(col("p_partkey"), col("pos").cast("long").as("pos"),
+          col("gram"))
+        .orderBy("p_partkey", "pos")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_udf_scalar" ->
+      """SELECT o_orderkey, o_totalprice,
+        | CASE WHEN o_totalprice < 10000.0 THEN 'low'
+        |      WHEN o_totalprice < 100000.0 THEN 'mid'
+        |      ELSE 'high' END AS tier
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_udaf_typed" ->
+      """SELECT o_orderstatus,
+        | round(exp(avg(ln(o_totalprice))), 4) AS geo_mean,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_udtf_generator" ->
+      """SELECT p_partkey, pos, gram FROM (
+        | SELECT p_partkey,
+        |  unnest(range(length(p_name) - 2)) AS pos,
+        |  unnest(list_transform(generate_series(1, length(p_name) - 2),
+        |    i -> substr(p_name, i, 3))) AS gram
+        | FROM part WHERE length(p_name) >= 3)
+        |ORDER BY p_partkey, pos""".stripMargin
+  )
+}
