@@ -1,10 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 import graft.engine.Tables.{D, d4}
+
+/** Row/state/output types for the custom stateful operator. */
+case class EvRow(event_id: Long, user_id: Long, event_type: String,
+  value: Double, ts_us: java.sql.Timestamp)
+case class CounterState(n: Long)
+case class PurchaseCount(user_id: Long, event_id: Long,
+  purchases_since_error: Long)
 
 /** SURVEY.md §2.10 — the single transform function behind each
   * streaming operator. Each takes an events frame (batch OR streaming,
@@ -60,6 +68,33 @@ object StreamTransforms {
   def dedupByKey(ev: DataFrame): DataFrame =
     ev.select("event_id", "user_id", "event_type", "ts_us")
       .dropDuplicates("event_id")
+
+  /** Custom stateful operator (flatMapGroupsWithState): per-user running
+    * count of purchases since the last error event. State is one counter
+    * per user — bounded by user cardinality, the 100 TB-safe shape.
+    * Within a micro-batch the group iterator is sorted by (ts, id) so
+    * replay order, not arrival order, defines the result. Works on batch
+    * Datasets too (Spark runs it as a single "batch" group pass).
+    */
+  def purchasesSinceError(ev: Dataset[EvRow]): Dataset[PurchaseCount] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CounterState, PurchaseCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EvRow], state: GroupState[CounterState]) =>
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[PurchaseCount]
+          it.toSeq.sortBy(e => (e.ts_us.getTime, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "error"    => n = 0L
+              case "purchase" => n += 1; out += PurchaseCount(uid, e.event_id, n)
+              case _          =>
+            }
+          }
+          state.update(CounterState(n))
+          out.iterator
+      }
+  }
 
   /** Stream ⋈ static dim: events joined to a customer-derived tier. */
   def joinDim(ev: DataFrame, customer: DataFrame): DataFrame =

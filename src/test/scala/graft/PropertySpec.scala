@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Tables
+import graft.queries.DedupQueries
+
+/** SURVEY.md §5.2.3 — invariants over the real testdata (sf0.001), not
+  * golden values: these hold for ANY correct implementation.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf
+  import spark.implicits._
+
+  test("exact dedup is idempotent and collapses synthesized duplicates") {
+    val docs = Tables.t(spark, sf, "documents")
+    // double every doc with a shifted id → guaranteed exact duplicates
+    val doubled = docs.unionAll(
+      docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    def dedup(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn")
+    }
+    val once = dedup(doubled)
+    val twice = dedup(once)
+    assert(once.count() == docs.count(), "each text keeps exactly one copy")
+    assert(twice.count() == once.count(), "idempotent")
+    assert(once.agg(max(col("doc_id"))).head.getLong(0) < 1000000L,
+      "keeps the LOWEST doc_id of each duplicate group")
+  }
+
+  test("minhash-LSH candidates cover all pairs with jaccard >= 0.9") {
+    val candidates = DedupQueries.minhashCandidates(spark, sf)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val highJaccard = SparkEntry.queries("q_dedup_near_ngram")(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(highJaccard.nonEmpty, "testdata must contain near-dups")
+    val missed = highJaccard -- candidates
+    assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val ev = Tables.events(spark, sf)
+    val approx = ev.agg(approx_count_distinct(col("user_id"), 0.02))
+      .head.getLong(0)
+    val exact = ev.agg(countDistinct(col("user_id"))).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05)
+  }
+
+  test("cosine(v, v) == 1 under the engine's cosine expression") {
+    val v = Tables.t(spark, sf, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("e"))
+    val selfCos = v.select(expr(
+      """round(aggregate(zip_with(e, e, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)
+        | / (sqrt(aggregate(transform(e, x -> x * x), cast(0 as double), (acc, x) -> acc + x))
+        |    * sqrt(aggregate(transform(e, x -> x * x), cast(0 as double), (acc, x) -> acc + x))), 6)""".stripMargin)
+      .as("c"))
+    assert(selfCos.filter(col("c") =!= 1.0).count() == 0)
+  }
+
+  test("set algebra: intersect + except partitions the left distinct set") {
+    val c = Tables.t(spark, sf, "customer").select(col("c_nationkey").as("nk"))
+    val s = Tables.t(spark, sf, "supplier").select(col("s_nationkey").as("nk"))
+    val left = c.distinct()
+    val inter = c.intersect(s)
+    val exc = c.except(s)
+    assert(inter.count() + exc.count() == left.count())
+    assert(inter.intersect(exc).count() == 0)
+    assert(inter.union(exc).distinct().count() == left.count())
+  }
+
+  test("running sum's last row per customer equals the group sum") {
+    val rs = SparkEntry.queries("q_win_running_sum")(spark, sf)
+    // "last" follows the window's ordering: (o_orderdate, o_orderkey)
+    val lastPerCust = rs.groupBy("o_custkey")
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"), col("run_sum")))
+        .as("m"))
+      .select(col("o_custkey"), col("m.run_sum").as("final_sum"))
+    val direct = Tables.t(spark, sf, "orders").groupBy("o_custkey")
+      .agg(Tables.d4(sum(Tables.D(col("o_totalprice")))).as("total"))
+    val joined = lastPerCust.join(direct, "o_custkey")
+    assert(joined.filter(col("final_sum") =!= col("total")).count() == 0)
+  }
+
+  test("union distinct is a subset of union all") {
+    val all = SparkEntry.queries("q_set_union_all")(spark, sf)
+    val dst = all.distinct()
+    assert(dst.count() <= all.count())
+    assert(dst.exceptAll(all).count() == 0)
+  }
+}

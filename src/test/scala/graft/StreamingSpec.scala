@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+import graft.streaming._
+
+/** SURVEY.md §5.2.4 — stream/batch equivalence: every streaming operator
+  * replayed through MemoryStream must agree with its batch twin (the one
+  * t2 grades), plus watermark late-data semantics and the custom
+  * stateful operator.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def eventRows: Seq[EvRow] =
+    graft.engine.Tables.events(spark, TestSpark.Sf)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"ts_us")
+      .as[EvRow].collect().toSeq.sortBy(e => (e.ts_us.getTime, e.event_id))
+
+  /** Replay rows through MemoryStream in `chunks` micro-batches, apply
+    * `transform`, collect via the memory sink. */
+  private def runStream(name: String, rows: Seq[EvRow], chunks: Int,
+      mode: String)(transform: DataFrame => DataFrame): Array[Row] = {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvRow]
+    val q = transform(ms.toDF).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try {
+      val size = math.max(1, rows.size / chunks)
+      rows.grouped(size).foreach { g => ms.addData(g); q.processAllAvailable() }
+      spark.table(name).collect()
+    } finally q.stop()
+  }
+
+  private def canon(rows: Array[Row]): Seq[String] =
+    rows.map(_.toString).sorted.toSeq
+
+  test("tumbling window: stream == batch") {
+    val batch = StreamTransforms.tumbling(
+      graft.engine.Tables.events(spark, TestSpark.Sf)).collect()
+    val stream = runStream("s_tumbling", eventRows, 5, "complete")(
+      StreamTransforms.tumbling)
+    assert(canon(stream) == canon(batch))
+  }
+
+  test("sliding window: stream == batch") {
+    val batch = StreamTransforms.sliding(
+      graft.engine.Tables.events(spark, TestSpark.Sf)).collect()
+    val stream = runStream("s_sliding", eventRows, 5, "complete")(
+      StreamTransforms.sliding)
+    assert(canon(stream) == canon(batch))
+  }
+
+  test("key dedup: stream (doubled replay) == batch") {
+    val ev = graft.engine.Tables.events(spark, TestSpark.Sf)
+    val batch = StreamTransforms.dedupByKey(ev.unionAll(ev)).collect()
+    val doubled = eventRows ++ eventRows
+    val stream = runStream("s_dedup", doubled, 6, "append")(
+      StreamTransforms.dedupByKey)
+    assert(canon(stream) == canon(batch))
+  }
+
+  test("stream-static dim join: stream == batch") {
+    val cust = graft.engine.Tables.t(spark, TestSpark.Sf, "customer")
+    val batch = StreamTransforms.joinDim(
+      graft.engine.Tables.events(spark, TestSpark.Sf), cust).collect()
+    val stream = runStream("s_joindim", eventRows, 4, "complete")(
+      df => StreamTransforms.joinDim(df, cust))
+    assert(canon(stream) == canon(batch))
+  }
+
+  test("session_window (streaming-native) == gaps-and-islands batch twin") {
+    val ev = graft.engine.Tables.events(spark, TestSpark.Sf)
+    // native session_window on the same frame (works in batch too — same
+    // operator the streaming twin uses)
+    val native = ev
+      .groupBy(session_window($"ts_us", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start".as("start_ts"),
+        $"session_window.end".as("end_w"), $"n_events")
+      .collect()
+      // session_window's end = last event + gap, truncated to MILLIS by
+      // the implementation — normalize to last-event-at-ms for compare.
+      .map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2).getTime - 30 * 60 * 1000, r.getLong(3)))
+      .toSet
+    val batch = StreamTransforms.sessionsBatch(ev)
+      .select($"user_id", $"start_ts", $"end_ts", $"n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2).getTime,
+        r.getLong(3)))
+      .toSet
+    assert(native == batch)
+  }
+
+  test("watermark drops late data past the 1h delay") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    def ev(id: Long, t: String) = EvRow(id, 0L, "click", 1.0, ts(t))
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvRow]
+    val q = StreamTransforms.tumbling(
+        ms.toDF.withWatermark("ts_us", "1 hour"))
+      .writeStream.format("memory").queryName("s_late")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 11:00:00"),
+        ev(3, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      // advance watermark to 2024-01-02 23:00 → day-1 window finalized
+      ms.addData(ev(4, "2024-01-03 00:00:00"))
+      q.processAllAvailable()
+      // late: before the watermark → must be DROPPED
+      ms.addData(ev(5, "2024-01-01 15:00:00"))
+      q.processAllAvailable()
+      // flush the rest
+      ms.addData(ev(6, "2024-01-05 00:00:00"))
+      q.processAllAvailable()
+      val day1 = spark.table("s_late").collect()
+        .filter(_.getDate(0).toString == "2024-01-01")
+      assert(day1.length == 1)
+      assert(day1.head.getLong(2) == 3L, "late event must not be counted")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState: stream == batch == window formulation") {
+    val rows = eventRows
+    // streaming run (3 micro-batches, ts order)
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvRow]
+    val q = StreamTransforms.purchasesSinceError(ms.toDS)
+      .writeStream.format("memory").queryName("s_state")
+      .outputMode("append").start()
+    val streamed = try {
+      rows.grouped(math.max(1, rows.size / 3)).foreach { g =>
+        ms.addData(g); q.processAllAvailable()
+      }
+      spark.table("s_state").collect()
+    } finally q.stop()
+
+    // batch run of the SAME function
+    val batch = StreamTransforms.purchasesSinceError(rows.toDS).toDF.collect()
+
+    // independent window-based formulation
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withEpoch = rows.toDS
+      .withColumn("err_epoch",
+        sum(when($"event_type" === "error", 1L).otherwise(0L)).over(w))
+    val wp = Window.partitionBy($"user_id", $"err_epoch")
+      .orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowed = withEpoch
+      .withColumn("psn",
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).over(wp))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"psn".as("purchases_since_error"))
+      .collect()
+
+    assert(canon(streamed) == canon(batch))
+    assert(canon(batch) == canon(windowed))
+  }
+}
