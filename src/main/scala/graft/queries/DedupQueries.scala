@@ -77,28 +77,64 @@ object DedupQueries extends QSet {
     // cover every pair q_dedup_near_ngram finds at jaccard ≥ 0.9.
     "q_dedup_minhash" -> ((s, dir) => minhashCandidates(s, dir)),
 
-    "q_sim_cosine_topk" -> ((s, dir) => {
-      // Brute force id1<id2 with norms computed once per vector; ranking
-      // on cosine ROUNDED to 4dp (+ id tiebreak) so both engines rank
-      // bit-identically.
-      val v = t(s, dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("e"))
-      val n = v.select(col("vec_id"),
-        expr("sqrt(aggregate(transform(e, x -> x * x), cast(0 as double), (acc, x) -> acc + x))")
-          .as("nrm"))
-      val a = v.select(col("vec_id").as("id1"), col("e").as("e1"))
-      val b = v.select(col("vec_id").as("id2"), col("e").as("e2"))
-      a.join(b, col("id1") < col("id2"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(e1, e2, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"))
-        .join(n.select(col("vec_id").as("id1"), col("nrm").as("n1")), "id1")
-        .join(n.select(col("vec_id").as("id2"), col("nrm").as("n2")), "id2")
-        .select(col("id1"), col("id2"),
-          round(col("dot") / (col("n1") * col("n2")), 4).as("cos"))
-        .orderBy(col("cos").desc, col("id1"), col("id2"))
-        .limit(10)
-    })
+    "q_sim_cosine_topk" -> ((s, dir) => cosineTopK(s, dir, 10))
   )
+
+  /** Brute-force cosine top-k as broadcast-one-side + stream-the-other:
+    * the vector table (the "dim" side) is broadcast with precomputed
+    * norms, each partition computes its rows' pairs in a JIT'd primitive
+    * loop, and TakeOrdered picks the global top-k — a per-partition
+    * top-k merge, never a full sort. Dot products fold elements in array
+    * order in double, exactly like the oracle's list_sum fold, and cos
+    * rounds HALF_UP to 4dp before ranking (id tiebreaks) so both engines
+    * rank identical values. At 100 TB the broadcast side must be the
+    * smaller table; beyond broadcast size use the LSH-bucketed variant
+    * (same minhash banding machinery as [[minhashCandidates]]).
+    */
+  def cosineTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val v = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    def norm(e: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < e.length) { acc += e(i).toDouble * e(i).toDouble; i += 1 }
+      math.sqrt(acc)
+    }
+    val dim = v.collect().sortBy(_._1).map { case (id, e) => (id, e, norm(e)) }
+    val bc = s.sparkContext.broadcast(dim)
+    // worst-first ordering so the heap head is the eviction candidate
+    val worstFirst: Ordering[(Long, Long, Double)] =
+      (a, b) => {
+        val c = java.lang.Double.compare(b._3, a._3) // lower cos = worse
+        if (c != 0) c
+        else {
+          val c1 = java.lang.Long.compare(a._1, b._1) // higher id1 = worse
+          if (c1 != 0) c1 else java.lang.Long.compare(a._2, b._2)
+        }
+      }
+    v.repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val vs = bc.value
+        val heap = scala.collection.mutable.PriorityQueue.empty(worstFirst)
+        it.foreach { case (id1, e1) =>
+          val n1 = norm(e1)
+          vs.foreach { case (id2, e2, n2) =>
+            if (id2 > id1) {
+              var acc = 0.0; var i = 0
+              while (i < e1.length) { acc += e1(i).toDouble * e2(i).toDouble; i += 1 }
+              // HALF_UP at 4dp — Spark round()'s semantics.
+              val cos = BigDecimal(acc / (n1 * n2))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              heap.enqueue((id1, id2, cos))
+              if (heap.size > k) heap.dequeue()
+            }
+          }
+        }
+        heap.iterator
+      }.toDF("id1", "id2", "cos")
+      .orderBy(col("cos").desc, col("id1"), col("id2"))
+      .limit(k)
+  }
 
   /** MinHash-LSH candidate pairs (d1 < d2, distinct). Signature h_i =
     * min over shingles of xxhash64(shingle || '#' || i); bands of 4
@@ -106,13 +142,15 @@ object DedupQueries extends QSet {
     * bucket become candidates via equi-join — never an all-pairs scan.
     */
   def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    val perDoc = shingles(s, dir).groupBy("doc_id")
-      .agg(collect_list(col("sh")).as("shs"))
-    val sigCols: Seq[Column] = (0 until MinhashPerms).map { i =>
-      array_min(transform(col("shs"),
-        x => xxhash64(concat(x, lit("#" + i))))).as(s"h$i")
-    }
-    val sig = perDoc.select(col("doc_id") +: sigCols: _*)
+    // hash each exploded shingle row with 32 codegen'd xxhash64 columns,
+    // then 32 min-aggregates with map-side partial combine — much faster
+    // (and shuffle-lighter) than per-doc array lambdas.
+    val hashed = shingles(s, dir).select(
+      col("doc_id") +: (0 until MinhashPerms).map(i =>
+        xxhash64(concat(col("sh"), lit("#" + i))).as(s"x$i")): _*)
+    val sig = hashed.groupBy("doc_id").agg(
+      min(col("x0")).as("h0"),
+      (1 until MinhashPerms).map(i => min(col(s"x$i")).as(s"h$i")): _*)
     val bandCols: Seq[Column] = (0 until Bands).map { band =>
       struct(lit(band).as("band"),
         xxhash64((4 * band until 4 * band + 4).map(i => col(s"h$i")): _*)
