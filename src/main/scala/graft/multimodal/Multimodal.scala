@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (SURVEY.md §1.2 north star): media as opaque
+  * BINARY columns plus a typed metadata struct, processed in BATCHES per
+  * partition — the Scala analogue of a mapInPandas pipeline: rows are
+  * grouped into fixed-size batches inside each partition (no shuffle),
+  * each batch goes through decode → feature-extract as one unit, and the
+  * output schema is declared up front.
+  *
+  * The actual image/audio codecs are NOT in this environment, so
+  * [[StubCodecs]] marks the decode boundary: a real deployment swaps the
+  * stub for a codec call without touching the Spark plumbing (schema,
+  * batching, partitioning) which is real and tested.
+  */
+object Multimodal {
+
+  /** One media row: id, media kind, payload, typed metadata. */
+  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
+    width: Int, height: Int, sample_rate: Int, duration_ms: Long)
+
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+    feature: Array[Float])
+
+  /** Pack (id, binary) rows into the canonical media schema. */
+  def pack(df: DataFrame, idCol: String, bytesCol: String, kind: String,
+      width: Int = 0, height: Int = 0, sampleRate: Int = 0,
+      durationMs: Long = 0L): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit(kind).as("kind"),
+      col(bytesCol).cast("binary").as("bytes"),
+      lit(width).as("width"), lit(height).as("height"),
+      lit(sampleRate).as("sample_rate"), lit(durationMs).as("duration_ms"))
+
+  /** Batched per-partition decode + feature extraction. `batchSize`
+    * bounds peak decoded memory per task exactly like a mapInPandas
+    * batch; partitioning is preserved (narrow transformation).
+    */
+  def extractFeatures(ds: Dataset[MediaRow], batchSize: Int = 64,
+      dim: Int = 16): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one decode call per BATCH — the codec boundary
+        val decoded = StubCodecs.decodeBatch(batch, dim)
+        batch.zip(decoded).map { case (row, feat) =>
+          MediaFeatures(row.media_id, row.kind, row.bytes.length.toLong, feat)
+        }
+      }
+    }
+  }
+
+  /** Frame sampling for "video" rows: every `everyNth` frame index up to
+    * the frame count implied by duration × fps. Pure expression — the
+    * generator explodes WITHOUT decoding (decode happens downstream on
+    * the sampled frames only, which is the point at 100 TB).
+    */
+  def sampleFrames(df: DataFrame, fps: Int = 30, everyNth: Int = 10): DataFrame =
+    df.withColumn("n_frames",
+        (col("duration_ms") * fps / 1000).cast("int"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)),
+          lit(everyNth))))
+      .drop("n_frames")
+}
+
+/** STUB codec layer — deterministic fakes standing in for image/audio
+  * libraries that are not present in this container. Swap `decodeBatch`
+  * for real codec calls in deployment; everything upstream/downstream is
+  * real Spark plumbing.
+  */
+object StubCodecs {
+  import Multimodal.MediaRow
+
+  /** Deterministic fake "decode": features derived from a rolling hash
+    * of the payload — stable across runs/JVMs, so tests can assert exact
+    * equality while exercising the real batch path.
+    */
+  def decodeBatch(batch: Seq[MediaRow], dim: Int): Seq[Array[Float]] =
+    batch.map { row =>
+      val h = row.bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+      Array.tabulate(dim)(i => (((h >>> (i % 8 * 8)) & 0xff) / 255.0f))
+    }
+}

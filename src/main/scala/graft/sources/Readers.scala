@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** SURVEY.md §2.1 (surface row) — ingestion breadth: csv/json/parquet
+  * readers and writers as library functions. No csv/json testdata exists,
+  * so these are covered by round-trip scalatest instead of the oracle.
+  *
+  * Scale notes: both readers keep Spark's splittable-file parallelism;
+  * `schema` should be passed at 100 TB (inference reads the data twice).
+  * Writers partition by the given columns so downstream scans prune.
+  */
+object Readers {
+
+  def csv(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read.option("header", "true")
+    schema.fold(base.option("inferSchema", "true"))(base.schema)
+      .csv(path)
+  }
+
+  def json(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read
+    schema.fold(base)(base.schema).json(path)
+  }
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def writeCsv(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true")
+      .partitionBy(partitionBy: _*).csv(path)
+
+  def writeJson(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).json(path)
+
+  /** Date/key-partitioned parquet — the 100 TB at-rest layout (partition
+    * pruning + DPP need partitioned writes, SURVEY.md §4.1). */
+  def writeParquet(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
+      .parquet(path)
+}

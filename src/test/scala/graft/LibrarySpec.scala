@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Tables
+import graft.functions.{Ann, TextSim, LangId}
+import graft.multimodal.{Multimodal, StubCodecs}
+import graft.sources.Readers
+
+/** Library surface not covered by the DuckDB oracle: sources round-trip,
+  * multimodal batch plumbing, SimHash/fingerprint, language-ID, and the
+  * LSH ANN scale path (recall vs the exact brute force).
+  */
+class LibrarySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf
+  import spark.implicits._
+
+  test("csv and json round-trip preserves rows") {
+    val nation = Tables.t(spark, sf, "nation")
+    Readers.writeCsv(nation, "/tmp/graft_rt_csv")
+    Readers.writeJson(nation, "/tmp/graft_rt_json")
+    val fromCsv = Readers.csv(spark, "/tmp/graft_rt_csv")
+      .select(col("n_nationkey").cast("int"), col("n_name"),
+        col("n_regionkey").cast("int"))
+    val fromJson = Readers.json(spark, "/tmp/graft_rt_json")
+      .select(col("n_nationkey").cast("int"), col("n_name"),
+        col("n_regionkey").cast("int"))
+    val want = nation.collect().map(_.toString).sorted.toSeq
+    assert(fromCsv.collect().map(_.toString).sorted.toSeq == want)
+    assert(fromJson.collect().map(_.toString).sorted.toSeq == want)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val docs = Tables.t(spark, sf, "documents")
+    Readers.writeParquet(docs, "/tmp/graft_rt_parq", Seq("lang"))
+    val back = Readers.parquet(spark, "/tmp/graft_rt_parq")
+      .filter(col("lang") === "en")
+    assert(back.count() == docs.filter(col("lang") === "en").count())
+    // partition filter must reach the scan, not a post-filter
+    val scan = back.queryExecution.executedPlan.toString
+    assert(!scan.contains("PushedFilters: [IsNotNull(lang)"), scan)
+  }
+
+  test("multimodal: pack → batched feature extraction is deterministic " +
+      "and preserves partitioning") {
+    val media = Multimodal.pack(
+      Tables.t(spark, sf, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8")),
+      "doc_id", "payload", kind = "image", width = 32, height = 32)
+    val ds = media.as[Multimodal.MediaRow].repartition(4)
+    val feats = Multimodal.extractFeatures(ds, batchSize = 64, dim = 16)
+    assert(feats.rdd.getNumPartitions == 4, "narrow op keeps partitioning")
+    val a = feats.collect().sortBy(_.media_id)
+    val b = Multimodal.extractFeatures(ds, batchSize = 7, dim = 16)
+      .collect().sortBy(_.media_id)
+    assert(a.length == 500)
+    assert(a.forall(_.feature.length == 16))
+    // batch size must not change results (stateless per-row decode)
+    assert(a.zip(b).forall { case (x, y) =>
+      x.media_id == y.media_id && x.feature.sameElements(y.feature) })
+  }
+
+  test("multimodal: frame sampling explodes only sampled indices") {
+    val one = Seq((1L, "video", Array[Byte](1, 2), 0, 0, 0, 1000L))
+      .toDF("media_id", "kind", "bytes", "width", "height", "sample_rate",
+        "duration_ms")
+    val frames = Multimodal.sampleFrames(one, fps = 30, everyNth = 10)
+    // 30 frames (0..29), every 10th → 0, 10, 20
+    assert(frames.select("frame_idx").as[Int].collect().sorted.toSeq ==
+      Seq(0, 10, 20))
+  }
+
+  test("simhash: exact clones always collide; every pair truly within " +
+      "hamming 3 is found (pigeonhole banding guarantee)") {
+    val base = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    // exact clones → hamming 0, MUST all be candidates
+    val exactClones = base.select((col("doc_id") + 200000L).as("doc_id"),
+      col("tk"))
+    val cand0 = TextSim.simhashNearDups(base.unionAll(exactClones),
+      "doc_id", "tk", maxHamming = 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val wantAll = base.select("doc_id").as[Long].collect()
+      .map(id => (id, id + 200000L)).toSet
+    assert((wantAll -- cand0).isEmpty, "an exact clone pair was missed")
+
+    // dropped-token clones: exactly those pairs whose TRUE hamming ≤ 3
+    // must appear (banding is guaranteed-recall for ≤ 3 over 4 chunks)
+    val clones = base.select((col("doc_id") + 100000L).as("doc_id"),
+      expr("slice(tk, 1, size(tk) - 1)").as("tk"))
+    val both = base.unionAll(clones)
+    val sigs = both.select(col("doc_id"), TextSim.simhash(col("tk")).as("sig"))
+    val truth = sigs.as("a").join(sigs.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 100000L)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        TextSim.hamming(col("a.sig"), col("b.sig")).as("h"))
+      .filter(col("h") <= 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "some dropped-token clone should stay within 3 bits")
+    val cand = TextSim.simhashNearDups(both, "doc_id", "tk", maxHamming = 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert((truth -- cand).isEmpty,
+      s"banding missed ${(truth -- cand).size} pairs with hamming <= 3")
+  }
+
+  test("fingerprint: order-sensitive and deterministic") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("c", "b", "a")),
+      (3L, Seq("a", "b", "c"))).toDF("id", "tk")
+      .select(col("id"), TextSim.fingerprint(col("tk")).as("fp"))
+    val fps = df.as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(3L), "same tokens, same order → same fingerprint")
+    assert(fps(1L) != fps(2L), "order must matter")
+  }
+
+  test("language-ID pipeline: one deterministic prediction per doc") {
+    val docs = Tables.t(spark, sf, "documents")
+    val profiles = LangId.buildProfiles(docs, "text", "lang", topK = 200)
+    assert(profiles.groupBy("lang").count().count() == 5)
+    val pred = LangId.predict(docs, "doc_id", "text", profiles)
+    assert(pred.count() == docs.count(), "exactly one prediction per doc")
+    val again = LangId.predict(docs, "doc_id", "text", profiles)
+      .collect().map(_.toString).sorted.toSeq
+    assert(pred.collect().map(_.toString).sorted.toSeq == again)
+  }
+
+  test("LSH ANN recall: ≥ 7 of exact top-10 pairs in approximate top-10") {
+    val exact = graft.queries.DedupQueries.cosineTopK(spark, sf, 10)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val approx = Ann.approxCosineTopK(
+      Tables.t(spark, sf, "embeddings"), "vec_id", "embedding", k = 10)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size
+    assert(recall >= 7, s"recall $recall/10 too low")
+  }
+}
