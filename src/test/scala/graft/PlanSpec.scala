@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan lint (SURVEY.md §4, 100 TB posture): the properties
+  * that make these queries scale are asserted, not assumed — predicate
+  * pushdown into the parquet scan, column pruning, broadcast vs
+  * sort-merge join selection, TakeOrdered for sort+limit, and map-side
+  * partial aggregation.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter is pushed into the parquet scan") {
+    val p = plan("q_scan_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), p)
+  }
+
+  test("projection prunes the scan schema to selected columns") {
+    val p = plan("q_scan_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_extendedprice>,"), readSchema)
+    assert(!readSchema.contains("l_shipdate"), readSchema)
+    assert(readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("fact-dim joins broadcast the dim side") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+    val star = plan("q_join_star")
+    assert(star.contains("BroadcastHashJoin"), star)
+  }
+
+  test("fact-fact join uses sort-merge") {
+    assert(plan("q_join_sortmerge").contains("SortMergeJoin"))
+  }
+
+  test("sort+limit plans as TakeOrderedAndProject (no full sort)") {
+    assert(plan("q_limit_topn").contains("TakeOrderedAndProject"))
+  }
+
+  test("flagship aggregation is partial+final (map-side combine)") {
+    val p = plan("q_agg_pricing_summary")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("whole-stage codegen covers the flagship pipeline") {
+    // AQE prints the final plan only after execution
+    val df = SparkEntry.queries("q_agg_pricing_summary")(spark, sf)
+    df.collect()
+    // codegen'd operators carry the "*(stageId)" prefix in simple mode
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("*("), p)
+  }
+
+  test("near-dup LSH pipeline contains no cartesian/nested-loop join") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
