@@ -16,9 +16,25 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
+  /** Tables whose queries explode rows (char/token n-grams, bit votes,
+    * vector ops): their testdata parquet is a single tiny file = ONE
+    * input partition, so without a spread the whole explode-heavy
+    * pipeline runs on one core. On a real deployment these corpora are
+    * many files/row-groups and the scan parallelizes by itself; the
+    * repartition below only pays a sub-MB shuffle to restore the
+    * parallelism the single-file fixture hides. Row order stays
+    * irrelevant: every declared query aggregates and ends in a
+    * total-order sort (SURVEY.md A.3).
+    */
+  private val rowExplosive = Set("documents", "embeddings")
+
   /** Plain parquet table at `sfDir/name.parquet`. */
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (rowExplosive(name) && df.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
 
   /** `events` with the ns-timestamp recipe: raw `ts` column stays as
     * epoch-nanos Long (via nanosAsLong), and a derived `ts_us` Timestamp

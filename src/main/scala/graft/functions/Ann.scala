@@ -45,27 +45,45 @@ object Ann {
         sig
       }
     })
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("e"))
-      .withColumn("sigs", sigUdf(col("e")))
-      .select(col("id"), col("e"), posexplode(col("sigs")).as(Seq("tbl", "sig")))
-    val cand = sigs.select(col("id").as("id1"), col("e").as("e1"),
-        col("tbl"), col("sig"))
-      .join(sigs.select(col("id").as("id2"), col("e").as("e2"),
-        col("tbl").as("tbl2"), col("sig").as("sig2")),
+    // Candidate generation carries ONLY (id, table, bucket) — never the
+    // vectors: the bucket equi-join multiplies rows ×tables, and wide
+    // embedding arrays through that join + the dedup shuffle dominate
+    // runtime (measured 12s at sf0.1). The deduped skinny pair list is
+    // then scored against a broadcast (vector, norm) map in a primitive
+    // per-partition loop — same pattern as the exact brute-force top-k.
+    // Rounding is HALF_UP at 4dp via floor(|x|·1e4 + 0.5) (BigDecimal
+    // per pair measured ~3× slower over ~1M candidates).
+    import org.apache.spark.sql.SparkSession
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("e"))
+    val dimMap = vecs.as[(Long, Array[Float])].collect().map { case (id, e) =>
+      var acc = 0.0; var i = 0
+      while (i < e.length) { acc += e(i).toDouble * e(i).toDouble; i += 1 }
+      (id, (e, math.sqrt(acc)))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(dimMap)
+    val sigs = vecs
+      .select(col("id"), posexplode(sigUdf(col("e"))).as(Seq("tbl", "sig")))
+    val cand = sigs.select(col("id").as("id1"), col("tbl"), col("sig"))
+      .join(sigs.select(col("id").as("id2"), col("tbl").as("tbl2"),
+        col("sig").as("sig2")),
         col("tbl") === col("tbl2") && col("sig") === col("sig2") &&
           col("id1") < col("id2"))
-      .select("id1", "id2", "e1", "e2")
+      .select("id1", "id2")
       .dropDuplicates("id1", "id2")
-    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
+    cand.as[(Long, Long)].mapPartitions { it =>
+      val m = bc.value
+      it.map { case (id1, id2) =>
+        val (e1, n1) = m(id1); val (e2, n2) = m(id2)
+        var dot = 0.0; var i = 0
+        while (i < e1.length) { dot += e1(i).toDouble * e2(i).toDouble; i += 1 }
+        val c = dot / (n1 * n2)
+        val r = if (c >= 0) math.floor(c * 1e4 + 0.5) / 1e4
+                else -math.floor(-c * 1e4 + 0.5) / 1e4
+        (id1, id2, r)
       }
-      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    })
-    cand.select(col("id1"), col("id2"), cosUdf(col("e1"), col("e2")).as("cos"))
+    }.toDF("id1", "id2", "cos")
       .orderBy(col("cos").desc, col("id1"), col("id2"))
       .limit(k)
   }

@@ -77,7 +77,17 @@ object DedupQueries extends QSet {
     // cover every pair q_dedup_near_ngram finds at jaccard ≥ 0.9.
     "q_dedup_minhash" -> ((s, dir) => minhashCandidates(s, dir)),
 
-    "q_sim_cosine_topk" -> ((s, dir) => cosineTopK(s, dir, 10))
+    "q_dedup_simhash" -> ((s, dir) => simhashPairs(s, dir, 3)),
+
+    "q_dedup_embedding" -> ((s, dir) => embeddingDedup(s, dir, 0.40)),
+
+    "q_sim_cosine_topk" -> ((s, dir) => cosineTopK(s, dir, 10)),
+
+    // Non-oracle (random-hyperplane LSH is impl-defined): LibrarySpec
+    // measures its recall against the exact brute-force top-k.
+    "q_sim_ann_lsh" -> ((s, dir) =>
+      graft.functions.Ann.approxCosineTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 10))
   )
 
   /** Brute-force cosine top-k as broadcast-one-side + stream-the-other:
@@ -168,6 +178,100 @@ object DedupQueries extends QSet {
       .orderBy("d1", "d2")
   }
 
+  /** SimHash near-dup pairs within `maxHam` Hamming distance, fully
+    * oracle-able: the 60-bit signature derives every token hash from
+    * md5 (identical on both engines — the top 15 hex digits parse into
+    * a non-negative BIGINT on both), bits vote weighted by term
+    * frequency, and candidates come from 4×15-bit chunk banding
+    * (pigeonhole: hamming ≤ 3 ⇒ ≥1 chunk equal) — an equi-join on
+    * (chunk_idx, chunk_value), never all-pairs: the 100 TB path. The
+    * oracle verifies with a plain all-pairs scan, which is exhaustive
+    * at oracle scale, so both sides produce the identical pair set.
+    */
+  def simhashPairs(s: SparkSession, dir: String, maxHam: Int): DataFrame = {
+    val cnts = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h",
+        expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)"))
+    // one codegen'd aggregation with 60 per-bit vote columns (no 60×
+    // row explode — same shape as the minhash signature computation):
+    // shuffle carries 1 row × 60 longs per doc, votes fold map-side.
+    val voteCols = (0 until 60).map(b =>
+      sum(col("cnt") * when(expr(s"shiftright(h, $b) & 1") === 1, 1L)
+        .otherwise(-1L)).as(s"v$b"))
+    val sigs = cnts
+      .groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("sig"))
+    val chunks = sigs
+      .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 3)")).as("c"))
+      .withColumn("ck", expr("shiftright(sig, 15 * c) & 32767"))
+    // Hamming check lives IN the join condition: it runs as the join's
+    // post-match filter, so only true near-dup pairs (~tens) reach the
+    // dedup shuffle instead of every bucket collision (~277k at sf0.1 —
+    // the tiny shared vocabulary makes signatures cluster heavily).
+    chunks.select(col("doc_id").as("d1"), col("sig").as("sig1"),
+        col("c"), col("ck"))
+      .join(chunks.select(col("doc_id").as("d2"), col("sig").as("sig2"),
+        col("c").as("c2"), col("ck").as("ck2")),
+        col("c") === col("c2") && col("ck") === col("ck2") &&
+          col("d1") < col("d2") &&
+          bit_count(col("sig1").bitwiseXOR(col("sig2"))) <= maxHam)
+      .select(col("d1"), col("d2"),
+        bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast("long")
+          .as("hamming"))
+      .dropDuplicates("d1", "d2")
+      .orderBy("d1", "d2")
+  }
+
+  /** Embedding-cosine near-dup: each vector's representative is the
+    * lowest-id earlier vector with rounded cosine ≥ tau (itself if
+    * none). Same broadcast + per-partition primitive loop as
+    * [[cosineTopK]] — the small side is broadcast with precomputed
+    * norms and each partition streams its rows; at 100 TB swap the
+    * broadcast candidate generator for the LSH banding in
+    * [[graft.functions.Ann]] and keep the verify/representative stages
+    * unchanged. Cosine rounds HALF_UP to 4dp BEFORE thresholding so
+    * both engines make identical keep/drop decisions.
+    */
+  def embeddingDedup(s: SparkSession, dir: String, tau: Double): DataFrame = {
+    import s.implicits._
+    val v = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    def norm(e: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < e.length) { acc += e(i).toDouble * e(i).toDouble; i += 1 }
+      math.sqrt(acc)
+    }
+    val dim = v.collect().sortBy(_._1).map { case (id, e) => (id, e, norm(e)) }
+    val bc = s.sparkContext.broadcast(dim)
+    val pairs = v.repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val vs = bc.value
+        it.flatMap { case (id1, e1) =>
+          val n1 = norm(e1)
+          vs.iterator.takeWhile(_._1 < id1).flatMap { case (id2, e2, n2) =>
+            var acc = 0.0; var i = 0
+            while (i < e1.length) { acc += e1(i).toDouble * e2(i).toDouble; i += 1 }
+            val cos = BigDecimal(acc / (n1 * n2))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (cos >= tau) Iterator.single((id1, id2)) else Iterator.empty
+          }
+        }
+      }.toDF("vid", "nbr")
+    val rep = pairs.groupBy("vid").agg(min(col("nbr")).as("rep"))
+    t(s, dir, "embeddings").select(col("vec_id"))
+      .join(rep, col("vec_id") === col("vid"), "left").drop("vid")
+      .select(col("vec_id"),
+        coalesce(col("rep"), col("vec_id")).as("rep_id"),
+        (coalesce(col("rep"), col("vec_id")) =!= col("vec_id")).cast("long")
+          .as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT doc_id, md5(text) AS h, lang, n_chars FROM documents
@@ -196,6 +300,51 @@ object DedupQueries extends QSet {
         |JOIN sizes sb ON sb.doc_id = d2
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH tc AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cnts AS (SELECT doc_id, tok, count(*) AS cnt FROM tc GROUP BY 1, 2),
+        |hashed AS (SELECT doc_id, cnt,
+        |  CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM cnts),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(cnt * (CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) AS v
+        |  FROM hashed, unnest(generate_series(0, 59)) AS t(b) GROUP BY 1, 2),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+        |             ELSE 0 END) AS BIGINT) AS sig
+        |  FROM votes GROUP BY 1)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+        |  FROM v),
+        |pairs AS (
+        |  SELECT b.vec_id AS vid, a.vec_id AS nbr
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  JOIN n na ON na.vec_id = a.vec_id
+        |  JOIN n nb ON nb.vec_id = b.vec_id
+        |  WHERE round(list_sum(list_transform(generate_series(1, len(a.e)),
+        |    i -> a.e[i] * b.e[i])) / (na.nrm * nb.nrm), 4) >= 0.40),
+        |rep AS (SELECT vid, min(nbr) AS rep FROM pairs GROUP BY vid)
+        |SELECT e.vec_id,
+        |  coalesce(r.rep, e.vec_id) AS rep_id,
+        |  CAST(coalesce(r.rep, e.vec_id) != e.vec_id AS BIGINT) AS is_dup
+        |FROM embeddings e LEFT JOIN rep r ON r.vid = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
 
     "q_sim_cosine_topk" ->
       """WITH v AS (

@@ -75,6 +75,69 @@ object TextQueries extends QSet {
         .orderBy("source")
     }),
 
+    "q_text_langid" -> ((s, dir) => {
+      // Cavnar–Trenkle n-gram language-ID self-trained on the corpus
+      // (graft.functions.LangId: profile build + predict are joins and
+      // windows only — fully oracle-able). Scores are sums of integral
+      // weights, exact in double, cast to long for the compare.
+      val docs = t(s, dir, "documents").filter(length(col("text")) >= 3)
+      val langs = t(s, dir, "documents").select("lang").distinct()
+        .collect().map(_.getString(0)).toSeq
+      val prof = graft.functions.LangId.buildProfiles(docs, "text", "lang")
+      val pred = graft.functions.LangId
+        .predict(docs, "doc_id", "text", prof, langs)
+      docs.select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+        .select(col("doc_id"), col("lang"), col("pred_lang"),
+          col("score").cast("long").as("score"),
+          (col("lang") === col("pred_lang")).cast("long").as("correct"))
+        .orderBy("doc_id")
+    }),
+
+    "q_text_fingerprint" -> ((s, dir) => {
+      // Winnowing document fingerprints (Schleimer et al.): hash every
+      // token 3-gram (md5-derived 60-bit, identical on both engines),
+      // keep the min hash of each 4-gram window, dedupe per doc.
+      // Row-based on purpose: a nested array formulation
+      // (transform over slice) re-evaluates the whole gram-hash array
+      // per window element after projection collapse — O(n² md5) per
+      // doc. posexplode hashes each gram exactly once and a ROWS
+      // window frame takes the min — linear, and the per-doc window
+      // partitions by doc_id so it scales out with the corpus.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, 3)
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 6)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+          .as(Seq("pos", "g")))
+        .withColumn("h",
+          expr("cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint)"))
+        .withColumn("wmin", min(col("h")).over(w))
+        .withColumn("wlen", count(lit(1)).over(w))
+        .filter(col("wlen") === 4) // full 4-gram windows only
+        .select(col("doc_id"), col("wmin").as("fp")).distinct()
+        .orderBy("doc_id", "fp")
+    }),
+
+    "q_text_token_count" -> ((s, dir) => {
+      // Whitespace tokens vs BPE-ish regex tokens (word / number /
+      // single-symbol pieces) — the two standard corpus size estimates.
+      // group index 0 = whole match (Spark defaults to group 1 and
+      // rejects a group-free pattern; DuckDB already defaults to 0)
+      val bpe = expr(
+        "cast(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) as bigint)")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          bpe.as("bpe_tokens"),
+          (col("n_chars").cast(DoubleType) /
+            nullif(bpe, lit(0L))).as("chars_per_tok"))
+        .orderBy("doc_id")
+    }),
+
     "q_multimodal_join" -> ((s, dir) => {
       // text + vector + label carried through one row ("multimodal
       // column" shape); ArrayType survives the join untouched.
@@ -138,6 +201,62 @@ object TextQueries extends QSet {
         |  CAST(SUM(CASE WHEN too_short OR few_words OR low_diversity OR non_ascii
         |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS defect_rate
         |FROM flagged GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE length(text) >= 3),
+        |tri AS (
+        |  SELECT doc_id, lang, unnest(list_transform(
+        |    generate_series(1, length(text) - 2), i -> substr(text, i, 3))) AS gram
+        |  FROM docs),
+        |freq AS (SELECT lang, gram, count(*) AS freq FROM tri GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT lang, gram,
+        |    CAST(301 - row_number() OVER
+        |      (PARTITION BY lang ORDER BY freq DESC, gram) AS BIGINT) AS weight
+        |  FROM freq
+        |  QUALIFY row_number() OVER
+        |    (PARTITION BY lang ORDER BY freq DESC, gram) <= 300),
+        |scored AS (
+        |  SELECT t.doc_id, p.lang AS cand, sum(p.weight) AS score
+        |  FROM (SELECT doc_id, gram FROM tri) t
+        |  JOIN prof p USING (gram) GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, cand AS pred_lang, CAST(score AS BIGINT) AS score
+        |  FROM scored
+        |  QUALIFY row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, cand) = 1)
+        |SELECT d.doc_id, d.lang, p.pred_lang, p.score,
+        |  CAST(d.lang = p.pred_lang AS BIGINT) AS correct
+        |FROM docs d JOIN pred p USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 6),
+        |grams AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(tk) - 2),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS gs FROM toks),
+        |hs AS (
+        |  SELECT doc_id, list_transform(gs,
+        |    g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)) AS h
+        |  FROM grams),
+        |wins AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(h) - 3),
+        |    j -> list_min(list_slice(h, j, j + 3)))) AS fps FROM hs)
+        |SELECT doc_id, unnest(fps) AS fp FROM wins
+        |ORDER BY doc_id, fp""".stripMargin,
+
+    "q_text_token_count" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+        |    AS bpe_tokens,
+        |  CAST(n_chars AS DOUBLE) / NULLIF(
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT),
+        |    0) AS chars_per_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_join" ->
       """SELECT doc_id, lang, label, n_chars,
