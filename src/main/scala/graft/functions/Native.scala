@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftnative.NativeColumn
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native (codegen'd) Catalyst expressions for the vector hot path.
+  *
+  * Preference order for extending Spark is (a) compose built-ins,
+  * (b) a native `Expression` with `doGenCode`, (c) custom plan nodes,
+  * (d) `mapPartitions` — this file is tier (b): a float-array dot
+  * product that compiles into the surrounding WholeStageCodegen as a
+  * primitive `for` loop over the unsafe array data, with no boxing, no
+  * lambda dispatch per element (the higher-order-function equivalent
+  * `aggregate(zip_with(...))` allocates an intermediate array and
+  * evaluates a lambda per element), and no UDF serialization wall —
+  * the expression stays visible to Catalyst so surrounding
+  * filters/projections still push and prune.
+  */
+object Native {
+
+  /** Dot product of two `array<float>` columns in DOUBLE, folding in
+    * array order — bit-identical to the sequential `aggregate` fold the
+    * DuckDB oracles use (`list_sum` over `list_transform`).
+    */
+  def dotF(a: Column, b: Column): Column =
+    NativeColumn.wrap(
+      ArrayDotProductF(NativeColumn.unwrap(a), NativeColumn.unwrap(b)))
+
+  /** L2 norm of an `array<float>` column (sqrt of self-dot). */
+  def l2NormF(a: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    sqrt(dotF(a, a))
+  }
+}
+
+/** `array<float> × array<float> → double` dot product. NULL if either
+  * side is NULL (BinaryExpression's default null-intolerant contract);
+  * element NULLs are not expected (embeddings are dense) and read as
+  * 0.0f per ArrayData semantics.
+  */
+case class ArrayDotProductF(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  // inferred as Seq[AbstractDataType] (that type is private[sql])
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "array_dot_f"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotProductF =
+    copy(left = newLeft, right = newRight)
+}

@@ -49,6 +49,24 @@ object AggQueries extends QSet {
   val queries: Map[String, QFn] = Map(
     "q_agg_pricing_summary" -> (pricingSummary _),
 
+    "q_agg_salted_twophase" -> ((s, dir) => {
+      // Skew-resilient aggregation: a hot grouping key (events.user_id
+      // has low cardinality — every user is a hot key at 100 TB) first
+      // aggregates under (user_id, salt) so the hot key's rows spread
+      // over 16 reducers, then a second tiny aggregate merges the salt
+      // partials. Decimal sums make the two-phase merge order-exact, so
+      // the oracle is a plain one-phase GROUP BY — identical results.
+      // The salt is a deterministic hash of a unique column (A.6: no
+      // rand()), so re-runs reproduce bit-for-bit.
+      events(s, dir)
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+        .groupBy("user_id", "salt")
+        .agg(count(lit(1)).as("pc"), sum(D(col("value"))).as("pv"))
+        .groupBy("user_id")
+        .agg(sum(col("pc")).as("n_events"), d4(sum(col("pv"))).as("sum_value"))
+        .orderBy("user_id")
+    }),
+
     "q_agg_global" -> ((s, dir) => {
       t(s, dir, "lineitem").agg(
         count(lit(1)).as("n_rows"),
@@ -161,6 +179,11 @@ object AggQueries extends QSet {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_salted_twophase" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_agg_global" ->
       """SELECT COUNT(*) AS n_rows,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,

@@ -147,7 +147,10 @@ object TextQueries extends QSet {
         .select(
           col("doc_id"), col("lang"), col("label"), col("n_chars"),
           size(col("embedding")).cast("long").as("dim"),
-          expr("round(sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), cast(0 as double), (acc, x) -> acc + x)), 4)")
+          // native codegen'd expression (graft.functions.Native): same
+          // array-order double fold as the HOF formulation and the
+          // oracle's list_sum, minus the per-element lambda dispatch
+          round(graft.functions.Native.l2NormF(col("embedding")), 4)
             .as("l2_norm"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
         .orderBy("doc_id")

@@ -126,6 +126,25 @@ class LibrarySpec extends AnyFunSuite {
     assert(pred.collect().map(_.toString).sorted.toSeq == again)
   }
 
+  test("native dot-product expression: codegen'd, equals the HOF fold") {
+    import graft.functions.Native
+    val v = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val both = v.select(
+      Native.dotF(col("embedding"), col("embedding")).as("native"),
+      expr("aggregate(zip_with(embedding, embedding, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)")
+        .as("hof"))
+    // bit-identical double folds — no tolerance needed
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // the expression must live INSIDE a WholeStageCodegen span (AQE
+    // prints the final plan with "*(stage)" markers only post-execution)
+    both.collect()
+    val p = both.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("array_dot_f"), p)
+    assert(p.contains("*("), p)
+  }
+
   test("LSH ANN recall: ≥ 7 of exact top-10 pairs in approximate top-10") {
     val exact = graft.queries.DedupQueries.cosineTopK(spark, sf, 10)
       .select("id1", "id2").as[(Long, Long)].collect().toSet

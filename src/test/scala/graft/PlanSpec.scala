@@ -63,4 +63,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("simhash and ANN banding joins are equi-joins, never all-pairs") {
+    for (q <- Seq("q_dedup_simhash", "q_sim_ann_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
+  test("winnowing fingerprint window is per-doc partitioned (scales out)") {
+    val p = plan("q_text_fingerprint")
+    // a Window with no PARTITION BY would serialize the corpus through
+    // one task; the plan must hash-partition by doc_id first
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(doc_id"), p)
+  }
+
+  test("lang-ID scorer joins the pivoted profile as a broadcast") {
+    val p = plan("q_text_langid")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("explode-heavy corpus scans are spread across partitions") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.engine.Tables.t(spark, sf, "documents")
+    assert(docs.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism,
+      s"documents loader left ${docs.rdd.getNumPartitions} partition(s)")
+  }
 }

@@ -92,4 +92,59 @@ class PropertySpec extends AnyFunSuite {
     assert(dst.count() <= all.count())
     assert(dst.exceptAll(all).count() == 0)
   }
+
+  test("simhash banding finds every exact-duplicate text as hamming 0") {
+    // identical texts (different ids) MUST produce identical signatures
+    // and be recalled by the chunk banding (hamming 0 ≤ any threshold)
+    val exactDupPairs = {
+      val docs = Tables.t(spark, sf, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      docs.select(col("doc_id").as("d1"), col("h"))
+        .join(docs.select(col("doc_id").as("d2"), col("h").as("h2")),
+          col("h") === col("h2") && col("d1") < col("d2"))
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+    }
+    val simhash = DedupQueries.simhashPairs(spark, sf, 3)
+    val found = simhash.select("d1", "d2").as[(Long, Long)].collect().toSet
+    val zeroHam = simhash.filter(col("hamming") === 0)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert((exactDupPairs -- zeroHam).isEmpty,
+      s"exact dups missing or nonzero hamming: ${exactDupPairs -- zeroHam}")
+    assert((exactDupPairs -- found).isEmpty)
+  }
+
+  test("embedding dedup: reps point strictly earlier, flags consistent") {
+    // NOTE: rep(rep) == rep does NOT hold by design — this is single-link
+    // threshold dedup (each vector keeps its earliest neighbor above τ),
+    // not connected components: B can be A's dup while still serving as
+    // C's representative when cos(A,C) < τ.
+    val rep = SparkEntry.queries("q_dedup_embedding")(spark, sf)
+    assert(rep.filter(col("rep_id") > col("vec_id")).count() == 0,
+      "representative must never be a later vector")
+    assert(rep.filter(
+      (col("is_dup") === 1) =!= (col("rep_id") =!= col("vec_id"))).count() == 0,
+      "is_dup flag must mirror rep_id != vec_id")
+    assert(rep.filter(col("is_dup") === 1).count() > 0,
+      "testdata must contain embedding near-dups at tau = 0.40")
+  }
+
+  test("winnowing fingerprints: identical docs share identical fp sets") {
+    val fp = SparkEntry.queries("q_text_fingerprint")(spark, sf)
+      .groupBy("doc_id").agg(sort_array(collect_list(col("fp"))).as("fps"))
+    val texts = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val joined = fp.join(texts, "doc_id")
+    // same text hash → same fingerprint set
+    val distinctPerText = joined.groupBy("h")
+      .agg(countDistinct(col("fps")).as("n"))
+    assert(distinctPerText.filter(col("n") > 1).count() == 0)
+  }
+
+  test("token counts: BPE-ish regex tokens are at least whitespace tokens") {
+    // every whitespace token contributes ≥1 regex token (letters/digits/
+    // symbols all match some alternative), so bpe >= ws for these texts
+    val tc = SparkEntry.queries("q_text_token_count")(spark, sf)
+    assert(tc.filter(col("bpe_tokens") < col("ws_tokens")).count() == 0)
+    assert(tc.filter(col("ws_tokens") < 1).count() == 0)
+  }
 }
