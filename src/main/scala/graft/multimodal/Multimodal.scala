@@ -53,6 +53,25 @@ object Multimodal {
     }
   }
 
+  /** Batched image resize through the same codec boundary as
+    * [[extractFeatures]]: payloads transform per batch, metadata is
+    * updated to the target dimensions, schema/partitioning unchanged
+    * (narrow — no shuffle). Swap [[StubCodecs.resizeBatch]] for a real
+    * image library in deployment.
+    */
+  def resize(ds: Dataset[MediaRow], width: Int, height: Int,
+      batchSize: Int = 64): Dataset[MediaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val resized = StubCodecs.resizeBatch(batch, width, height)
+        batch.zip(resized).map { case (row, bytes) =>
+          row.copy(bytes = bytes, width = width, height = height)
+        }
+      }
+    }
+  }
+
   /** Frame sampling for "video" rows: every `everyNth` frame index up to
     * the frame count implied by duration × fps. Pure expression — the
     * generator explodes WITHOUT decoding (decode happens downstream on
@@ -83,5 +102,18 @@ object StubCodecs {
     batch.map { row =>
       val h = row.bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
       Array.tabulate(dim)(i => (((h >>> (i % 8 * 8)) & 0xff) / 255.0f))
+    }
+
+  /** Deterministic fake "resize": payload re-sampled to a length
+    * proportional to the target area (stride-sampled bytes — stable,
+    * content-dependent, and size-monotonic like a real resize).
+    */
+  def resizeBatch(batch: Seq[MediaRow], width: Int,
+      height: Int): Seq[Array[Byte]] =
+    batch.map { row =>
+      val target = math.max(1, width * height / 64)
+      val src = row.bytes
+      if (src.isEmpty) new Array[Byte](target)
+      else Array.tabulate(target)(i => src((i.toLong * src.length / target).toInt))
     }
 }

@@ -42,6 +42,24 @@ class LibrarySpec extends AnyFunSuite {
     assert(!scan.contains("PushedFilters: [IsNotNull(lang)"), scan)
   }
 
+  test("multimodal: batched resize updates metadata, keeps schema and count") {
+    val media = Multimodal.pack(
+      Tables.t(spark, sf, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8")),
+      "doc_id", "payload", kind = "image", width = 64, height = 64)
+    val ds = media.as[Multimodal.MediaRow].repartition(4)
+    val small = Multimodal.resize(ds, width = 32, height = 32)
+    assert(small.rdd.getNumPartitions == 4, "narrow op keeps partitioning")
+    val rows = small.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.width == 32 && r.height == 32))
+    assert(rows.forall(_.bytes.length == 32 * 32 / 64))
+    // deterministic: same input → same payloads regardless of batch size
+    val again = Multimodal.resize(ds, 32, 32, batchSize = 7)
+      .collect().sortBy(_.media_id).map(_.bytes.toSeq)
+    assert(rows.sortBy(_.media_id).map(_.bytes.toSeq).toSeq == again.toSeq)
+  }
+
   test("multimodal: pack → batched feature extraction is deterministic " +
       "and preserves partitioning") {
     val media = Multimodal.pack(
