@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions, so `spark.sql("SELECT array_dot_f(a,
+  * b)")` and `expr("array_dot_f(...)")` work in any session built with
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)            // or
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  *
+  * This is the standard injection surface for extension libraries —
+  * the same hook used for custom rules/strategies if the engine ever
+  * needs whole-operator plan nodes (SURVEY.md §4.3 keeps that in the
+  * toolbox; v1 needs only function registration).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("array_dot_f"),
+      new ExpressionInfo(
+        classOf[ArrayDotProductF].getName,
+        null,
+        "array_dot_f",
+        "array_dot_f(a, b) - dot product of two float arrays in double, folding in array order",
+        ""),
+      (children: Seq[Expression]) =>
+        ArrayDotProductF(children(0), children(1))))
+  }
+}

@@ -163,6 +163,31 @@ class LibrarySpec extends AnyFunSuite {
     assert(p.contains("*("), p)
   }
 
+  test("GraftExtensions registers array_dot_f as a SQL function") {
+    import org.apache.spark.sql.SparkSession
+    spark // force the shared session (and its SparkContext) to exist
+    // extensions bind at session BUILD time, and getOrCreate() returns
+    // any active session as-is — clear the session registry (not the
+    // shared SparkContext) so a genuinely new session is built, and
+    // restore afterwards. Never stop() it: the context is shared.
+    val old = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT array_dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+        .head.getDouble(0)
+      assert(r == 11.0)
+    } finally {
+      SparkSession.clearActiveSession()
+      old.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   test("LSH ANN recall: ≥ 7 of exact top-10 pairs in approximate top-10") {
     val exact = graft.queries.DedupQueries.cosineTopK(spark, sf, 10)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
