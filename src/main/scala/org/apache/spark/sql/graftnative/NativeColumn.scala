@@ -19,3 +19,15 @@ object NativeColumn {
   def wrap(e: Expression): Column = ExpressionUtils.column(e)
   def unwrap(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** `Dataset.ofRows` is likewise `private[sql]` — the only way to turn a
+  * hand-built `LogicalPlan` (e.g. a custom operator node) back into a
+  * public `DataFrame`.
+  */
+object PlanDataset {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Tables
+import graft.plans.AsOf
+
+/** The custom as-of join operator (LogicalPlan + Strategy + merge-join
+  * exec): known-answer cases, equivalence with the equi-join + window
+  * formulation on real data, and the plan shape (one exchange + sort
+  * per side, no candidate-pair blowup).
+  */
+class PlansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf
+  import spark.implicits._
+
+  test("as-of join: hand-built known answers incl. no-match keys") {
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 10L, "l3"),
+      (3L, 5L, "l4")).toDF("k", "t", "ltag")
+    val right = Seq((1L, 5L, "a"), (1L, 15L, "b"), (2L, 50L, "c"))
+      .toDF("rk", "rt", "rtag")
+    val got = AsOf.join(left, right, col("k"), col("t"), col("rk"), col("rt"))
+      .select("ltag", "rtag").as[(String, Option[String])].collect().toMap
+    assert(got == Map("l1" -> Some("a"), "l2" -> Some("b"),
+      "l3" -> None, "l4" -> None))
+  }
+
+  test("as-of join: equals the equi-join + window formulation on real data") {
+    // deterministic pseudo-random (key, ts) drawn from real tables
+    val left = Tables.t(spark, sf, "orders").select(
+      col("o_orderkey"),
+      pmod(col("o_custkey"), lit(50)).as("k"),
+      pmod(xxhash64(col("o_orderkey")), lit(100000)).as("t"))
+    val right = Tables.events(spark, sf).select(
+      col("event_id"),
+      pmod(col("user_id"), lit(50)).as("rk"),
+      pmod(xxhash64(col("event_id")), lit(100000)).as("rt"))
+    val got = AsOf.join(left, right, col("k"), col("t"), col("rk"), col("rt"))
+      .select(col("o_orderkey"), col("rt"))
+    // oracle formulation: max matching ts per left row (ts ties collapse
+    // to the same max value, so comparing ts is tie-robust)
+    val expected = left.join(right,
+        col("k") === col("rk") && col("rt") <= col("t"), "left")
+      .groupBy("o_orderkey").agg(max(col("rt")).as("rt"))
+    assert(got.count() == left.count(), "left outer: one row per left row")
+    assert(got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0,
+      "as-of exec must equal the window/agg formulation")
+  }
+
+  test("as-of join plan: merge exec with clustered exchanges, no BNLJ") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L)).toDF("rk", "rt")
+    val df = AsOf.join(left, right, col("k"), col("t"), col("rk"), col("rt"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p) // exec prints with Exec suffix stripped
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+}
