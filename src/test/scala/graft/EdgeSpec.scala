@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §5.2.2 — the testdata contains no NULLs, empty strings, or
+  * degenerate documents (verified), so hand-built rows are the only
+  * coverage for those edges. Each test exercises an operator family's
+  * building blocks exactly as the declared queries compose them.
+  */
+class EdgeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("outer join: unmatched side aggregates as 0 via coalesce, not null") {
+    val cust = Seq((1L, "a"), (2L, "b")).toDF("ck", "name")
+    val orders = Seq((1L, 10.0)).toDF("ck", "price")
+    val got = cust.join(orders, Seq("ck"), "left")
+      .groupBy("ck")
+      .agg(coalesce(sum(col("price").cast("decimal(18,4)")),
+        lit(0).cast("decimal(18,4)")).as("total"))
+      .orderBy("ck").as[(Long, java.math.BigDecimal)].collect()
+    assert(got(0)._2.doubleValue == 10.0)
+    assert(got(1)._2.doubleValue == 0.0, "no-order customer sums to 0, not null")
+  }
+
+  test("window functions: single-row partitions and NULL ordering") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, Some(5.0)), (2L, None), (2L, Some(3.0)))
+      .toDF("k", "v")
+    val w = Window.partitionBy(col("k")).orderBy(col("v").asc_nulls_first)
+    val got = df.withColumn("rn", row_number().over(w))
+      .orderBy("k", "rn")
+      .as[(Long, Option[Double], Int)].collect().toSeq
+    assert(got.head == ((1L, Some(5.0), 1)), "singleton partition ranks 1")
+    assert(got(1) == ((2L, None, 1)), "explicit NULLS FIRST puts null at rank 1")
+  }
+
+  test("dedup building blocks: empty strings and empty token arrays") {
+    val docs = Seq((1L, ""), (2L, ""), (3L, "x y z")).toDF("doc_id", "text")
+    // md5 of empty string is well-defined → empty docs dedupe together
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val kept = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), "empty texts are still exact duplicates")
+    // shingling guards: docs below the 3-token minimum produce no rows
+    val tk = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")).as("sh"))
+    assert(tk.select("doc_id").distinct().as[Long].collect().toSet == Set(3L))
+  }
+
+  test("native dot product: NULL array, empty arrays, length mismatch") {
+    import graft.functions.Native
+    val df = Seq(
+      (1L, Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),
+      (2L, None, Some(Seq(1.0f))),
+      (3L, Some(Seq.empty[Float]), Some(Seq.empty[Float])),
+      (4L, Some(Seq(1.0f, 2.0f, 5.0f)), Some(Seq(2.0f))))
+      .toDF("id", "a", "b")
+    val got = df.select(col("id"), Native.dotF(col("a"), col("b")).as("d"))
+      .orderBy("id").as[(Long, Option[Double])].collect().toSeq
+    assert(got(0)._2.contains(11.0))
+    assert(got(1)._2.isEmpty, "NULL input → NULL (null-intolerant)")
+    assert(got(2)._2.contains(0.0), "empty arrays → 0")
+    assert(got(3)._2.contains(2.0), "length mismatch folds the shorter prefix")
+  }
+
+  test("salted aggregation collapses to plain aggregation on tiny groups") {
+    val df = Seq((1L, 1.5), (1L, 2.5), (2L, 0.25)).toDF("k", "v")
+    val salted = df
+      .withColumn("salt", pmod(xxhash64(col("v")), lit(16)))
+      .groupBy("k", "salt")
+      .agg(count(lit(1)).as("pc"), sum(col("v").cast("decimal(18,4)")).as("pv"))
+      .groupBy("k")
+      .agg(sum(col("pc")).as("n"), sum(col("pv")).cast("decimal(18,4)").as("s"))
+    val plain = df.groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,4)")).cast("decimal(18,4)").as("s"))
+    assert(salted.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(salted).count() == 0)
+  }
+
+  test("as-of join: empty right side yields all-null attachments") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq.empty[(Long, Long, String)].toDF("rk", "rt", "tag")
+    val got = graft.plans.AsOf.join(left, right,
+      col("k"), col("t"), col("rk"), col("rt"))
+      .select("k", "tag").as[(Long, Option[String])].collect().toSeq
+    assert(got == Seq((1L, None)))
+  }
+}
