@@ -101,11 +101,17 @@ object AggQueries extends QSet {
       // shape as the oracle: bit-identical, no rounding step needed.
       // DECIMAL(19,4) for the square: precision ≥19 forces DuckDB onto
       // its int128 multiply path (int64 overflows on these magnitudes).
+      // The decimal sums convert to double THROUGH THEIR EXACT STRING:
+      // at sf0.1 the sum of squares carries ~20 significant digits and
+      // DuckDB's direct decimal→double is not correctly rounded there
+      // (measured 0.64 vs 0.16 absolute error); string→double parsing
+      // is correctly rounded on both engines, so both sides parse the
+      // identical digit string into the identical double.
       val xd = col("o_totalprice").cast(DecimalType(19, 4))
       val sq = (xd * xd).cast(DecimalType(28, 4)) // 2dp² = 4dp: exact
       val n = count(lit(1))
-      val sx = sum(D(col("o_totalprice"))).cast(DoubleType)
-      val sxx = sum(sq).cast(DoubleType)
+      val sx = sum(D(col("o_totalprice"))).cast(StringType).cast(DoubleType)
+      val sxx = sum(sq).cast(StringType).cast(DoubleType)
       val vr = (sxx - sx * sx / n) / (n - lit(1L))
       t(s, dir, "orders")
         .groupBy("o_orderstatus")
@@ -200,11 +206,11 @@ object AggQueries extends QSet {
     "q_agg_stats" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         | MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
-        | (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_totalprice AS DECIMAL(19,4)) AS DECIMAL(28,4))) AS DOUBLE)
-        |  - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+        | (CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_totalprice AS DECIMAL(19,4)) AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE)
+        |  - CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) * CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*))
         |  / (COUNT(*) - 1) AS var_samp,
-        | sqrt((CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_totalprice AS DECIMAL(19,4)) AS DECIMAL(28,4))) AS DOUBLE)
-        |  - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+        | sqrt((CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_totalprice AS DECIMAL(19,4)) AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE)
+        |  - CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) * CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*))
         |  / (COUNT(*) - 1)) AS stddev_samp
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
