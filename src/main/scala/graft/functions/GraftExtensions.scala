@@ -23,12 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("array_dot_f"),
-      new ExpressionInfo(
-        classOf[ArrayDotProductF].getName,
-        null,
-        "array_dot_f",
-        "array_dot_f(a, b) - dot product of two float arrays in double, folding in array order",
-        ""),
+      new ExpressionInfo(classOf[ArrayDotProductF].getName, null, "array_dot_f"),
       (children: Seq[Expression]) =>
         ArrayDotProductF(children(0), children(1))))
   }
