@@ -53,7 +53,18 @@ object Tables {
   /** Decimal-ize BEFORE aggregating (order-independent exact sums). */
   def D(c: Column): Column = c.cast(Dec)
 
-  /** Final fixed-width cast so Spark and DuckDB output schemas agree
-    * (sum/avg widen precision differently per engine). */
-  def d4(c: Column): Column = c.cast(Dec)
+  /** Final output conversion: exact decimal → DOUBLE through its exact
+    * string. Parquet DECIMAL reaches pandas as object/Decimal while
+    * DuckDB's client hands decimals over as float64 — a dtype mismatch
+    * the driver's comparator flags even when every value agrees
+    * (observed round 1: every decimal-output query hash-mismatched).
+    * String→double parsing is correctly rounded on both engines (A.8),
+    * so both sides parse identical digit strings into bit-identical
+    * float64 — safe for any downstream compare. */
+  def d4(c: Column): Column =
+    c.cast(Dec).cast(StringType).cast(DoubleType)
+
+  /** SQL-side twin of [[d4]] for oracle strings. */
+  def sqlD4(expr: String): String =
+    s"CAST(CAST(CAST($expr AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE)"
 }

@@ -38,7 +38,8 @@ object AggQueries extends QSet {
         d4(sum(D(col("l_quantity")))).as("sum_qty"),
         d4(sum(D(col("l_extendedprice")))).as("sum_base_price"),
         d4(sum(discPrice)).as("sum_disc_price"),
-        sum(charge).cast(DecimalType(24, 6)).as("sum_charge"),
+        sum(charge).cast(DecimalType(24, 6))
+          .cast(StringType).cast(DoubleType).as("sum_charge"),
         (sum(D(col("l_quantity"))).cast(DoubleType) / cnt).as("avg_qty"),
         (sum(D(col("l_extendedprice"))).cast(DoubleType) / cnt).as("avg_price"),
         (sum(D(col("l_discount"))).cast(DoubleType) / cnt).as("avg_disc"),
@@ -143,7 +144,7 @@ object AggQueries extends QSet {
       t(s, dir, "nation").createOrReplaceTempView("g_nation")
       s.sql(
         """SELECT n_name, o_orderpriority, COUNT(*) AS n_orders,
-          | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+          | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS STRING) AS DOUBLE) AS sum_price
           |FROM g_orders
           |JOIN g_customer ON o_custkey = c_custkey
           |JOIN g_nation ON c_nationkey = n_nationkey
@@ -187,13 +188,13 @@ object AggQueries extends QSet {
   val oracle: Map[String, String] = Map(
     "q_agg_salted_twophase" ->
       """SELECT user_id, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+        |  CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_agg_global" ->
       """SELECT COUNT(*) AS n_rows,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
+        | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS sum_price,
         | COUNT(DISTINCT l_suppkey) AS n_supp,
         | MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
         |FROM lineitem""".stripMargin,
@@ -222,7 +223,7 @@ object AggQueries extends QSet {
 
     "q_agg_rollup" ->
       """SELECT n_name, o_orderpriority, COUNT(*) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -231,7 +232,7 @@ object AggQueries extends QSet {
 
     "q_agg_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+        | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
@@ -240,24 +241,24 @@ object AggQueries extends QSet {
       """SELECT lang, source,
         | CAST(GROUPING(lang) AS BIGINT) AS g_lang,
         | CAST(GROUPING(source) AS BIGINT) AS g_source,
-        | COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        | COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |GROUP BY GROUPING SETS ((lang), (source), ())
         |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
 
     "q_agg_having" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderpriority
         |HAVING COUNT(*) > 100
         |ORDER BY o_orderpriority""".stripMargin,
 
     "q_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
-        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-        | CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))) AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS sum_charge,
+        | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))) AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS VARCHAR) AS DOUBLE) AS sum_charge,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
         | CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,

@@ -76,12 +76,20 @@ object FnQueries extends QSet {
     }),
 
     "q_fn_array" -> ((s, dir) => {
+      // NOTE: no array-typed output columns — the driver's comparator
+      // sorts rows by every column in pandas, and ndarray cells are
+      // unhashable there (observed round 1: compare crashed). Arrays are
+      // exercised (slice/filter/transform/aggregate) but reduced to
+      // scalars before the final projection.
       t(s, dir, "embeddings")
         .select(
           col("vec_id"),
           size(col("embedding")).cast("long").as("dim"),
           element_at(col("embedding"), 1).cast("double").as("first_elem"),
-          slice(col("embedding"), 1, 3).as("head3"),
+          element_at(slice(col("embedding"), 2, 3), 1).cast("double")
+            .as("slice_first"),
+          array_contains(col("embedding"), element_at(col("embedding"), 5))
+            .as("has_fifth"),
           size(expr("filter(embedding, x -> x > 0)")).cast("long")
             .as("n_pos"),
           // 64-element sequential fold in DOUBLE: same order on both
@@ -157,7 +165,8 @@ object FnQueries extends QSet {
       """SELECT vec_id,
         | CAST(len(embedding) AS BIGINT) AS dim,
         | CAST(embedding[1] AS DOUBLE) AS first_elem,
-        | embedding[1:3] AS head3,
+        | CAST(embedding[2:4][1] AS DOUBLE) AS slice_first,
+        | list_contains(embedding, embedding[5]) AS has_fifth,
         | CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
         | round(sqrt(list_sum(list_transform(embedding,
         |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
@@ -173,7 +182,7 @@ object FnQueries extends QSet {
 
     "q_fn_json" ->
       """SELECT event_type, COUNT(*) AS cnt,
-        | SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+        | CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
         |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin
   )

@@ -68,7 +68,7 @@ object JoinQueries extends QSet {
         .groupBy("c_custkey")
         .agg(
           count(col("o_orderkey")).as("n_big_orders"),
-          coalesce(d4(sum(D(col("o_totalprice")))), lit(0).cast(Dec))
+          coalesce(d4(sum(D(col("o_totalprice")))), lit(0.0))
             .as("sum_big"))
         .orderBy("c_custkey")
     }),
@@ -155,7 +155,7 @@ object JoinQueries extends QSet {
 
     "q_join_star" ->
       """SELECT n_name,
-        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        | CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -167,13 +167,13 @@ object JoinQueries extends QSet {
 
     "q_join_sortmerge" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
-        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price
+        | CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS sum_disc_price
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_join_left_outer" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders,
-        | COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)), CAST(0 AS DECIMAL(18,4))) AS sum_big
+        | COALESCE(CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE), 0.0) AS sum_big
         |FROM customer
         |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
         | ON c_custkey = o_custkey

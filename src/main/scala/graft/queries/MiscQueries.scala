@@ -63,7 +63,7 @@ object MiscQueries extends QSet {
       spine.join(daily, Seq("day"), "left")
         .select(col("day"),
           coalesce(col("cnt"), lit(0L)).as("cnt"),
-          coalesce(col("sum_val"), lit(0).cast(Dec)).as("sum_val"))
+          coalesce(col("sum_val"), lit(0.0)).as("sum_val"))
         .orderBy("day")
     }),
 
@@ -83,9 +83,9 @@ object MiscQueries extends QSet {
   val oracle: Map[String, String] = Map(
     "q_pivot" ->
       """SELECT o_orderpriority,
-        | SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        | SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        | SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_unpivot" ->
@@ -106,14 +106,14 @@ object MiscQueries extends QSet {
       """WITH daily AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         |   COUNT(*) AS cnt,
-        |   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_val
+        |   CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS sum_val
         |  FROM events GROUP BY 1),
         |spine AS (
         |  SELECT CAST(unnest(generate_series(
         |    (SELECT MIN(day) FROM daily),
         |    (SELECT MAX(day) FROM daily), INTERVAL 1 DAY)) AS DATE) AS day)
         |SELECT spine.day, COALESCE(cnt, 0) AS cnt,
-        | COALESCE(sum_val, CAST(0 AS DECIMAL(18,4))) AS sum_val
+        | COALESCE(sum_val, 0.0) AS sum_val
         |FROM spine LEFT JOIN daily ON spine.day = daily.day
         |ORDER BY spine.day""".stripMargin,
 

@@ -42,7 +42,7 @@ object StreamQueries extends QSet {
     "q_stream_tumbling" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         | COUNT(*) AS cnt,
-        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_val
+        | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     // Spark's sliding windows align to the epoch: an event at ts belongs
@@ -51,7 +51,7 @@ object StreamQueries extends QSet {
       """SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000
         |         - k * 21600000000) AS w_start,
         | event_type, COUNT(*) AS cnt,
-        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_val
+        | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS sum_val
         |FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k)
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
@@ -65,8 +65,8 @@ object StreamQueries extends QSet {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessions AS (
         |  SELECT user_id, ts, event_id,
-        |   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         | MIN(ts) AS start_ts, MAX(ts) AS end_ts
@@ -80,7 +80,7 @@ object StreamQueries extends QSet {
 
     "q_stream_join_dim" ->
       """SELECT tier, COUNT(*) AS cnt,
-        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_val
+        | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS sum_val
         |FROM events
         |JOIN (SELECT c_custkey,
         |  CASE WHEN c_acctbal < 0 THEN 'debt'

@@ -195,12 +195,12 @@ object TextQueries extends QSet {
         |  FROM (SELECT doc_id, source, n_chars, text,
         |        string_split(text, ' ') AS tk FROM documents))
         |SELECT source, count(*) AS n_docs,
-        |  SUM(CASE WHEN too_short THEN 1 ELSE 0 END) AS n_short,
-        |  SUM(CASE WHEN few_words THEN 1 ELSE 0 END) AS n_few_words,
-        |  SUM(CASE WHEN low_diversity THEN 1 ELSE 0 END) AS n_low_div,
-        |  SUM(CASE WHEN non_ascii THEN 1 ELSE 0 END) AS n_non_ascii,
-        |  SUM(CASE WHEN too_short OR few_words OR low_diversity OR non_ascii
-        |      THEN 1 ELSE 0 END) AS n_defect,
+        |  CAST(SUM(CASE WHEN too_short THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |  CAST(SUM(CASE WHEN few_words THEN 1 ELSE 0 END) AS BIGINT) AS n_few_words,
+        |  CAST(SUM(CASE WHEN low_diversity THEN 1 ELSE 0 END) AS BIGINT) AS n_low_div,
+        |  CAST(SUM(CASE WHEN non_ascii THEN 1 ELSE 0 END) AS BIGINT) AS n_non_ascii,
+        |  CAST(SUM(CASE WHEN too_short OR few_words OR low_diversity OR non_ascii
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_defect,
         |  CAST(SUM(CASE WHEN too_short OR few_words OR low_diversity OR non_ascii
         |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS defect_rate
         |FROM flagged GROUP BY source ORDER BY source""".stripMargin,

@@ -119,13 +119,13 @@ object WindowQueries extends QSet {
 
     "q_win_running_sum" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS run_sum
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS run_sum
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_win_moving_avg" ->
-      """SELECT day, CAST(daily_total AS DECIMAL(18,4)) AS daily_total,
+      """SELECT day, CAST(CAST(CAST(daily_total AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS daily_total,
         | CAST(SUM(daily_total) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma7
         |FROM (
         | SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
