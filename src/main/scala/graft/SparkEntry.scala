@@ -21,7 +21,8 @@ object SparkEntry {
     TextQueries,
     UdfQueries,
     StreamQueries,
-    MiscQueries
+    MiscQueries,
+    ExtQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
