@@ -152,12 +152,16 @@ object DedupQueries extends QSet {
     * bucket become candidates via equi-join — never an all-pairs scan.
     */
   def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    // hash each exploded shingle row with 32 codegen'd xxhash64 columns,
-    // then 32 min-aggregates with map-side partial combine — much faster
-    // (and shuffle-lighter) than per-doc array lambdas.
-    val hashed = shingles(s, dir).select(
-      col("doc_id") +: (0 until MinhashPerms).map(i =>
-        xxhash64(concat(col("sh"), lit("#" + i))).as(s"x$i")): _*)
+    // hash each shingle STRING once, then derive the 32 permutation
+    // hashes by chaining xxhash64 over (base, seed) — fixed-width long
+    // mixing instead of 32 string hashes per row (the string pass was
+    // the minhash hot spot: ~32M variable-length hashes at sf0.1).
+    // Min-aggregates fold map-side, so the shuffle carries one 32-long
+    // row per (doc, partition).
+    val hashed = shingles(s, dir)
+      .select(col("doc_id"), xxhash64(col("sh")).as("hb"))
+      .select(col("doc_id") +: (0 until MinhashPerms).map(i =>
+        xxhash64(col("hb"), lit(i)).as(s"x$i")): _*)
     val sig = hashed.groupBy("doc_id").agg(
       min(col("x0")).as("h0"),
       (1 until MinhashPerms).map(i => min(col(s"x$i")).as(s"h$i")): _*)
