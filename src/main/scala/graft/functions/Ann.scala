@@ -88,6 +88,79 @@ object Ann {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize vectors to centroid
+    * buckets, generate candidates ONLY within shared buckets, exact
+    * cosine re-rank. The scale path when the corpus outgrows LSH table
+    * tuning: centroids = √N-ish coarse cells, each vector probes its
+    * `nprobe` nearest cells, candidate generation is an equi-join on
+    * cell id — never all-pairs.
+    *
+    * Determinism (SURVEY.md A.6): the coarse quantizer is NOT k-means
+    * (iterative, init-sensitive) but a fixed data-driven sample —
+    * centroids are the `nCentroids` vectors with the smallest
+    * byteswap64(id) mix, reproducible on any run/partitioning.
+    */
+  def ivfCosineTopK(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.SparkSession
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("e"))
+      .as[(Long, Array[Float])]
+    val all = vecs.collect()
+    val dimMap = all.map { case (id, e) =>
+      var acc = 0.0; var i = 0
+      while (i < e.length) { acc += e(i).toDouble * e(i).toDouble; i += 1 }
+      (id, (e, math.sqrt(acc)))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(dimMap)
+    val centroids = all
+      .sortBy { case (id, _) => scala.util.hashing.byteswap64(id) }
+      .take(nCentroids)
+      .map { case (id, e) =>
+        var acc = 0.0; var i = 0
+        while (i < e.length) { acc += e(i).toDouble * e(i).toDouble; i += 1 }
+        (id, e, math.sqrt(acc))
+      }
+    val bcC = spark.sparkContext.broadcast(centroids)
+    // assignment: nprobe nearest cells per vector (cos desc, cell asc)
+    val assigned = vecs.repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val cs = bcC.value
+        it.flatMap { case (id, e) =>
+          var n1 = 0.0; var i = 0
+          while (i < e.length) { n1 += e(i).toDouble * e(i).toDouble; i += 1 }
+          n1 = math.sqrt(n1)
+          cs.map { case (cid, ce, cn) =>
+            var dot = 0.0; var j = 0
+            while (j < e.length) { dot += e(j).toDouble * ce(j).toDouble; j += 1 }
+            (cid, dot / (n1 * cn))
+          }.sortBy { case (cid, cos) => (-cos, cid) }
+            .take(nprobe)
+            .map { case (cid, _) => (id, cid) }
+        }
+      }.toDF("id", "cell")
+    val cand = assigned.select(col("id").as("id1"), col("cell"))
+      .join(assigned.select(col("id").as("id2"), col("cell").as("cell2")),
+        col("cell") === col("cell2") && col("id1") < col("id2"))
+      .select("id1", "id2")
+      .dropDuplicates("id1", "id2")
+    cand.as[(Long, Long)].mapPartitions { it =>
+      val m = bc.value
+      it.map { case (id1, id2) =>
+        val (e1, n1) = m(id1); val (e2, n2) = m(id2)
+        var dot = 0.0; var i = 0
+        while (i < e1.length) { dot += e1(i).toDouble * e2(i).toDouble; i += 1 }
+        val c = dot / (n1 * n2)
+        val r = if (c >= 0) math.floor(c * 1e4 + 0.5) / 1e4
+                else -math.floor(-c * 1e4 + 0.5) / 1e4
+        (id1, id2, r)
+      }
+    }.toDF("id1", "id2", "cos")
+      .orderBy(col("cos").desc, col("id1"), col("id2"))
+      .limit(k)
+  }
+
   /** Per-query top-k: for every vector, its k nearest candidates. */
   def approxNeighbors(df: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int = 64, bits: Int = 6, tables: Int = 32,

@@ -96,6 +96,35 @@ object AggQueries extends QSet {
         .orderBy("event_type")
     }),
 
+    // Non-oracle (KLL/GK quantile summaries are impl-defined):
+    // scalatest asserts proximity to the exact percentile instead.
+    "q_agg_approx_percentile" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+            .as("ap50"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(1000))
+            .as("ap90"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Non-oracle (DataSketches HLL binary images are impl-defined):
+    // two-phase sketch cube — per-(type, day) partial sketches union-
+    // merged per type. THE 100 TB pre-aggregation pattern: partials are
+    // tiny, mergeable, and reusable across rollup grains; scalatest
+    // asserts the estimate lands within HLL error of the exact count.
+    "q_agg_sketch_union" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts_us")).cast("date").as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("approx_users"))
+        .orderBy("event_type")
+    }),
+
     "q_agg_stats" -> ((s, dir) => {
       // Built-in stddev/var are order-dependent double folds — instead
       // derive from EXACT decimal sums with the same IEEE expression

@@ -87,6 +87,13 @@ object DedupQueries extends QSet {
     // measures its recall against the exact brute-force top-k.
     "q_sim_ann_lsh" -> ((s, dir) =>
       graft.functions.Ann.approxCosineTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 10)),
+
+    // Non-oracle (coarse-quantizer cells are impl-defined): the IVF
+    // scale path — candidates only within shared centroid cells, exact
+    // re-rank after. LibrarySpec measures recall vs brute force.
+    "q_sim_ann_ivf" -> ((s, dir) =>
+      graft.functions.Ann.ivfCosineTopK(
         t(s, dir, "embeddings"), "vec_id", "embedding", 10))
   )
 

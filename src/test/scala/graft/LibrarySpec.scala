@@ -197,4 +197,49 @@ class LibrarySpec extends AnyFunSuite {
     val recall = exact.intersect(approx).size
     assert(recall >= 7, s"recall $recall/10 too low")
   }
+
+  test("IVF ANN: top pairs are true high-cosine pairs with useful recall") {
+    val exact = graft.queries.DedupQueries.cosineTopK(spark, sf, 10)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfCosineTopK(
+      Tables.t(spark, sf, "embeddings"), "vec_id", "embedding", k = 10)
+      .select("id1", "id2", "cos").as[(Long, Long, Double)].collect()
+    // near-random embeddings + coarse cells: demand a useful fraction of
+    // the exact top-10, and every reported cos must match brute force
+    // (IVF only prunes candidates — it never alters a score).
+    val recall = exact.intersect(ivf.map(t => (t._1, t._2)).toSet).size
+    assert(recall >= 4, s"IVF recall $recall/10 too low")
+    val exactCos = graft.queries.DedupQueries.cosineTopK(spark, sf, 500)
+      .select("id1", "id2", "cos").as[(Long, Long, Double)].collect()
+      .map(t => ((t._1, t._2), t._3)).toMap
+    ivf.foreach { case (a, b, c) =>
+      exactCos.get((a, b)).foreach(e => assert(e == c)) }
+  }
+
+  test("approx percentile tracks the exact percentile within 2%") {
+    import org.apache.spark.sql.functions._
+    val both = Tables.t(spark, sf, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("ap"),
+        expr("percentile(o_totalprice, 0.5)").as("ex"))
+      .collect()
+    both.foreach { r =>
+      val ap = r.getDouble(1); val ex = r.getDouble(2)
+      assert(math.abs(ap - ex) / ex < 0.02, s"approx $ap vs exact $ex")
+    }
+  }
+
+  test("HLL sketch union estimate lands within 5% of exact distinct") {
+    import org.apache.spark.sql.functions._
+    val est = graft.SparkEntry.queries("q_agg_sketch_union")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n).toDouble / n <= 0.05,
+        s"$k: est ${est(k)} vs exact $n")
+    }
+  }
 }
