@@ -96,6 +96,26 @@ object StreamTransforms {
       }
   }
 
+  /** Stream ⋈ stream interval join: same-user event pairs within one
+    * hour (the streaming twin of the q_join_theta_range batch query).
+    * Both sides carry a 2-hour watermark — at least the 1-hour join
+    * window plus slack — so the state store provably evicts rows older
+    * than the reachable match range: bounded state at any scale. Works
+    * unchanged on batch frames (withWatermark is a no-op in batch).
+    */
+  def pairsWithin1h(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("event_id").as("id1"), col("user_id"),
+      col("ts_us").as("ts1")).withWatermark("ts1", "2 hours")
+    val r = b.select(col("event_id").as("id2"), col("user_id").as("user2"),
+      col("ts_us").as("ts2")).withWatermark("ts2", "2 hours")
+    l.join(r,
+      col("user_id") === col("user2") &&
+        col("id1") < col("id2") &&
+        col("ts2") >= col("ts1") &&
+        col("ts2") <= col("ts1") + expr("INTERVAL 1 HOUR"))
+      .select("id1", "id2", "user_id", "ts1", "ts2")
+  }
+
   /** Stream ⋈ static dim: events joined to a customer-derived tier. */
   def joinDim(ev: DataFrame, customer: DataFrame): DataFrame =
     ev.join(customer.select(col("c_custkey"),

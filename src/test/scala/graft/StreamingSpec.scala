@@ -97,6 +97,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(native == batch)
   }
 
+  test("stream-stream interval join == batch theta-range join") {
+    val batch = SparkEntry.queries("q_join_theta_range")(spark, TestSpark.Sf)
+      .collect()
+    implicit val ctx = spark.sqlContext
+    val msA = MemoryStream[EvRow]
+    val msB = MemoryStream[EvRow]
+    val q = StreamTransforms.pairsWithin1h(msA.toDF, msB.toDF)
+      .writeStream.format("memory").queryName("s_sspairs")
+      .outputMode("append").start()
+    val stream = try {
+      val rows = eventRows
+      val size = math.max(1, rows.size / 4)
+      rows.grouped(size).foreach { g =>
+        msA.addData(g); msB.addData(g); q.processAllAvailable()
+      }
+      spark.table("s_sspairs").collect()
+    } finally q.stop()
+    assert(canon(stream) == canon(batch))
+  }
+
   test("watermark drops late data past the 1h delay") {
     def ts(s: String) = Timestamp.valueOf(s)
     def ev(id: Long, t: String) = EvRow(id, 0L, "click", 1.0, ts(t))
