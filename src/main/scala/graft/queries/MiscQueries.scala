@@ -67,6 +67,26 @@ object MiscQueries extends QSet {
         .orderBy("day")
     }),
 
+    // Non-oracle (the deterministic stub codec is JVM-side, not
+    // SQL-expressible): full multimodal pipeline — pack text payloads
+    // into the canonical binary media schema, batched decode → feature
+    // extraction per partition (the mapInPandas-shaped path), then a
+    // relational projection over the features. MultimodalSpec asserts
+    // exact feature values; the driver records the rows-only check.
+    "q_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.multimodal.Multimodal.pack(
+        t(s, dir, "documents").select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload", "image", width = 64, height = 64)
+        .as[graft.multimodal.Multimodal.MediaRow]
+      graft.multimodal.Multimodal.extractFeatures(media, batchSize = 64,
+        dim = 16).toDF
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
+        .orderBy("media_id")
+    }),
+
     "q_sample_hash" -> ((s, dir) => {
       // deterministic ~1/16 sample: first hex digit of md5 over the key
       // triple — reproducible, partition-count-independent, and

@@ -91,4 +91,40 @@ class PlanSpec extends AnyFunSuite {
     assert(docs.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism,
       s"documents loader left ${docs.rdd.getNumPartitions} partition(s)")
   }
+
+  test("IVF candidate generation is an equi-join on cells, never all-pairs") {
+    val p = plan("q_sim_ann_ivf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sketch union is partial+final mergeable aggregation") {
+    val p = plan("q_agg_sketch_union")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("range-frame window partitions by customer (scales out)") {
+    val p = plan("q_win_range_frame")
+    assert(p.contains("hashpartitioning(o_custkey"), p)
+  }
+
+  test("partitioned parquet write round-trips with partition pruning") {
+    import org.apache.spark.sql.functions._
+    val out = "/tmp/graft_part_test"
+    val ev = graft.engine.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts_us")).cast("date"))
+      .select("event_id", "user_id", "event_type", "value", "day")
+    graft.sources.Readers.writeParquet(ev, out, partitionBy = Seq("day"))
+    val firstDay = ev.agg(min(col("day"))).head.getDate(0)
+    val back = graft.sources.Readers.parquet(spark, out)
+      .filter(col("day") === lit(firstDay))
+    // the day predicate must prune at the PARTITION level (directory
+    // skip), not as a row filter after reading everything
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.linesIterator.exists(l => l.contains("PartitionFilters") &&
+        l.contains("day")), scan)
+    val expected = ev.filter(col("day") === lit(firstDay)).count()
+    assert(back.count() == expected)
+  }
 }
