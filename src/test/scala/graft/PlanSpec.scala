@@ -108,6 +108,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(o_custkey"), p)
   }
 
+  test("bucketed tables co-locate their join (no shuffle exchange)") {
+    import org.apache.spark.sql.functions.col
+    // bucketing pre-shuffles at WRITE time so every subsequent join or
+    // aggregation on the bucket key runs exchange-free — the 100 TB
+    // repeated-join layout. Both sides bucketed the same way ⇒ the join
+    // plan must contain no Exchange above the scans.
+    val o = graft.engine.Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = graft.engine.Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    // hint("merge") keeps the tiny fixture off the broadcast path so the
+    // bucketed sort-merge shape (what a 100 TB join would pick) is what
+    // gets asserted: no shuffle exchange anywhere in the plan.
+    val joined = spark.table("b_orders").join(
+      spark.table("b_lineitem").hint("merge"),
+      col("o_orderkey") === col("l_orderkey"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(joined.count() ==
+      o.join(l, col("o_orderkey") === col("l_orderkey")).count())
+  }
+
   test("partitioned parquet write round-trips with partition pruning") {
     import org.apache.spark.sql.functions._
     val out = "/tmp/graft_part_test"
