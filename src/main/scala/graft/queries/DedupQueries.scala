@@ -57,7 +57,11 @@ object DedupQueries extends QSet {
     }),
 
     "q_dedup_near_ngram" -> ((s, dir) => {
-      val sh = shingles(s, dir)
+      // the shingle explode feeds three consumers (both self-join sides
+      // + the size aggregate); persisting computes the tokenize/shingle/
+      // distinct pipeline once instead of per consumer. Bounded: the
+      // shingle set, not the corpus.
+      val sh = shingles(s, dir).persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val pairs = sh.select(col("doc_id").as("d1"), col("sh"))
         .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")),
@@ -217,7 +221,10 @@ object DedupQueries extends QSet {
         (0 until 60).map(b =>
           when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce(_ + _).as("sig"))
-    val chunks = sigs
+    // persist the per-doc signatures: both banding-join sides otherwise
+    // re-run the whole tokenize → md5 → 60-column vote pipeline. One
+    // row per doc — tiny at any scale.
+    val chunks = sigs.persist()
       .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 3)")).as("c"))
       .withColumn("ck", expr("shiftright(sig, 15 * c) & 32767"))
     // Hamming check lives IN the join condition: it runs as the join's

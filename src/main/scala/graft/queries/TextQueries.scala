@@ -29,6 +29,10 @@ object TextQueries extends QSet {
 
     "q_text_tfidf" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // NOTE: the "obvious" refactor — pre-folding to per-(doc, term)
+      // counts shared by tf and df — measured consistently SLOWER at
+      // sf0.1 (the extra exchange outweighs the saved explode; map-side
+      // partial aggregation already collapses both branches' shuffles).
       val tok = docs.select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("term"))
       val tf = tok.groupBy("lang", "term").agg(count(lit(1)).as("tf"))

@@ -120,6 +120,18 @@ class PlanSpec extends AnyFunSuite {
       .select("l_orderkey", "l_quantity")
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a fresh session's in-memory catalog has no entry for tables a
+    // PREVIOUS run wrote, so DROP alone leaves their warehouse
+    // directories behind and the write fails LOCATION_ALREADY_EXISTS —
+    // clear the locations on disk too.
+    for (tbl <- Seq("b_orders", "b_lineitem")) {
+      val dir = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+          .getPath, tbl)
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
     o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")
     l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
