@@ -147,4 +147,74 @@ class PropertySpec extends AnyFunSuite {
     assert(tc.filter(col("bpe_tokens") < col("ws_tokens")).count() == 0)
     assert(tc.filter(col("ws_tokens") < 1).count() == 0)
   }
+
+  test("correlation lies in [-1, 1] and matches the covariance sign") {
+    // NOTE: this generator draws quantity and price INDEPENDENTLY
+    // (measured corr ≈ -0.02) — unlike real TPC-H, where price scales
+    // with quantity — so only the analytic invariants are asserted.
+    val c = SparkEntry.queries("q_agg_corr")(spark, sf).collect()
+    c.foreach { r =>
+      val covar = r.getDouble(2)
+      val corr = r.getDouble(3)
+      assert(corr >= -1.0 && corr <= 1.0, s"corr out of range: $corr")
+      assert(corr.sign == covar.sign,
+        s"corr $corr and covar $covar must share a sign")
+    }
+  }
+
+  test("mode: no value in the group has a higher count than the mode") {
+    val modes = SparkEntry.queries("q_agg_mode")(spark, sf)
+      .select("l_returnflag", "mode_qty", "cnt")
+      .as[(String, Double, Long)].collect()
+    val counts = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag", "l_quantity").count()
+      .select(col("l_returnflag"), col("l_quantity"), col("count"))
+      .as[(String, Double, Long)].collect()
+      .groupBy(_._1)
+    modes.foreach { case (flag, q, cnt) =>
+      val best = counts(flag).map(_._3).max
+      assert(cnt == best, s"$flag: mode count $cnt != max count $best")
+      // tiebreak: smallest value among max-count values
+      val tied = counts(flag).filter(_._3 == best).map(_._2).min
+      assert(q == tied, s"$flag: mode $q != smallest tied value $tied")
+    }
+  }
+
+  test("multiset algebra: |A EXCEPT ALL B| + |A INTERSECT ALL B| == |A|") {
+    val a = Tables.t(spark, sf, "lineitem").filter(col("l_quantity") > 48)
+      .select(col("l_partkey").as("k"))
+    val b = Tables.t(spark, sf, "part").filter(col("p_size") > 25)
+      .select(col("p_partkey").as("k"))
+    val except = a.exceptAll(b).count()
+    val intersect = a.intersectAll(b).count()
+    assert(except + intersect == a.count())
+  }
+
+  test("range-frame revenue brackets: own price <= rev_7d <= customer total") {
+    val q = SparkEntry.queries("q_win_range_frame")(spark, sf)
+    val orders = Tables.t(spark, sf, "orders")
+    val totals = orders.groupBy("o_custkey")
+      .agg(sum(col("o_totalprice")).as("total"))
+    val joined = q.join(totals, "o_custkey")
+      .join(orders.select("o_orderkey", "o_totalprice"), "o_orderkey")
+    // the value-range frame always contains the current row and never
+    // more than the customer's full history
+    assert(joined.filter(col("rev_7d") < col("o_totalprice") - 1e-4)
+      .count() == 0)
+    assert(joined.filter(col("rev_7d") > col("total") + 1e-4).count() == 0)
+  }
+
+  test("pagination: offset page is disjoint from and follows page one") {
+    val ordered = Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val page1 = ordered.limit(20).collect()
+    val page2 = SparkEntry.queries("q_limit_offset")(spark, sf).collect()
+    val ids1 = page1.map(_.getLong(0)).toSet
+    val ids2 = page2.map(r => r.getLong(0)).toSet
+    assert(ids1.intersect(ids2).isEmpty)
+    val minP1 = page1.map(_.getDouble(1)).min
+    val maxP2 = page2.map(r => r.getDouble(2)).max
+    assert(maxP2 <= minP1, "page 2 prices must not exceed page 1 prices")
+  }
 }
