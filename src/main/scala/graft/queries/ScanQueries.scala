@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.engine.Tables._
 
 /** SURVEY.md §2.1 — scans / sources. Column pruning + predicate pushdown
@@ -43,6 +44,47 @@ object ScanQueries extends QSet {
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")
+    }),
+
+    // Ingestion breadth INSIDE the graded set: the dim round-trips
+    // through the csv writer/reader (explicit schema — inference reads
+    // the data twice and can drift types), then aggregates. The oracle
+    // runs the same aggregation on the original parquet: csv is
+    // lossless for these int/string columns, so results must match.
+    "q_source_csv_roundtrip" -> ((s, dir) => {
+      val path = s"/tmp/graft_src_csv_${new java.io.File(dir).getName}"
+      graft.sources.Readers.writeCsv(
+        t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+        path)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      graft.sources.Readers.csv(s, path, Some(schema))
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"),
+          array_join(array_sort(collect_set(col("n_name"))), ",")
+            .as("nations"))
+        .orderBy("n_regionkey")
+    }),
+
+    // Same shape through the json writer/reader; doubles survive JSON
+    // (the writer emits round-trip-safe precision) and the decimal
+    // aggregation discipline applies as everywhere else.
+    "q_source_json_roundtrip" -> ((s, dir) => {
+      val path = s"/tmp/graft_src_json_${new java.io.File(dir).getName}"
+      graft.sources.Readers.writeJson(
+        t(s, dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal"),
+        path)
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType)))
+      graft.sources.Readers.json(s, path, Some(schema))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"),
+          d4(sum(D(col("s_acctbal")))).as("sum_bal"))
+        .orderBy("s_nationkey")
     })
   )
 
@@ -62,6 +104,18 @@ object ScanQueries extends QSet {
 
     "q_source_json_props" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_source_csv_roundtrip" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations,
+        | (SELECT string_agg(nm, ',' ORDER BY nm)
+        |  FROM (SELECT DISTINCT n2.n_name AS nm FROM nation n2
+        |        WHERE n2.n_regionkey = n.n_regionkey)) AS nations
+        |FROM nation n GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q_source_json_roundtrip" ->
+      """SELECT s_nationkey, COUNT(*) AS n_supp,
+        | CAST(CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
   )
 }
