@@ -213,8 +213,11 @@ object ExtQueries extends QSet {
           bit_and(col("o_custkey")).as("keys_and"),
           bit_or(col("o_custkey")).as("keys_or"),
           bit_xor(col("o_custkey")).as("keys_xor"),
-          bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
-          bool_or(col("o_totalprice") > 400000.0).as("any_over_400k"),
+          // 0/1 longs, not booleans — see q_fn_array's comparator note
+          bool_and(col("o_totalprice") > 1000.0).cast("long")
+            .as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000.0).cast("long")
+            .as("any_over_400k"),
           expr("count_if(o_totalprice > 200000.0)").cast("long")
             .as("n_over_200k"))
         .orderBy("o_orderpriority")
@@ -373,8 +376,8 @@ object ExtQueries extends QSet {
         | bit_and(o_custkey) AS keys_and,
         | bit_or(o_custkey) AS keys_or,
         | bit_xor(o_custkey) AS keys_xor,
-        | bool_and(o_totalprice > 1000.0) AS all_over_1k,
-        | bool_or(o_totalprice > 400000.0) AS any_over_400k,
+        | CAST(bool_and(o_totalprice > 1000.0) AS BIGINT) AS all_over_1k,
+        | CAST(bool_or(o_totalprice > 400000.0) AS BIGINT) AS any_over_400k,
         | COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_over_200k
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 

@@ -88,8 +88,10 @@ object FnQueries extends QSet {
           element_at(col("embedding"), 1).cast("double").as("first_elem"),
           element_at(slice(col("embedding"), 2, 3), 1).cast("double")
             .as("slice_first"),
+          // booleans emit as 0/1 longs: the downstream comparator's
+          // bool handling is unproven (no round-1 query emitted one)
           array_contains(col("embedding"), element_at(col("embedding"), 5))
-            .as("has_fifth"),
+            .cast("long").as("has_fifth"),
           size(expr("filter(embedding, x -> x > 0)")).cast("long")
             .as("n_pos"),
           // 64-element sequential fold in DOUBLE: same order on both
@@ -166,7 +168,7 @@ object FnQueries extends QSet {
         | CAST(len(embedding) AS BIGINT) AS dim,
         | CAST(embedding[1] AS DOUBLE) AS first_elem,
         | CAST(embedding[2:4][1] AS DOUBLE) AS slice_first,
-        | list_contains(embedding, embedding[5]) AS has_fifth,
+        | CAST(list_contains(embedding, embedding[5]) AS BIGINT) AS has_fifth,
         | CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
         | round(sqrt(list_sum(list_transform(embedding,
         |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
