@@ -149,6 +149,36 @@ class PlanSpec extends AnyFunSuite {
       o.join(l, col("o_orderkey") === col("l_orderkey")).count())
   }
 
+  test("dim filter dynamically prunes the partitioned fact (DPP)") {
+    import org.apache.spark.sql.functions._
+    val out = "/tmp/graft_dpp_fact"
+    val ev = graft.engine.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts_us")).cast("date"))
+      .select("event_id", "user_id", "value", "day")
+    graft.sources.Readers.writeParquet(ev, out, partitionBy = Seq("day"))
+    // DPP triggers off a FILTER on the dim side of the join — build a
+    // day-dim on disk where only 2 days carry the selective tag
+    val dimPath = "/tmp/graft_dpp_dim"
+    val days = ev.select("day").distinct().orderBy("day").limit(2)
+      .collect().map(_.getDate(0).toString)
+    graft.sources.Readers.writeParquet(
+      ev.select("day").distinct()
+        .withColumn("tag",
+          when(col("day").cast("string").isin(days: _*), "keep")
+            .otherwise("drop")),
+      dimPath)
+    val dim = graft.sources.Readers.parquet(spark, dimPath)
+      .filter(col("tag") === "keep")
+    val fact = graft.sources.Readers.parquet(spark, out)
+    val joined = fact.join(dim, "day")
+    val p = joined.queryExecution.executedPlan.toString
+    // the fact scan must carry a dynamic pruning predicate on day,
+    // so only the dim's partitions are read — not the whole fact
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"), p)
+    val expected = ev.join(dim.select("day"), "day").count()
+    assert(joined.count() == expected)
+  }
+
   test("partitioned parquet write round-trips with partition pruning") {
     import org.apache.spark.sql.functions._
     val out = "/tmp/graft_part_test"
