@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.engine.Tables._
 
 /** SURVEY.md §2.7 — scalar function families. One query per family.
@@ -109,6 +110,24 @@ object FnQueries extends QSet {
         .orderBy("vec_id", "pos")
     }),
 
+    // Nested types as first-class columns: props parses into a real
+    // MapType (not string re-extraction), map ops reduce it to scalars,
+    // and a struct round-trips through pack/extract. Outputs stay
+    // scalar (comparator discipline, A.9).
+    "q_fn_struct_map" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("m",
+          from_json(col("props"), MapType(StringType, LongType)))
+        .select(
+          col("event_id"),
+          size(map_keys(col("m"))).cast("long").as("n_keys"),
+          element_at(col("m"), "k").as("k_val"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
+          struct(col("event_id").as("id"), col("user_id").as("uid"))
+            .getField("uid").as("uid_via_struct"))
+        .orderBy("event_id")
+    }),
+
     "q_fn_json" -> ((s, dir) => {
       events(s, dir)
         .select(col("event_type"),
@@ -181,6 +200,14 @@ object FnQueries extends QSet {
         |  unnest(embedding) AS val
         | FROM embeddings)
         |ORDER BY vec_id, pos""".stripMargin,
+
+    "q_fn_struct_map" ->
+      """SELECT event_id,
+        | CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        | CAST(props->>'$.k' AS BIGINT) AS k_val,
+        | array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+        | struct_pack(id := event_id, uid := user_id).uid AS uid_via_struct
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_fn_json" ->
       """SELECT event_type, COUNT(*) AS cnt,
