@@ -56,26 +56,17 @@ object DedupQueries extends QSet {
         .orderBy("doc_id")
     }),
 
-    "q_dedup_near_ngram" -> ((s, dir) => {
-      // the shingle explode feeds three consumers (both self-join sides
-      // + the size aggregate); persisting computes the tokenize/shingle/
-      // distinct pipeline once instead of per consumer. Bounded: the
-      // shingle set, not the corpus.
-      val sh = shingles(s, dir).persist()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val pairs = sh.select(col("doc_id").as("d1"), col("sh"))
-        .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")),
-          col("sh") === col("sh2") && col("d1") < col("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
-        .withColumn("jaccard",
-          col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
-        .filter(col("jaccard") >= 0.8)
+    "q_dedup_near_ngram" -> ((s, dir) =>
+      ngramPairs(s, dir)
         .select("d1", "d2", "inter", "jaccard")
-        .orderBy("d1", "d2")
-    }),
+        .orderBy("d1", "d2")),
+
+    // Transitive closure of the near-dup pairs: every document maps to
+    // the smallest doc_id reachable through jaccard ≥ 0.8 edges (its
+    // cluster representative) plus the cluster size — the form corpus
+    // dedup actually ships (drop all but one per CLUSTER, not per
+    // pair). Oracled via a DuckDB recursive CTE over the same pairs.
+    "q_dedup_components" -> ((s, dir) => componentReps(s, dir)),
 
     // Non-oracle (implementation-defined signatures): property-tested to
     // cover every pair q_dedup_near_ngram finds at jaccard ≥ 0.9.
@@ -155,6 +146,71 @@ object DedupQueries extends QSet {
       }.toDF("id1", "id2", "cos")
       .orderBy(col("cos").desc, col("id1"), col("id2"))
       .limit(k)
+  }
+
+  /** Exact 3-gram Jaccard ≥ 0.8 near-dup pairs (d1 < d2): the ground
+    * truth the approximate operators are measured against. The shingle
+    * explode feeds three consumers (both self-join sides + the size
+    * aggregate); persisting computes the tokenize/shingle/distinct
+    * pipeline once. Bounded: the shingle set, not the corpus.
+    */
+  def ngramPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    sh.select(col("doc_id").as("d1"), col("sh"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")),
+        col("sh") === col("sh2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** Connected-components clustering over the near-dup pair graph:
+    * iterative min-label propagation — each round every node takes the
+    * minimum of its own label and its neighbours' labels — until the
+    * label sum reaches a fixpoint (labels only decrease, so the sum is
+    * a strictly decreasing convergence witness). Per round this is one
+    * hash join + one aggregate, the standard large-graph CC shape;
+    * rounds ≈ cluster diameter (single digits for dedup graphs).
+    * localCheckpoint truncates the growing lineage each round (swap for
+    * a cluster checkpoint dir in deployment). The driver reads ONE
+    * scalar per round — no row data ever collects.
+    */
+  def componentReps(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramPairs(s, dir).select("d1", "d2")
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .persist()
+    var labels = t(s, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 32) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("b"), col("label")), "b")
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("label")).as("nbr_min"))
+      labels = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      val s2 = labels.agg(sum(col("label"))).head.getLong(0)
+      converged = s2 == prevSum
+      prevSum = s2
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("label").as("rep_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id"), col("label").as("rep_id"))
+      .join(sizes, "rep_id")
+      .select("doc_id", "rep_id", "cluster_size")
+      .orderBy("doc_id")
   }
 
   /** MinHash-LSH candidate pairs (d1 < d2, distinct). Signature h_i =
@@ -318,6 +374,35 @@ object DedupQueries extends QSet {
         |JOIN sizes sb ON sb.doc_id = d2
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
+
+    "q_dedup_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 2),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |good AS (
+        |  SELECT d1, d2 FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM good UNION SELECT d2, d1 FROM good),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |reps AS (SELECT a AS doc_id, MIN(b) AS rep_id FROM reach GROUP BY a),
+        |csize AS (SELECT rep_id, COUNT(*) AS cluster_size FROM reps GROUP BY rep_id)
+        |SELECT r.doc_id, r.rep_id, c.cluster_size
+        |FROM reps r JOIN csize c USING (rep_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH tc AS (

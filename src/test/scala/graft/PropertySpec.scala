@@ -204,6 +204,21 @@ class PropertySpec extends AnyFunSuite {
     assert(joined.filter(col("rev_7d") > col("total") + 1e-4).count() == 0)
   }
 
+  test("components: reps are fixpoints and every near-dup pair shares one") {
+    val reps = SparkEntry.queries("q_dedup_components")(spark, sf)
+      .select("doc_id", "rep_id").as[(Long, Long)].collect().toMap
+    // rep(rep) == rep — exactly the property single-link PAIR dedup
+    // lacks and clustering restores
+    reps.values.foreach(r => assert(reps(r) == r, s"rep $r is not a fixpoint"))
+    // connectivity: both ends of every jaccard ≥ 0.8 edge share a rep
+    val pairs = SparkEntry.queries("q_dedup_near_ngram")(spark, sf)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(reps(a) == reps(b), s"pair ($a,$b) split across clusters") }
+    // minimality: a rep is the smallest id in its cluster
+    reps.foreach { case (d, r) => assert(r <= d) }
+  }
+
   test("pagination: offset page is disjoint from and follows page one") {
     val ordered = Tables.t(spark, sf, "orders")
       .select("o_orderkey", "o_totalprice")
