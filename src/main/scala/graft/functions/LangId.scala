@@ -142,4 +142,58 @@ object LangId {
     sums.select(col(idCol), predLang.as("pred_lang"),
       best.getField("score").as("score"))
   }
+
+  /** [[predict]] with the profile broadcast as a plain hash map and the
+    * scoring done in ONE map-side pass over each document's characters —
+    * no per-occurrence row explode, no join, no shuffle at all. The
+    * profile is topK × #langs rows of bounded dimension metadata (the
+    * same footing as a broadcast join's build side), so collecting it is
+    * scale-safe; the corpus side streams partition-by-partition.
+    * Scores and tiebreaks are bit-identical to [[predict]]: integral
+    * weights summed in long (exact), argmax breaking ties toward the
+    * lexicographically smallest language. Docs matching no profile gram
+    * drop out, exactly like the inner gram join.
+    */
+  def predictBroadcast(docs: DataFrame, idCol: String, textCol: String,
+      profiles: DataFrame, langsHint: Seq[String] = Nil): DataFrame = {
+    val langs: Seq[String] =
+      (if (langsHint.nonEmpty) langsHint
+       else profiles.select("lang").distinct()
+         .collect().map(_.getString(0)).toSeq).sorted
+    val idx = langs.zipWithIndex.toMap
+    val m = new java.util.HashMap[String, Array[Long]]()
+    profiles.select("gram", "lang", "weight").collect().foreach { r =>
+      val arr = m.computeIfAbsent(r.getString(0),
+        _ => new Array[Long](langs.length))
+      arr(idx(r.getString(1))) = r.getDouble(2).toLong
+    }
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast((m, langs.toArray))
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val (grams, ls) = bc.value
+        it.flatMap { case (id, text) =>
+          val scores = new Array[Long](ls.length)
+          var matched = false
+          var i = 0
+          while (i + 3 <= text.length) {
+            val w = grams.get(text.substring(i, i + 3))
+            if (w != null) {
+              matched = true
+              var j = 0
+              while (j < ls.length) { scores(j) += w(j); j += 1 }
+            }
+            i += 1
+          }
+          if (!matched) Iterator.empty
+          else {
+            var bi = 0
+            var j = 1
+            while (j < ls.length) { if (scores(j) > scores(bi)) bi = j; j += 1 }
+            Iterator.single((id, ls(bi), scores(bi).toDouble))
+          }
+        }
+      }.toDF(idCol, "pred_lang", "score")
+  }
 }

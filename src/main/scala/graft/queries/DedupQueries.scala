@@ -180,35 +180,46 @@ object DedupQueries extends QSet {
     * scalar per round — no row data ever collects.
     */
   def componentReps(s: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramPairs(s, dir).select("d1", "d2")
+    // persist the pair list: verts + both edge directions + the
+    // self-loop branch otherwise each re-run the shingle self-join.
+    val pairs = ngramPairs(s, dir).select("d1", "d2").persist()
+    // Iterate ONLY over edge-endpoint vertices: isolated documents are
+    // their own singleton cluster by definition and re-labelling them
+    // every round would make each iteration corpus-sized instead of
+    // dup-graph-sized (the dup graph is orders of magnitude smaller at
+    // any scale where dedup is worth running). Self-loops (v, v) fold
+    // the "keep your own label" case into the same join+agg — one
+    // hash join + one aggregate per round, no left-join realignment.
+    val verts = pairs.select(col("d1").as("v"))
+      .unionAll(pairs.select(col("d2").as("v"))).distinct()
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .unionAll(verts.select(col("v").as("a"), col("v").as("b")))
       .persist()
-    var labels = t(s, dir, "documents")
-      .select(col("doc_id"), col("doc_id").as("label"))
+    var labels = verts.select(col("v").as("doc_id"), col("v").as("label"))
       .localCheckpoint(true)
     var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 32) {
-      val nbrMin = edges
+      labels = edges
         .join(labels.select(col("doc_id").as("b"), col("label")), "b")
         .groupBy(col("a").as("doc_id"))
-        .agg(min(col("label")).as("nbr_min"))
-      labels = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"))
+        .agg(min(col("label")).as("label"))
         .localCheckpoint(true)
       val s2 = labels.agg(sum(col("label"))).head.getLong(0)
       converged = s2 == prevSum
       prevSum = s2
       rounds += 1
     }
-    val sizes = labels.groupBy(col("label").as("rep_id"))
+    // Attach singleton documents (never in any pair) as their own reps.
+    val all = t(s, dir, "documents").select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("rep_id"))
+    val sizes = all.groupBy(col("rep_id"))
       .agg(count(lit(1)).as("cluster_size"))
-    labels.select(col("doc_id"), col("label").as("rep_id"))
-      .join(sizes, "rep_id")
+    all.join(sizes, "rep_id")
       .select("doc_id", "rep_id", "cluster_size")
       .orderBy("doc_id")
   }

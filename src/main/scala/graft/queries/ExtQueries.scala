@@ -248,8 +248,11 @@ object ExtQueries extends QSet {
     "q_dedup_norm_key" -> ((s, dir) => {
       val w = Window.partitionBy(col("lang"), col("norm_key"))
         .orderBy(col("doc_id"))
+      // project BEFORE the window: otherwise the full text column rides
+      // through both window exchanges (the key is its first 20 chars).
       t(s, dir, "documents")
-        .withColumn("norm_key", substring(lower(trim(col("text"))), 1, 20))
+        .select(col("doc_id"), col("lang"),
+          substring(lower(trim(col("text"))), 1, 20).as("norm_key"))
         .withColumn("rn", row_number().over(w))
         .withColumn("group_size", count(lit(1)).over(
           Window.partitionBy(col("lang"), col("norm_key"))))

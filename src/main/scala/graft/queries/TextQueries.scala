@@ -89,7 +89,7 @@ object TextQueries extends QSet {
         .collect().map(_.getString(0)).toSeq
       val prof = graft.functions.LangId.buildProfiles(docs, "text", "lang")
       val pred = graft.functions.LangId
-        .predict(docs, "doc_id", "text", prof, langs)
+        .predictBroadcast(docs, "doc_id", "text", prof, langs)
       docs.select(col("doc_id"), col("lang"))
         .join(pred, "doc_id")
         .select(col("doc_id"), col("lang"), col("pred_lang"),
