@@ -87,6 +87,63 @@ object MiscQueries extends QSet {
         .orderBy("media_id")
     }),
 
+    "q_merge_upsert" -> ((s, dir) => {
+      // CDC-style SCD-1 merge: the latest order per customer acts as
+      // the changelog and upserts onto the customer dim. Classified
+      // MERGE actions (insert = changelog key missing from the dim /
+      // update = both / keep = dim only) with coalesced values — the
+      // full-outer-join formulation every warehouse merge lowers to.
+      // One shuffle for the dedup window + one join, both on custkey;
+      // at 100 TB both co-partition on the merge key (AQE handles the
+      // changelog being much smaller than the dim).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val latest = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+        .join(latest, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          when(col("c_custkey").isNull, "insert")
+            .when(col("o_custkey").isNull, "keep")
+            .otherwise("update").as("action"),
+          col("c_acctbal").as("old_bal"),
+          coalesce(col("o_totalprice"), col("c_acctbal")).as("new_val"),
+          col("o_orderdate").cast("date").as("last_date"))
+        .orderBy("custkey")
+    }),
+
+    "q_agg_histogram" -> ((s, dir) => {
+      // fixed-width histogram: bucket index from one double division +
+      // floor (identical IEEE on both engines), min/max carry raw
+      // column values — no aggregation-order hazard anywhere.
+      t(s, dir, "orders")
+        .select(floor(col("o_totalprice") / 50000.0).cast("long")
+          .as("bucket"), col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("bucket")
+    }),
+
+    "q_sample_stratified" -> ((s, dir) => {
+      // per-stratum deterministic sampling: ~50% of English docs, ~6%
+      // of every other language — the class-rebalancing shape training
+      // pipelines use. Same md5-over-key selection as q_sample_hash,
+      // with the rate keyed by the stratum column.
+      val hex1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      t(s, dir, "documents")
+        .filter(when(col("lang") === "en", hex1 < "8")
+          .otherwise(hex1 === "0"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     "q_sample_hash" -> ((s, dir) => {
       // deterministic ~1/16 sample: first hex digit of md5 over the key
       // triple — reproducible, partition-count-independent, and
@@ -136,6 +193,34 @@ object MiscQueries extends QSet {
         | COALESCE(sum_val, 0.0) AS sum_val
         |FROM spine LEFT JOIN daily ON spine.day = daily.day
         |ORDER BY spine.day""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH latest AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        |  FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) = 1)
+        |SELECT COALESCE(c.c_custkey, l.o_custkey) AS custkey,
+        |  CASE WHEN c.c_custkey IS NULL THEN 'insert'
+        |       WHEN l.o_custkey IS NULL THEN 'keep'
+        |       ELSE 'update' END AS action,
+        |  c.c_acctbal AS old_bal,
+        |  COALESCE(l.o_totalprice, c.c_acctbal) AS new_val,
+        |  CAST(l.o_orderdate AS DATE) AS last_date
+        |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_agg_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        | COUNT(*) AS cnt, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CASE WHEN lang = 'en'
+        |  THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+        |  ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' END
+        |ORDER BY doc_id""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity FROM lineitem

@@ -68,6 +68,23 @@ object ScanQueries extends QSet {
         .orderBy("n_regionkey")
     }),
 
+    // Columnar-to-columnar round-trip through the ORC writer/reader —
+    // ORC is self-describing (schema from footers, no explicit schema
+    // needed) and lossless for every Spark type here, so the aggregate
+    // over the round-tripped copy must equal the parquet original.
+    "q_source_orc_roundtrip" -> ((s, dir) => {
+      val path = s"/tmp/graft_src_orc_${new java.io.File(dir).getName}"
+      graft.sources.Readers.writeOrc(
+        t(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"),
+        path)
+      graft.sources.Readers.orc(s, path)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          d4(sum(D(col("c_acctbal")))).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Same shape through the json writer/reader; doubles survive JSON
     // (the writer emits round-trip-safe precision) and the decimal
     // aggregation discipline applies as everywhere else.
@@ -112,6 +129,11 @@ object ScanQueries extends QSet {
         |  FROM (SELECT DISTINCT n2.n_name AS nm FROM nation n2
         |        WHERE n2.n_regionkey = n.n_regionkey)) AS nations
         |FROM nation n GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q_source_orc_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        | CAST(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_source_json_roundtrip" ->
       """SELECT s_nationkey, COUNT(*) AS n_supp,

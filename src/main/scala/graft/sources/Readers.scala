@@ -29,6 +29,12 @@ object Readers {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC reader — the other self-describing columnar at-rest format the
+    * ingestion surface supports (schema from file footers, splittable,
+    * predicate pushdown like parquet). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def writeCsv(df: DataFrame, path: String,
       partitionBy: Seq[String] = Nil): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true")
@@ -37,6 +43,10 @@ object Readers {
   def writeJson(df: DataFrame, path: String,
       partitionBy: Seq[String] = Nil): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).json(path)
+
+  def writeOrc(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).orc(path)
 
   /** Date/key-partitioned parquet — the 100 TB at-rest layout (partition
     * pruning + DPP need partitioned writes, SURVEY.md §4.1). */

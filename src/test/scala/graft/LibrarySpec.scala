@@ -242,4 +242,53 @@ class LibrarySpec extends AnyFunSuite {
         s"$k: est ${est(k)} vs exact $n")
     }
   }
+
+  test("merge upsert: actions partition the key space exactly") {
+    val out = graft.SparkEntry.queries("q_merge_upsert")(spark, sf)
+      .groupBy("action").count()
+      .as[(String, Long)].collect().toMap
+    val nCust = Tables.t(spark, sf, "customer").count()
+    val orderKeys = Tables.t(spark, sf, "orders")
+      .select("o_custkey").distinct()
+    val custKeys = Tables.t(spark, sf, "customer").select("c_custkey")
+    val inserts = orderKeys.join(custKeys,
+      col("o_custkey") === col("c_custkey"), "left_anti").count()
+    // every customer lands in exactly one of update/keep; inserts are
+    // exactly the changelog keys missing from the dim.
+    assert(out.getOrElse("update", 0L) + out.getOrElse("keep", 0L) == nCust)
+    assert(out.getOrElse("insert", 0L) == inserts)
+  }
+
+  test("stratified sample: per-stratum rates land near their targets") {
+    val docs = Tables.t(spark, sf, "documents")
+    val total = docs.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    val kept = graft.SparkEntry.queries("q_sample_stratified")(spark, sf)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val enRate = kept.getOrElse("en", 0L).toDouble / total("en")
+    assert(enRate > 0.3 && enRate < 0.7, s"en rate $enRate")
+    (total.keySet - "en").foreach { l =>
+      val r = kept.getOrElse(l, 0L).toDouble / total(l)
+      assert(r < 0.25, s"$l rate $r")
+    }
+  }
+
+  test("histogram: buckets tile the domain and counts sum to the total") {
+    val rows = graft.SparkEntry.queries("q_agg_histogram")(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.map(_._2).sum == Tables.t(spark, sf, "orders").count())
+    rows.foreach { case (b, _, lo, hi) =>
+      assert(lo >= b * 50000.0 && hi < (b + 1) * 50000.0, s"bucket $b [$lo,$hi]")
+    }
+  }
+
+  test("orc round-trip preserves rows and schema") {
+    val cust = Tables.t(spark, sf, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    Readers.writeOrc(cust, "/tmp/graft_rt_orc")
+    val back = Readers.orc(spark, "/tmp/graft_rt_orc")
+    assert(back.schema == cust.schema)
+    assert(back.collect().map(_.toString).sorted.toSeq ==
+      cust.collect().map(_.toString).sorted.toSeq)
+  }
 }
