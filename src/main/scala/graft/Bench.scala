@@ -18,7 +18,13 @@ object Bench {
     // ~4s of JIT and session warmup that no steady-state run would see)
     try SparkEntry.queries("q_agg_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args = bench only the named queries (dev loop; the
+    // driver invokes with no args and times the full set)
+    val wanted = args.toSet
+    val selected =
+      if (wanted.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => wanted(k) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

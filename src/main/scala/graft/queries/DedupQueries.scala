@@ -157,12 +157,19 @@ object DedupQueries extends QSet {
   def ngramPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    sh.select(col("doc_id").as("d1"), col("sh"))
-      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")),
-        col("sh") === col("sh2") && col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+    // Attach each doc's shingle-set size BEFORE the self-join (sizes is
+    // one tiny row per doc — a broadcast), so (a) the Jaccard length
+    // bound prunes inside the join condition: jaccard ≤ min(sz)/max(sz),
+    // so ≥ 0.8 needs 5·min ≥ 4·max — mismatched-size pairs never reach
+    // the counting aggregate; and (b) the two post-aggregation size
+    // joins disappear (sz1/sz2 ride the groupBy keys).
+    val shs = sh.join(broadcast(sizes), "doc_id")
+    shs.select(col("doc_id").as("d1"), col("sh"), col("sz").as("sz1"))
+      .join(shs.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+        col("sz").as("sz2")),
+        col("sh") === col("sh2") && col("d1") < col("d2") &&
+          col("sz1") * 5 >= col("sz2") * 4 && col("sz2") * 5 >= col("sz1") * 4)
+      .groupBy("d1", "d2", "sz1", "sz2").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= 0.8)
