@@ -22,7 +22,8 @@ object SparkEntry {
     UdfQueries,
     StreamQueries,
     MiscQueries,
-    ExtQueries
+    ExtQueries,
+    AuditQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
