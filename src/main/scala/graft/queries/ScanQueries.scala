@@ -102,6 +102,32 @@ object ScanQueries extends QSet {
         .agg(count(lit(1)).as("n_supp"),
           d4(sum(D(col("s_acctbal")))).as("sum_bal"))
         .orderBy("s_nationkey")
+    }),
+
+    "q_source_json_corrupt" -> ((s, dir) => {
+      // corrupt-tolerant ingest: supplier serialized to JSON lines with
+      // three malformed lines injected, read back PERMISSIVE — good rows
+      // parse (and must aggregate identically to the parquet original),
+      // bad lines land in the quarantine column instead of failing the
+      // read. Oracle knows n_corrupt = the 3 injected literals.
+      import s.implicits._
+      val path =
+        s"/tmp/graft_src_json_corrupt_${new java.io.File(dir).getName}"
+      val good = t(s, dir, "supplier")
+        .select(to_json(struct(col("s_suppkey"), col("s_nationkey"),
+          col("s_acctbal"))).as("value"))
+      val bad = Seq("{\"s_suppkey\": oops", "[unterminated",
+        "not json at all").toDF("value")
+      good.unionAll(bad).write.mode("overwrite").text(path)
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType)))
+      graft.sources.Readers.jsonTolerant(s, path, schema)
+        .agg(count(col("s_suppkey")).as("n_good"),
+          count(col("_corrupt")).as("n_corrupt"),
+          d4(sum(D(col("s_acctbal")))).as("sum_bal"))
+        .orderBy("n_good")
     })
   )
 
@@ -138,6 +164,12 @@ object ScanQueries extends QSet {
     "q_source_json_roundtrip" ->
       """SELECT s_nationkey, COUNT(*) AS n_supp,
         | CAST(CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS sum_bal
-        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q_source_json_corrupt" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+        | CAST(3 AS BIGINT) AS n_corrupt,
+        | CAST(CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS sum_bal
+        |FROM supplier ORDER BY n_good""".stripMargin
   )
 }

@@ -35,8 +35,31 @@ object StreamQueries extends QSet {
     "q_stream_join_dim" -> ((s, dir) => {
       StreamTransforms.joinDim(events(s, dir), t(s, dir, "customer"))
         .orderBy("tier")
+    }),
+
+    "q_cdc_apply" -> ((s, dir) => {
+      // CDC apply (last-writer-wins + tombstones): orders act as the
+      // changelog — each row upserts its customer's balance unless the
+      // status marks a delete; final state keeps only keys whose latest
+      // entry is live. Streaming twin: cdcApplyStream (foreachBatch
+      // merge into parquet state), asserted equal in StreamingSpec.
+      StreamTransforms.cdcApply(ordersChangelog(s, dir))
+        .select(col("key"), col("value").as("val"),
+          col("ver").cast("date").as("as_of"))
+        .orderBy("key")
     })
   )
+
+  /** orders as a CDC changelog: versioned by (o_orderdate, o_orderkey);
+    * 'F' status rows are delete tombstones, everything else upserts. */
+  def ordersChangelog(s: org.apache.spark.sql.SparkSession, dir: String):
+      org.apache.spark.sql.DataFrame =
+    t(s, dir, "orders").select(
+      col("o_custkey").as("key"),
+      col("o_totalprice").as("value"),
+      col("o_orderdate").as("ver"),
+      col("o_orderkey").as("seq"),
+      when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"))
 
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling" ->
@@ -87,6 +110,16 @@ object StreamQueries extends QSet {
         |       WHEN c_acctbal < 5000 THEN 'standard'
         |       ELSE 'premium' END AS tier FROM customer) c
         | ON user_id = c_custkey
-        |GROUP BY tier ORDER BY tier""".stripMargin
+        |GROUP BY tier ORDER BY tier""".stripMargin,
+
+    "q_cdc_apply" ->
+      """SELECT key, val, as_of FROM (
+        |  SELECT o_custkey AS key, o_totalprice AS val,
+        |   CAST(o_orderdate AS DATE) AS as_of, o_orderstatus AS st,
+        |   row_number() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 AND st != 'F'
+        |ORDER BY key""".stripMargin
   )
 }

@@ -26,6 +26,23 @@ object Readers {
     schema.fold(base)(base.schema).json(path)
   }
 
+  /** Corrupt-tolerant JSON reader: PERMISSIVE parse; a malformed line
+    * lands whole in the `_corrupt` string column (its data columns
+    * null) instead of failing the job — the 100 TB posture, where a
+    * 10^11-line crawl WILL contain bad records and one of them must not
+    * kill a 1000-executor stage. Callers split the quarantine off on
+    * `_corrupt IS NOT NULL` and keep ingesting. Spark disallows plans
+    * that reference ONLY the corrupt column — always select data
+    * columns alongside it.
+    */
+  def jsonTolerant(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

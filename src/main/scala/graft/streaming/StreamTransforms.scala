@@ -116,6 +116,56 @@ object StreamTransforms {
       .select("id1", "id2", "user_id", "ts1", "ts2")
   }
 
+  /** Last-writer-wins compaction of a CDC changelog (columns: key,
+    * value, ver, seq, op ∈ {U, D}): one row per key — the (ver, seq)-
+    * greatest — delete tombstones retained. Compaction is commutative
+    * and associative over row batches, so any micro-batch chunking of
+    * the log converges to the same state; one shuffle on the merge key
+    * (at 100 TB the state table and each batch co-partition on it).
+    */
+  def cdcCompact(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ver").desc, col("seq").desc)
+    changelog.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** CDC apply: final table state = compacted changelog minus delete
+    * tombstones (a key whose latest entry is a delete is absent). */
+  def cdcApply(changelog: DataFrame): DataFrame =
+    cdcCompact(changelog).filter(col("op") =!= "D")
+
+  /** Streaming CDC apply via foreachBatch: every micro-batch merges
+    * into the parquet state at `targetPath` — read current state, union
+    * the batch, re-compact, write to a side dir, atomically swap. State
+    * stays key-compacted INCLUDING tombstones, so late rows in later
+    * batches resolve exactly as a batch [[cdcApply]] over the full log
+    * would (an out-of-order update older than a stored delete cannot
+    * resurrect the key). Readers take live rows with `op != 'D'`.
+    * In production the same merge function runs inside foreachBatch
+    * against a MERGE-capable table format; the dir-swap keeps the local
+    * twin dependency-free.
+    */
+  def cdcApplyStream(changelog: DataFrame, targetPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changelog.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val target = new org.apache.hadoop.fs.Path(targetPath)
+        val fs = target.getFileSystem(conf)
+        val cur =
+          if (fs.exists(target)) spark.read.parquet(targetPath).unionByName(batch.toDF)
+          else batch.toDF
+        val tmp = new org.apache.hadoop.fs.Path(targetPath + "_staging")
+        // materialize the merge BEFORE touching the live state dir
+        cdcCompact(cur).write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(target, true)
+        fs.rename(tmp, target)
+      }
+      .start()
+
   /** Stream ⋈ static dim: events joined to a customer-derived tier. */
   def joinDim(ev: DataFrame, customer: DataFrame): DataFrame =
     ev.join(customer.select(col("c_custkey"),
