@@ -19,8 +19,17 @@ object Bench {
     try SparkEntry.queries("q_agg_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
     // optional args = bench only the named queries (dev loop; the
-    // driver invokes with no args and times the full set)
+    // driver invokes with no args and times the full set). Unknown
+    // names fail loudly: a typo'd filter silently benching nothing
+    // prints a misleading total: 0.0 otherwise.
     val wanted = args.toSet
+    val unknown = wanted -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"Bench: unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     val selected =
       if (wanted.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => wanted(k) }

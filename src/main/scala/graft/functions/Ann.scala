@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   * sharing any table's bucket — an equi-join on (table, bucket), never
   * all-pairs — then exact cosine re-ranks candidates only. Planes are
   * derived from a FIXED seed (deterministic across runs, SURVEY.md A.6).
+  *
+  * Nothing here collects the vector table to the driver: candidate
+  * generation carries ids only, and exact re-rank scores the skinny
+  * pair list by joining ids back to the (id, vector, norm) frame — a
+  * broadcast hash join while the table is small, a shuffled join at
+  * scale, but never a driver-memory wall.
   */
 object Ann {
 
@@ -22,6 +28,34 @@ object Ann {
     val rnd = new scala.util.Random(seed)
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
+
+  /** (id, e, nrm): the vector frame with its L2 norm computed once, by
+    * the codegen'd native dot product — the frame every scoring join
+    * reattaches vectors from.
+    */
+  private def withNorm(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("e"),
+      Native.l2NormF(col(vecCol)).as("nrm"))
+
+  /** Exact-cosine scoring of a skinny (id1, id2) candidate list: two
+    * equi-joins back to `vn` reattach (vector, norm) per side — the
+    * wide arrays never ride the candidate dedup shuffle (measured: wide
+    * embeddings through the bucket join cost ~10s at sf0.1), and the
+    * corpus never collects to the driver. Cosine folds in array order
+    * in DOUBLE (identical to the brute-force baseline and the DuckDB
+    * oracle fold) and rounds HALF_UP at 4dp before ranking so every
+    * engine ranks identical values.
+    */
+  private def scorePairs(cand: DataFrame, vn: DataFrame): DataFrame =
+    cand
+      .join(vn.select(col("id").as("id1"), col("e").as("e1"),
+        col("nrm").as("n1")), "id1")
+      .join(vn.select(col("id").as("id2"), col("e").as("e2"),
+        col("nrm").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(Native.dotF(col("e1"), col("e2")) /
+          (col("n1") * col("n2")), 4).as("cos"))
 
   /** Approximate top-k neighbour pairs by cosine: (id1, id2, cos),
     * global top-k over candidate pairs (compare to the exact brute-force
@@ -45,25 +79,10 @@ object Ann {
         sig
       }
     })
-    // Candidate generation carries ONLY (id, table, bucket) — never the
-    // vectors: the bucket equi-join multiplies rows ×tables, and wide
-    // embedding arrays through that join + the dedup shuffle dominate
-    // runtime (measured 12s at sf0.1). The deduped skinny pair list is
-    // then scored against a broadcast (vector, norm) map in a primitive
-    // per-partition loop — same pattern as the exact brute-force top-k.
-    // Rounding is HALF_UP at 4dp via floor(|x|·1e4 + 0.5) (BigDecimal
-    // per pair measured ~3× slower over ~1M candidates).
-    import org.apache.spark.sql.SparkSession
-    val spark = df.sparkSession
-    import spark.implicits._
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("e"))
-    val dimMap = vecs.as[(Long, Array[Float])].collect().map { case (id, e) =>
-      var acc = 0.0; var i = 0
-      while (i < e.length) { acc += e(i).toDouble * e(i).toDouble; i += 1 }
-      (id, (e, math.sqrt(acc)))
-    }.toMap
-    val bc = spark.sparkContext.broadcast(dimMap)
-    val sigs = vecs
+    // one pass computes norms + signatures; persisted because the
+    // scoring joins re-read it (twice) after the candidate shuffle
+    val vn = withNorm(df, idCol, vecCol).persist()
+    val sigs = vn
       .select(col("id"), posexplode(sigUdf(col("e"))).as(Seq("tbl", "sig")))
     val cand = sigs.select(col("id").as("id1"), col("tbl"), col("sig"))
       .join(sigs.select(col("id").as("id2"), col("tbl").as("tbl2"),
@@ -72,18 +91,7 @@ object Ann {
           col("id1") < col("id2"))
       .select("id1", "id2")
       .dropDuplicates("id1", "id2")
-    cand.as[(Long, Long)].mapPartitions { it =>
-      val m = bc.value
-      it.map { case (id1, id2) =>
-        val (e1, n1) = m(id1); val (e2, n2) = m(id2)
-        var dot = 0.0; var i = 0
-        while (i < e1.length) { dot += e1(i).toDouble * e2(i).toDouble; i += 1 }
-        val c = dot / (n1 * n2)
-        val r = if (c >= 0) math.floor(c * 1e4 + 0.5) / 1e4
-                else -math.floor(-c * 1e4 + 0.5) / 1e4
-        (id1, id2, r)
-      }
-    }.toDF("id1", "id2", "cos")
+    scorePairs(cand, vn)
       .orderBy(col("cos").desc, col("id1"), col("id2"))
       .limit(k)
   }
@@ -98,39 +106,32 @@ object Ann {
     * Determinism (SURVEY.md A.6): the coarse quantizer is NOT k-means
     * (iterative, init-sensitive) but a fixed data-driven sample —
     * centroids are the `nCentroids` vectors with the smallest
-    * byteswap64(id) mix, reproducible on any run/partitioning.
+    * byteswap64(id) mix, reproducible on any run/partitioning. The pick
+    * is a distributed TakeOrdered over the mix column; only the
+    * nCentroids centroid rows themselves reach the driver (they must —
+    * every executor needs all of them — and they are few by
+    * construction).
     */
   def ivfCosineTopK(df: DataFrame, idCol: String, vecCol: String,
       k: Int, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.SparkSession
     val spark = df.sparkSession
     import spark.implicits._
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("e"))
-      .as[(Long, Array[Float])]
-    val all = vecs.collect()
-    val dimMap = all.map { case (id, e) =>
-      var acc = 0.0; var i = 0
-      while (i < e.length) { acc += e(i).toDouble * e(i).toDouble; i += 1 }
-      (id, (e, math.sqrt(acc)))
-    }.toMap
-    val bc = spark.sparkContext.broadcast(dimMap)
-    val centroids = all
-      .sortBy { case (id, _) => scala.util.hashing.byteswap64(id) }
-      .take(nCentroids)
-      .map { case (id, e) =>
-        var acc = 0.0; var i = 0
-        while (i < e.length) { acc += e(i).toDouble * e(i).toDouble; i += 1 }
-        (id, e, math.sqrt(acc))
-      }
+    val vn = withNorm(df, idCol, vecCol).persist()
+    val mixUdf = udf((id: Long) => scala.util.hashing.byteswap64(id))
+    val centroids = vn
+      .withColumn("mix", mixUdf(col("id")))
+      .orderBy("mix")
+      .limit(nCentroids)
+      .select("id", "e", "nrm")
+      .as[(Long, Array[Float], Double)]
+      .collect()
     val bcC = spark.sparkContext.broadcast(centroids)
     // assignment: nprobe nearest cells per vector (cos desc, cell asc)
-    val assigned = vecs.repartition(spark.sparkContext.defaultParallelism)
+    val assigned = vn.select(col("id"), col("e"), col("nrm"))
+      .as[(Long, Array[Float], Double)]
       .mapPartitions { it =>
         val cs = bcC.value
-        it.flatMap { case (id, e) =>
-          var n1 = 0.0; var i = 0
-          while (i < e.length) { n1 += e(i).toDouble * e(i).toDouble; i += 1 }
-          n1 = math.sqrt(n1)
+        it.flatMap { case (id, e, n1) =>
           cs.map { case (cid, ce, cn) =>
             var dot = 0.0; var j = 0
             while (j < e.length) { dot += e(j).toDouble * ce(j).toDouble; j += 1 }
@@ -145,18 +146,7 @@ object Ann {
         col("cell") === col("cell2") && col("id1") < col("id2"))
       .select("id1", "id2")
       .dropDuplicates("id1", "id2")
-    cand.as[(Long, Long)].mapPartitions { it =>
-      val m = bc.value
-      it.map { case (id1, id2) =>
-        val (e1, n1) = m(id1); val (e2, n2) = m(id2)
-        var dot = 0.0; var i = 0
-        while (i < e1.length) { dot += e1(i).toDouble * e2(i).toDouble; i += 1 }
-        val c = dot / (n1 * n2)
-        val r = if (c >= 0) math.floor(c * 1e4 + 0.5) / 1e4
-                else -math.floor(-c * 1e4 + 0.5) / 1e4
-        (id1, id2, r)
-      }
-    }.toDF("id1", "id2", "cos")
+    scorePairs(cand, vn)
       .orderBy(col("cos").desc, col("id1"), col("id2"))
       .limit(k)
   }

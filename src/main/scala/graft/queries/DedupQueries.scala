@@ -92,58 +92,31 @@ object DedupQueries extends QSet {
         t(s, dir, "embeddings"), "vec_id", "embedding", 10))
   )
 
-  /** Brute-force cosine top-k as broadcast-one-side + stream-the-other:
-    * the vector table (the "dim" side) is broadcast with precomputed
-    * norms, each partition computes its rows' pairs in a JIT'd primitive
-    * loop, and TakeOrdered picks the global top-k — a per-partition
-    * top-k merge, never a full sort. Dot products fold elements in array
-    * order in double, exactly like the oracle's list_sum fold, and cos
-    * rounds HALF_UP to 4dp before ranking (id tiebreaks) so both engines
-    * rank identical values. At 100 TB the broadcast side must be the
-    * smaller table; beyond broadcast size use the LSH-bucketed variant
-    * (same minhash banding machinery as [[minhashCandidates]]).
+  /** Brute-force cosine top-k, declared as a self-join: norms are
+    * computed once per vector by the codegen'd native dot product, the
+    * id1 < id2 pair space is a nested-loop join Spark executes as
+    * broadcast-nested-loop while one side is small and as a distributed
+    * cartesian beyond broadcast size (never a driver-side collect
+    * either way), and TakeOrdered picks the global top-k — a
+    * per-partition top-k merge, never a full sort. Dot products fold
+    * elements in array order in double, exactly like the oracle's
+    * list_sum fold, and cos rounds HALF_UP to 4dp before ranking (id
+    * tiebreaks) so both engines rank identical values. Brute force is
+    * inherently O(n²) — at 100 TB use the LSH/IVF variants in
+    * [[graft.functions.Ann]] and keep this as the verification path.
     */
   def cosineTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
-    import s.implicits._
-    val v = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    def norm(e: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < e.length) { acc += e(i).toDouble * e(i).toDouble; i += 1 }
-      math.sqrt(acc)
-    }
-    val dim = v.collect().sortBy(_._1).map { case (id, e) => (id, e, norm(e)) }
-    val bc = s.sparkContext.broadcast(dim)
-    // worst-first ordering so the heap head is the eviction candidate
-    val worstFirst: Ordering[(Long, Long, Double)] =
-      (a, b) => {
-        val c = java.lang.Double.compare(b._3, a._3) // lower cos = worse
-        if (c != 0) c
-        else {
-          val c1 = java.lang.Long.compare(a._1, b._1) // higher id1 = worse
-          if (c1 != 0) c1 else java.lang.Long.compare(a._2, b._2)
-        }
-      }
-    v.repartition(s.sparkContext.defaultParallelism)
-      .mapPartitions { it =>
-        val vs = bc.value
-        val heap = scala.collection.mutable.PriorityQueue.empty(worstFirst)
-        it.foreach { case (id1, e1) =>
-          val n1 = norm(e1)
-          vs.foreach { case (id2, e2, n2) =>
-            if (id2 > id1) {
-              var acc = 0.0; var i = 0
-              while (i < e1.length) { acc += e1(i).toDouble * e2(i).toDouble; i += 1 }
-              // HALF_UP at 4dp — Spark round()'s semantics.
-              val cos = BigDecimal(acc / (n1 * n2))
-                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-              heap.enqueue((id1, id2, cos))
-              if (heap.size > k) heap.dequeue()
-            }
-          }
-        }
-        heap.iterator
-      }.toDF("id1", "id2", "cos")
+    val vn = t(s, dir, "embeddings").select(
+      col("vec_id"), col("embedding"),
+      graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
+    vn.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+        col("nrm").as("n1"))
+      .join(vn.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+        col("nrm").as("n2")),
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(graft.functions.Native.dotF(col("e1"), col("e2")) /
+          (col("n1") * col("n2")), 4).as("cos"))
       .orderBy(col("cos").desc, col("id1"), col("id2"))
       .limit(k)
   }
@@ -321,39 +294,27 @@ object DedupQueries extends QSet {
 
   /** Embedding-cosine near-dup: each vector's representative is the
     * lowest-id earlier vector with rounded cosine ≥ tau (itself if
-    * none). Same broadcast + per-partition primitive loop as
-    * [[cosineTopK]] — the small side is broadcast with precomputed
-    * norms and each partition streams its rows; at 100 TB swap the
-    * broadcast candidate generator for the LSH banding in
-    * [[graft.functions.Ann]] and keep the verify/representative stages
+    * none). Declared as a self-join with the threshold INSIDE the join
+    * condition — only true near-dup pairs survive the join, and Spark
+    * picks broadcast-nested-loop while one side is small, distributed
+    * cartesian beyond that (no driver-side collect either way). At
+    * 100 TB swap this candidate generator for the LSH banding in
+    * [[graft.functions.Ann]] and keep the representative stage
     * unchanged. Cosine rounds HALF_UP to 4dp BEFORE thresholding so
     * both engines make identical keep/drop decisions.
     */
   def embeddingDedup(s: SparkSession, dir: String, tau: Double): DataFrame = {
-    import s.implicits._
-    val v = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    def norm(e: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < e.length) { acc += e(i).toDouble * e(i).toDouble; i += 1 }
-      math.sqrt(acc)
-    }
-    val dim = v.collect().sortBy(_._1).map { case (id, e) => (id, e, norm(e)) }
-    val bc = s.sparkContext.broadcast(dim)
-    val pairs = v.repartition(s.sparkContext.defaultParallelism)
-      .mapPartitions { it =>
-        val vs = bc.value
-        it.flatMap { case (id1, e1) =>
-          val n1 = norm(e1)
-          vs.iterator.takeWhile(_._1 < id1).flatMap { case (id2, e2, n2) =>
-            var acc = 0.0; var i = 0
-            while (i < e1.length) { acc += e1(i).toDouble * e2(i).toDouble; i += 1 }
-            val cos = BigDecimal(acc / (n1 * n2))
-              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (cos >= tau) Iterator.single((id1, id2)) else Iterator.empty
-          }
-        }
-      }.toDF("vid", "nbr")
+    val vn = t(s, dir, "embeddings").select(
+      col("vec_id"), col("embedding"),
+      graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
+    val pairs = vn.select(col("vec_id").as("vid"), col("embedding").as("e1"),
+        col("nrm").as("n1"))
+      .join(vn.select(col("vec_id").as("nbr"), col("embedding").as("e2"),
+        col("nrm").as("n2")),
+        col("nbr") < col("vid") &&
+          round(graft.functions.Native.dotF(col("e1"), col("e2")) /
+            (col("n1") * col("n2")), 4) >= tau)
+      .select("vid", "nbr")
     val rep = pairs.groupBy("vid").agg(min(col("nbr")).as("rep"))
     t(s, dir, "embeddings").select(col("vec_id"))
       .join(rep, col("vec_id") === col("vid"), "left").drop("vid")

@@ -42,7 +42,7 @@ object JoinQueries extends QSet {
           col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")),
           col("n_regionkey") === col("r_regionkey"))
-        .filter(col("r_name") === "REGION_0")
+        .filter(col("r_name") === "ASIA")
         .groupBy("n_name")
         .agg(d4(sum(rev)).as("revenue"), count(lit(1)).as("n_items"))
         .orderBy("n_name")
@@ -162,7 +162,7 @@ object JoinQueries extends QSet {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'REGION_0'
+        |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_join_sortmerge" ->

@@ -16,6 +16,16 @@ import graft.engine.Tables._
   */
 object ScanQueries extends QSet {
 
+  /** Side-effecting round-trip queries write under a per-session unique
+    * dir (applicationId): two concurrent harness invocations on one
+    * host must not race on a shared /tmp path (overwrite-mode made
+    * re-runs safe, not concurrent runs).
+    */
+  private def tmpDir(s: org.apache.spark.sql.SparkSession, kind: String,
+      dir: String): String =
+    s"/tmp/graft_src_${kind}_${new java.io.File(dir).getName}_" +
+      s.sparkContext.applicationId
+
   val queries: Map[String, QFn] = Map(
     "q_scan_project" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -52,7 +62,7 @@ object ScanQueries extends QSet {
     // runs the same aggregation on the original parquet: csv is
     // lossless for these int/string columns, so results must match.
     "q_source_csv_roundtrip" -> ((s, dir) => {
-      val path = s"/tmp/graft_src_csv_${new java.io.File(dir).getName}"
+      val path = tmpDir(s, "csv", dir)
       graft.sources.Readers.writeCsv(
         t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
         path)
@@ -73,7 +83,7 @@ object ScanQueries extends QSet {
     // needed) and lossless for every Spark type here, so the aggregate
     // over the round-tripped copy must equal the parquet original.
     "q_source_orc_roundtrip" -> ((s, dir) => {
-      val path = s"/tmp/graft_src_orc_${new java.io.File(dir).getName}"
+      val path = tmpDir(s, "orc", dir)
       graft.sources.Readers.writeOrc(
         t(s, dir, "customer")
           .select("c_custkey", "c_mktsegment", "c_acctbal"),
@@ -89,7 +99,7 @@ object ScanQueries extends QSet {
     // (the writer emits round-trip-safe precision) and the decimal
     // aggregation discipline applies as everywhere else.
     "q_source_json_roundtrip" -> ((s, dir) => {
-      val path = s"/tmp/graft_src_json_${new java.io.File(dir).getName}"
+      val path = tmpDir(s, "json", dir)
       graft.sources.Readers.writeJson(
         t(s, dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal"),
         path)
@@ -111,8 +121,7 @@ object ScanQueries extends QSet {
       // bad lines land in the quarantine column instead of failing the
       // read. Oracle knows n_corrupt = the 3 injected literals.
       import s.implicits._
-      val path =
-        s"/tmp/graft_src_json_corrupt_${new java.io.File(dir).getName}"
+      val path = tmpDir(s, "json_corrupt", dir)
       val good = t(s, dir, "supplier")
         .select(to_json(struct(col("s_suppkey"), col("s_nationkey"),
           col("s_acctbal"))).as("value"))

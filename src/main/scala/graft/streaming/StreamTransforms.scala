@@ -163,6 +163,7 @@ object StreamTransforms {
         cdcCompact(cur).write.mode("overwrite").parquet(tmp.toString)
         fs.delete(target, true)
         fs.rename(tmp, target)
+        ()
       }
       .start()
 

@@ -7,6 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
 import graft.streaming._
 
+/** One CDC changelog entry (the q_cdc_apply schema) for MemoryStream. */
+case class CdcRow(key: Long, value: Double, ver: java.sql.Date, seq: Long,
+  op: String)
+
 /** SURVEY.md §5.2.4 — stream/batch equivalence: every streaming operator
   * replayed through MemoryStream must agree with its batch twin (the one
   * t2 grades), plus watermark late-data semantics and the custom
@@ -183,5 +187,38 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(canon(streamed) == canon(batch))
     assert(canon(batch) == canon(windowed))
+  }
+
+  test("cdcApplyStream: out-of-order micro-batched replay == batch cdcApply") {
+    val changelog = graft.queries.StreamQueries
+      .ordersChangelog(spark, TestSpark.Sf)
+    val rows = changelog
+      .select($"key".cast("long"), $"value".cast("double"),
+        $"ver".cast("date"), $"seq".cast("long"), $"op")
+      .as[CdcRow].collect().toSeq
+      // deterministic scramble: versions interleave across micro-batches,
+      // so updates OLDER than an already-applied delete/update arrive in
+      // later batches — the exact late-data case the merge must resolve
+      .sortBy(r => scala.util.hashing.byteswap64(r.seq))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cdc_stream").toString
+    val target = s"$base/state"
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[CdcRow]
+    val q = StreamTransforms.cdcApplyStream(ms.toDF, target,
+      s"$base/checkpoint")
+    try {
+      val size = math.max(1, rows.size / 4)
+      rows.grouped(size).foreach { g => ms.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    // readers take live rows (op != 'D'); tombstones stay in the state
+    val streamed = spark.read.parquet(target)
+      .filter($"op" =!= "D")
+      .select("key", "value", "ver", "seq", "op").collect()
+    val batch = StreamTransforms.cdcApply(changelog)
+      .select($"key".cast("long"), $"value".cast("double"),
+        $"ver".cast("date"), $"seq".cast("long"), $"op").collect()
+    assert(streamed.nonEmpty)
+    assert(canon(streamed) == canon(batch))
   }
 }
