@@ -26,5 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayDotProductF].getName, null, "array_dot_f"),
       (children: Seq[Expression]) =>
         ArrayDotProductF(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NormalizeNfc].getName, null, "nfc_normalize"),
+      (children: Seq[Expression]) => NormalizeNfc(children(0))))
   }
 }

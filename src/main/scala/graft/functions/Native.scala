@@ -35,6 +35,16 @@ object Native {
     import org.apache.spark.sql.functions.sqrt
     sqrt(dotF(a, a))
   }
+
+  /** Unicode NFC normalization of a string column — canonical
+    * composition ahead of dedup keys / text analysis, so visually
+    * identical strings ("é" composed vs "e"+U+0301) hash identically.
+    * Spark has no built-in normalizer; this is tier (b) again: a
+    * codegen'd expression around `java.text.Normalizer`, visible to
+    * Catalyst (pushdown/pruning unaffected), no UDF wall.
+    */
+  def nfc(s: Column): Column =
+    NativeColumn.wrap(NormalizeNfc(NativeColumn.unwrap(s)))
 }
 
 /** `array<float> × array<float> → double` dot product. NULL if either
@@ -83,4 +93,39 @@ case class ArrayDotProductF(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayDotProductF =
     copy(left = newLeft, right = newRight)
+}
+
+/** `string → string` Unicode NFC canonical composition (NULL-intolerant
+  * like every string builtin). Matches DuckDB's `nfc_normalize` and
+  * ICU/java.text semantics — both engines compose to identical byte
+  * sequences, so normalized keys hash-match cross-engine.
+  */
+case class NormalizeNfc(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  // inferred as Seq[AbstractDataType] (that type is private[sql])
+  override def inputTypes = Seq(org.apache.spark.sql.types.StringType)
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(s: Any): Any = {
+    val in = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(in.toString,
+        java.text.Normalizer.Form.NFC))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($c.toString(),
+         |    java.text.Normalizer.Form.NFC));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NormalizeNfc = copy(child = newChild)
 }

