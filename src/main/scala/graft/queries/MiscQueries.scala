@@ -154,6 +154,50 @@ object MiscQueries extends QSet {
           === "0")
         .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+    }),
+
+    "q_scd2_history" -> ((s, dir) => {
+      // SCD-2 dimension history build: every order versions its
+      // customer's value; validity = [this version's date, next
+      // version's date), open-ended for the current row. One window
+      // per key — partitions by the dimension key, scales out.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("valid_from"), col("seq"))
+      t(s, dir, "orders")
+        .select(col("o_custkey").as("key"),
+          col("o_orderkey").as("seq"),
+          col("o_totalprice").as("value"),
+          col("o_orderdate").cast("date").as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull.cast("long"))
+        .orderBy("key", "valid_from", "seq")
+    }),
+
+    "q_funnel_conversion" -> ((s, dir) => {
+      // Ordered event funnel (view → click → purchase): each stage's
+      // timestamp is the first qualifying event AT OR AFTER the prior
+      // stage. Three per-user aggregates chained by equi-joins on
+      // user_id — co-partitioned shuffles, no window over the whole
+      // corpus, scales with users.
+      val ev = events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_us")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts_us") >= col("t_view"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts_us") >= col("t_click"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"),
+          (lit(1L) + col("t_click").isNotNull.cast("long")
+            + col("t_purchase").isNotNull.cast("long")).as("stage"))
+        .orderBy("user_id")
     })
   )
 
@@ -225,6 +269,37 @@ object MiscQueries extends QSet {
     "q_sample_hash" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity FROM lineitem
         |WHERE substring(md5(l_orderkey || '-' || l_linenumber || '-' || l_suppkey), 1, 1) = '0'
-        |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_quantity""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_quantity""".stripMargin,
+
+    "q_scd2_history" ->
+      """SELECT o_custkey AS key, o_orderkey AS seq, o_totalprice AS value,
+        |  CAST(o_orderdate AS DATE) AS valid_from,
+        |  lead(CAST(o_orderdate AS DATE)) OVER w AS valid_to,
+        |  CAST(lead(CAST(o_orderdate AS DATE)) OVER w IS NULL AS BIGINT)
+        |    AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY key, valid_from, seq""".stripMargin,
+
+    "q_funnel_conversion" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CAST(1 + CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS stage
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin
   )
 }

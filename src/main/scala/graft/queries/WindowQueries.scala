@@ -87,6 +87,22 @@ object WindowQueries extends QSet {
           first(col("event_type")).over(w).as("first_type"),
           last(col("event_type")).over(w).as("last_type"))
         .orderBy("event_id")
+    }),
+
+    "q_win_ntile" -> ((s, dir) => {
+      // quantile bucketing: acctbal quartiles WITHIN each market
+      // segment (partitioned ntile — a global ntile would serialize
+      // the table through one task), then per-bucket stats.
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("lo"),
+          max(col("c_acctbal")).as("hi"))
+        .orderBy("c_mktsegment", "quartile")
     })
   )
 
@@ -141,6 +157,17 @@ object WindowQueries extends QSet {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q_win_ntile" ->
+      """SELECT c_mktsegment, quartile, COUNT(*) AS n,
+        | MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+        |FROM (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+        |  FROM customer)
+        |GROUP BY c_mktsegment, quartile
+        |ORDER BY c_mktsegment, quartile""".stripMargin
   )
 }
