@@ -23,7 +23,8 @@ object SparkEntry {
     StreamQueries,
     MiscQueries,
     ExtQueries,
-    AuditQueries
+    AuditQueries,
+    PipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

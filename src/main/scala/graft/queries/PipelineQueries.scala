@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables._
+
+/** Training-data / clickstream pipeline operators beyond SURVEY.md §2.8:
+  * batch sessionization, cohort retention, context-window chunking,
+  * benchmark decontamination, and repetition (boilerplate) scoring.
+  *
+  * Scale posture: every op is one or two keyed shuffles (per-user
+  * windows, per-doc aggregates); the only broadcast is the benchmark
+  * gram set in decontamination, which is small by construction (a
+  * holdout set, not the corpus). No driver materialization anywhere.
+  */
+object PipelineQueries extends QSet {
+
+  /** 30 minutes in microseconds — the sessionization gap threshold. */
+  private val GapUs = 1800000000L
+
+  val queries: Map[String, QFn] = Map(
+    // Batch sessionization: per-user event stream splits where the gap
+    // to the previous event exceeds 30 min; one window exchange keyed
+    // by user_id (scales out per user), then a per-session aggregate on
+    // the same key — AQE coalesces the already-partitioned shuffle.
+    "q_sessionize" -> ((s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsu"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts_us")).as("tsu"), col("value"))
+        .withColumn("new_s",
+          when(col("tsu") - lag(col("tsu"), 1).over(wOrd) > GapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("tsu")).as("start_us"),
+          max(col("tsu")).as("end_us"),
+          d4(sum(D(col("value")))).as("sum_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Weekly cohort retention: cohort = Monday of a user's first event
+    // week; n_active distinct users per (cohort, week offset). Two
+    // aggregates on user_id (co-partitioned: the join reuses the
+    // groupBy's hash partitioning) then one on the cohort key.
+    "q_retention_cohort" -> ((s, dir) => {
+      val wk = events(s, dir)
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts_us"))).as("wk"))
+      val first = wk.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      val sized = first.groupBy("cohort")
+        .agg(countDistinct(col("user_id")).as("cohort_size"))
+      wk.join(first, "user_id")
+        .withColumn("week_offset", expr("datediff(wk, cohort) div 7"))
+        .groupBy("cohort", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(sized, "cohort")
+        .withColumn("retention",
+          round(col("n_active").cast(DoubleType) / col("cohort_size"), 4))
+        .select("cohort", "week_offset", "cohort_size", "n_active", "retention")
+        .orderBy("cohort", "week_offset")
+    }),
+
+    // Context-window chunking: overlapping 12-token windows at stride 8
+    // (the LLM-pretraining doc→sample split). Narrow per-doc explode —
+    // no shuffle until the final presentation sort.
+    "q_text_chunk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(expr("sequence(1, size(tk), 8)")).as("start"))
+        .select(col("doc_id"), col("start").cast(LongType).as("start"),
+          expr("slice(tk, start, 12)").as("ck"))
+        .select(col("doc_id"), col("start"),
+          size(col("ck")).cast(LongType).as("n_tok"),
+          concat_ws(" ", col("ck")).as("chunk"))
+        .orderBy("doc_id", "start")
+    }),
+
+    // Benchmark decontamination: drop corpus docs sharing any token
+    // 4-gram with the holdout (source src0) — the eval-leakage filter
+    // every pretraining pipeline runs. The holdout gram set is DISTINCT
+    // and holdout-sized (small by construction) so the semi join
+    // broadcasts; contaminated ids are a skinny frame joined back to
+    // the doc table for per-source rates.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val grams = docs
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 4)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(0, size(tk) - 4), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3]))"))
+          .as("g"))
+      val hold = grams.filter(col("source") === "src0").select("g").distinct()
+      val contaminated = grams.filter(col("source") =!= "src0")
+        .join(broadcast(hold), "g")
+        .select("doc_id").distinct()
+        .withColumn("hit", lit(1L))
+      docs.filter(col("source") =!= "src0")
+        .select("doc_id", "source")
+        .join(contaminated, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contam"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("contam_rate",
+          round(col("n_contam").cast(DoubleType) / col("n_docs"), 4))
+        .orderBy("source")
+    }),
+
+    // Repetition scoring (the Gopher duplicate-n-gram signal): fraction
+    // of non-distinct token bigrams per doc. One per-doc aggregate over
+    // the exploded bigrams — partial count/count-distinct fold map-side.
+    "q_text_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(tk) - 2), i -> concat_ws(' ', tk[i], tk[i+1]))"))
+          .as("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          countDistinct(col("g")).as("n_uniq"))
+        .withColumn("dup_frac", round(
+          (col("n_bigrams") - col("n_uniq")).cast(DoubleType) / col("n_bigrams"), 4))
+        .withColumn("repetitive", (col("dup_frac") > 0.2).cast(LongType))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, tsu, value,
+        |    CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id
+        |      ORDER BY tsu, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, tsu, value,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(tsu) AS start_us, MAX(tsu) AS end_us,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |    AS sum_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_retention_cohort" ->
+      """WITH wk AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |first AS (SELECT user_id, MIN(wk) AS cohort FROM wk GROUP BY 1),
+        |sized AS (SELECT cohort, COUNT(DISTINCT user_id) AS cohort_size
+        |          FROM first GROUP BY 1),
+        |act AS (
+        |  SELECT cohort, datediff('day', cohort, wk) // 7 AS week_offset,
+        |    COUNT(DISTINCT wk.user_id) AS n_active
+        |  FROM wk JOIN first ON wk.user_id = first.user_id
+        |  GROUP BY 1, 2)
+        |SELECT cohort, week_offset, cohort_size, n_active,
+        |  round(CAST(n_active AS DOUBLE) / cohort_size, 4) AS retention
+        |FROM act JOIN sized USING (cohort)
+        |ORDER BY cohort, week_offset""".stripMargin,
+
+    "q_text_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, len(t), 8)) AS start
+        |  FROM toks)
+        |SELECT doc_id, CAST(start AS BIGINT) AS start,
+        |  CAST(len(t[start:start+11]) AS BIGINT) AS n_tok,
+        |  array_to_string(t[start:start+11], ' ') AS chunk
+        |FROM starts ORDER BY doc_id, start""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 4),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    unnest(generate_series(1, len(t) - 3)) AS i, t
+        |  FROM toks),
+        |g2 AS (SELECT doc_id, source, array_to_string(t[i:i+3], ' ') AS g
+        |       FROM grams),
+        |hold AS (SELECT DISTINCT g FROM g2 WHERE source = 'src0'),
+        |contam AS (
+        |  SELECT DISTINCT doc_id FROM g2
+        |  WHERE source <> 'src0' AND g IN (SELECT g FROM hold))
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_contam,
+        |  CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  round(CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END)
+        |    AS DOUBLE) / COUNT(*), 4) AS contam_rate
+        |FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
+        |WHERE d.source <> 'src0'
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |grams AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, t
+        |  FROM toks),
+        |g2 AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g FROM grams),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    COUNT(DISTINCT g) AS n_uniq
+        |  FROM g2 GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_uniq, dup_frac,
+        |  CAST(dup_frac > 0.2 AS BIGINT) AS repetitive
+        |FROM (SELECT *, round(CAST(n_bigrams - n_uniq AS DOUBLE) / n_bigrams, 4)
+        |        AS dup_frac FROM agg)
+        |ORDER BY doc_id""".stripMargin
+  )
+}
