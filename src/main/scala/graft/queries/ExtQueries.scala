@@ -268,6 +268,40 @@ object ExtQueries extends QSet {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .offset(20).limit(20)
+    }),
+
+    // max_by/min_by argmax aggregates. The ordering key must be UNIQUE
+    // or argmax ties pick engine-dependent winners: floor(bal*100+0.5)
+    // is integral in double on both engines (so the BIGINT cast can't
+    // diverge on truncate-vs-round semantics), ×1e7 + custkey makes it
+    // collision-free and monotone in (acctbal, custkey).
+    "q_agg_minmax_by" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .withColumn("ord",
+          (floor(col("c_acctbal") * 100 + 0.5) * 10000000L +
+            col("c_custkey")).cast(LongType))
+        .groupBy("c_nationkey")
+        .agg(
+          expr("max_by(c_name, ord)").as("richest"),
+          max(col("c_acctbal")).as("max_bal"),
+          expr("min_by(c_name, ord)").as("poorest"),
+          min(col("c_acctbal")).as("min_bal"),
+          count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    }),
+
+    // Share-of-total window: each order's fraction of its customer's
+    // exact (decimal) spend — the ratio-metric dashboard shape. The
+    // window sum is decimal so partial merge order can't change it;
+    // the division happens in double through the exact string (A.8).
+    "q_win_share" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("cust_total", d4(sum(D(col("o_totalprice"))).over(w)))
+        .withColumn("share",
+          round(col("o_totalprice") / col("cust_total"), 4))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -410,6 +444,29 @@ object ExtQueries extends QSet {
     "q_limit_offset" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
-        |LIMIT 20 OFFSET 20""".stripMargin
+        |LIMIT 20 OFFSET 20""".stripMargin,
+
+    "q_agg_minmax_by" ->
+      """SELECT c_nationkey,
+        | arg_max(c_name, CAST(floor(c_acctbal*100 + 0.5)*10000000
+        |   + c_custkey AS BIGINT)) AS richest,
+        | max(c_acctbal) AS max_bal,
+        | arg_min(c_name, CAST(floor(c_acctbal*100 + 0.5)*10000000
+        |   + c_custkey AS BIGINT)) AS poorest,
+        | min(c_acctbal) AS min_bal,
+        | COUNT(*) AS n
+        |FROM customer GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q_win_share" ->
+      """WITH s AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |      OVER (PARTITION BY o_custkey) AS VARCHAR) AS DOUBLE)
+        |      AS cust_total
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice, cust_total,
+        |  round(o_totalprice / cust_total, 4) AS share
+        |FROM s ORDER BY o_orderkey""".stripMargin
   )
 }

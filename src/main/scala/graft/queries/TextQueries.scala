@@ -161,6 +161,48 @@ object TextQueries extends QSet {
         .orderBy("doc_id")
     }),
 
+    // Vocabulary build + out-of-vocabulary rate: vocab = the top-20
+    // terms by global count (deterministic (count desc, term) order),
+    // the fixed-size-vocab shape of tokenizer training. The vocab is
+    // tiny by construction — a broadcast left join flags OOV token
+    // instances, one per-doc aggregate folds the rate.
+    "q_vocab_oov" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      // top-K via orderBy+limit = distributed TakeOrdered (per-partition
+      // heaps, no single-partition global window even at huge vocabs)
+      val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(20)
+        .select(col("term"), lit(1L).as("in_v"))
+      tok.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast(DoubleType) / col("n_tok"), 4))
+        .orderBy("doc_id")
+    }),
+
+    // Per-doc unigram entropy H = ln(n) - (Σ c·ln c)/n over term
+    // counts: each c·ln c term rounds to 4dp and sums in DECIMAL so
+    // partial/final merge order can't change the sum (the tfidf
+    // ln-rounding recipe); the final expression is identical IEEE
+    // double math on both engines.
+    "q_text_entropy" -> ((s, dir) => {
+      val tc = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      tc.groupBy("doc_id")
+        .agg(sum(col("c")).as("n"),
+          count(lit(1)).as("n_types"),
+          sum(round(col("c") * log(col("c")), 4).cast(Dec)).as("sclnc"))
+        .select(col("doc_id"), col("n"), col("n_types"),
+          round(log(col("n")) -
+            col("sclnc").cast(StringType).cast(DoubleType) / col("n"), 4)
+            .as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     "q_multimodal_join" -> ((s, dir) => {
       // text + vector + label carried through one row ("multimodal
       // column" shape); ArrayType survives the join untouched.
@@ -290,6 +332,40 @@ object TextQueries extends QSet {
         | CAST(length(nfc_normalize(text || 'e' || chr(769))) AS BIGINT) AS nfc_len,
         | md5(nfc_normalize(lower(text || 'e' || chr(769)))) AS nfc_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_oov" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term, 1 AS in_v FROM (
+        |    SELECT term, count(*) AS cnt FROM tok GROUP BY 1
+        |    ORDER BY cnt DESC, term LIMIT 20)),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok,
+        |    CAST(SUM(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_oov
+        |  FROM tok LEFT JOIN vocab USING (term)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tok, n_oov,
+        |  round(CAST(n_oov AS DOUBLE) / n_tok, 4) AS oov_rate
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_text_entropy" ->
+      """WITH tc AS (
+        |  SELECT doc_id, term, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY doc_id, term),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+        |    COUNT(*) AS n_types,
+        |    CAST(CAST(SUM(CAST(round(c * ln(c), 4) AS DECIMAL(18,4)))
+        |      AS VARCHAR) AS DOUBLE) AS sclnc
+        |  FROM tc GROUP BY doc_id)
+        |SELECT doc_id, n, n_types,
+        |  round(ln(n) - sclnc / n, 4) AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_join" ->
       """SELECT doc_id, lang, label, n_chars,
