@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.engine.Tables._
-import graft.streaming.StreamTransforms
+import graft.streaming.{EvRow, StreamTransforms}
 
 /** SURVEY.md §2.10 — batch twins of the streaming operators (t2 grades
   * batch; StreamingSpec asserts readStream twins produce equal results
@@ -35,6 +35,28 @@ object StreamQueries extends QSet {
     "q_stream_join_dim" -> ((s, dir) => {
       StreamTransforms.joinDim(events(s, dir), t(s, dir, "customer"))
         .orderBy("tier")
+    }),
+
+    // The custom stateful operator (flatMapGroupsWithState) run in
+    // batch mode — Spark executes the same state function as one group
+    // pass, so the DuckDB gaps-and-islands oracle grades the exact
+    // per-user counter logic the stream runs (StreamingSpec asserts the
+    // micro-batched replay matches this batch result).
+    "q_stream_stateful" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us")).as[EvRow]
+      StreamTransforms.purchasesSinceError(ev).toDF()
+        .orderBy("user_id", "event_id")
+    }),
+
+    // The stream⋈stream interval join in batch mode (withWatermark is a
+    // no-op on batch frames): same-user event pairs within one hour.
+    "q_stream_pair_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      StreamTransforms.pairsWithin1h(ev, ev)
+        .orderBy("id1", "id2")
     }),
 
     "q_cdc_apply" -> ((s, dir) => {
@@ -111,6 +133,35 @@ object StreamQueries extends QSet {
         |       ELSE 'premium' END AS tier FROM customer) c
         | ON user_id = c_custkey
         |GROUP BY tier ORDER BY tier""".stripMargin,
+
+    // Gaps-and-islands twin of the stateful counter: segment = running
+    // error count, purchases-since-error = running purchase count
+    // within the (user, segment) island, emitted on purchase rows only.
+    "q_stream_stateful" ->
+      """WITH seg AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |  FROM events),
+        |n AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id, seg ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS purchases_since_error
+        |  FROM seg)
+        |SELECT user_id, event_id, purchases_since_error
+        |FROM n WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_stream_pair_join" ->
+      """SELECT a.event_id AS id1, b.event_id AS id2, a.user_id,
+        |  a.ts AS ts1, b.ts AS ts2
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY id1, id2""".stripMargin,
 
     "q_cdc_apply" ->
       """SELECT key, val, as_of FROM (
