@@ -149,6 +149,27 @@ class PlanSpec extends AnyFunSuite {
       o.join(l, col("o_orderkey") === col("l_orderkey")).count())
   }
 
+  test("decontamination broadcasts the holdout gram set (no shuffled semi join)") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sessionization reuses one user_id exchange for both windows and the aggregate") {
+    val p = plan("q_sessionize")
+    // exactly one hash exchange (the user_id window shuffle) — the
+    // session aggregate must NOT re-shuffle (hash(user_id) already
+    // clusters (user_id, session_id)); the only other exchange is the
+    // final presentation range sort
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning"))
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx\n$p")
+  }
+
+  test("vocabulary top-K plans as TakeOrdered, not a global window") {
+    val p = plan("q_vocab_oov")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("dim filter dynamically prunes the partitioned fact (DPP)") {
     import org.apache.spark.sql.functions._
     val out = "/tmp/graft_dpp_fact"
