@@ -45,6 +45,24 @@ object UdfQueries extends QSet {
         .select(col("p_partkey"), col("pos").cast("long").as("pos"),
           col("gram"))
         .orderBy("p_partkey", "pos")
+    }),
+
+    // Misra–Gries frequent-items summary (mergeable-sketch UDAF): top-10
+    // terms per language from O(k)-state partial summaries. k=64 exceeds
+    // the fixture vocabulary (31 terms at every SF), so the summary is
+    // exact here and the plain GROUP BY oracle applies; the eviction /
+    // lower-bound path is property-tested in LibrarySpec on skewed data.
+    "q_agg_heavy_hitters" -> ((s, dir) => {
+      val fi = udaf(graft.functions.FrequentItems(64))
+      t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("lang")
+        .agg(fi(col("term")).as("items"))
+        .select(col("lang"), posexplode(col("items")).as(Seq("rk", "it")))
+        .select(col("lang"), (col("rk") + 1).cast("long").as("rank"),
+          col("it.term").as("term"), col("it.lb_count").as("lb_count"))
+        .filter(col("rank") <= 10)
+        .orderBy("lang", "rank")
     })
   )
 
@@ -69,6 +87,18 @@ object UdfQueries extends QSet {
         |  unnest(list_transform(generate_series(1, length(p_name) - 2),
         |    i -> substr(p_name, i, 3))) AS gram
         | FROM part WHERE length(p_name) >= 3)
-        |ORDER BY p_partkey, pos""".stripMargin
+        |ORDER BY p_partkey, pos""".stripMargin,
+
+    "q_agg_heavy_hitters" ->
+      """SELECT lang, rank, term, lb_count FROM (
+        |  SELECT lang, term, lb_count,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY lb_count DESC, term) AS BIGINT) AS rank
+        |  FROM (
+        |    SELECT lang, term, count(*) AS lb_count
+        |    FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+        |          FROM documents)
+        |    GROUP BY lang, term))
+        |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
   )
 }

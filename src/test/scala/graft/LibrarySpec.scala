@@ -314,4 +314,35 @@ class LibrarySpec extends AnyFunSuite {
     assert(back.collect().map(_.toString).sorted.toSeq ==
       cust.collect().map(_.toString).sorted.toSeq)
   }
+
+  test("Misra-Gries heavy hitters: guarantee holds under eviction on a " +
+    "skewed stream, and the summary merges like the exact counts") {
+    import graft.functions.FrequentItems
+    // skewed synthetic stream: 500 distinct tail terms + 6 heavy terms,
+    // fixed seed so the test is deterministic; k = 16 forces eviction
+    val rnd = new scala.util.Random(42)
+    val heavy = (0 until 6).flatMap(i => Seq.fill(400 + 50 * i)(s"H$i"))
+    val tail = (0 until 4000).map(_ => s"t${rnd.nextInt(500)}")
+    val stream = rnd.shuffle(heavy ++ tail)
+    val n = stream.size
+    val k = 16
+    val ds = stream.toDF("term").repartition(8)
+    val fi = udaf(FrequentItems(k))
+    val got = ds.agg(fi(col("term")).as("items"))
+      .select(explode(col("items")).as("it"))
+      .select(col("it.term"), col("it.lb_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val bound = n.toLong / (k + 1)
+    // every term with true count > N/(k+1) must survive
+    exact.filter(_._2 > bound).keys.foreach { t =>
+      assert(got.contains(t), s"heavy term $t missing (bound $bound)")
+    }
+    got.foreach { case (t, lb) =>
+      val truth = exact(t)
+      assert(lb <= truth, s"$t reported $lb above true $truth")
+      assert(truth - lb <= bound, s"$t undercounted by ${truth - lb} > $bound")
+    }
+    assert(got.size <= k)
+  }
 }
