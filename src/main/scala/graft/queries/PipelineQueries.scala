@@ -112,6 +112,44 @@ object PipelineQueries extends QSet {
         .orderBy("source")
     }),
 
+    // The end-to-end corpus-prep chain in ONE declarative plan —
+    // quality gate → exact dedup → benchmark decontamination → chunking
+    // — the composition a pretraining pipeline actually ships. Catalyst
+    // fuses the narrow stages; the only shuffles are the dedup window
+    // and the contaminated-id distinct; the holdout gram set broadcasts.
+    "q_pipeline_corpus" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          split(col("text"), " ").as("tk"), col("n_chars"))
+      val ngrams = (df: org.apache.spark.sql.DataFrame) =>
+        df.filter(size(col("tk")) >= 4)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(tk) - 4), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3]))"))
+            .as("g"))
+      val quality = toks.filter(size(col("tk")) >= 8 &&
+        col("n_chars") >= 50 &&
+        size(array_distinct(col("tk"))).cast(DoubleType) / size(col("tk")) >= 0.1)
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val deduped = quality.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val hold = ngrams(toks.filter(col("source") === "src0"))
+        .select("g").distinct()
+      val corpus = deduped.filter(col("source") =!= "src0")
+      val contam = ngrams(corpus).join(broadcast(hold), "g")
+        .select("doc_id").distinct()
+      corpus.join(contam, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("tk"))
+        .select(col("doc_id"), col("source"), col("tk"),
+          explode(expr("sequence(1, size(tk), 8)")).as("start"))
+        .select(col("doc_id"), col("source"),
+          col("start").cast(LongType).as("start"),
+          expr("slice(tk, start, 12)").as("ck"))
+        .select(col("doc_id"), col("source"), col("start"),
+          size(col("ck")).cast(LongType).as("n_tok"),
+          concat_ws(" ", col("ck")).as("chunk"))
+        .orderBy("doc_id", "start")
+    }),
+
     // Repetition scoring (the Gopher duplicate-n-gram signal): fraction
     // of non-distinct token bigrams per doc. One per-doc aggregate over
     // the exploded bigrams — partial count/count-distinct fold map-side.
@@ -207,6 +245,43 @@ object PipelineQueries extends QSet {
         |FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
         |WHERE d.source <> 'src0'
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q_pipeline_corpus" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, text, string_split(text, ' ') AS tk,
+        |    n_chars
+        |  FROM documents),
+        |quality AS (
+        |  SELECT * FROM toks WHERE len(tk) >= 8 AND n_chars >= 50
+        |    AND CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= 0.1),
+        |dedup AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY doc_id) AS rn
+        |    FROM quality) WHERE rn = 1),
+        |h0 AS (
+        |  SELECT tk, unnest(generate_series(1, len(tk) - 3)) AS i
+        |  FROM toks WHERE source = 'src0' AND len(tk) >= 4),
+        |hold AS (
+        |  SELECT DISTINCT array_to_string(tk[i:i+3], ' ') AS g FROM h0),
+        |c0 AS (
+        |  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 3)) AS i
+        |  FROM dedup WHERE source <> 'src0' AND len(tk) >= 4),
+        |contam AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, array_to_string(tk[i:i+3], ' ') AS g FROM c0)
+        |  WHERE g IN (SELECT g FROM hold)),
+        |clean AS (
+        |  SELECT * FROM dedup WHERE source <> 'src0'
+        |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        |st AS (
+        |  SELECT doc_id, source, tk,
+        |    unnest(generate_series(1, len(tk), 8)) AS start
+        |  FROM clean)
+        |SELECT doc_id, source, CAST(start AS BIGINT) AS start,
+        |  CAST(len(tk[start:start+11]) AS BIGINT) AS n_tok,
+        |  array_to_string(tk[start:start+11], ' ') AS chunk
+        |FROM st ORDER BY doc_id, start""".stripMargin,
 
     "q_text_repetition" ->
       """WITH toks AS (
