@@ -198,6 +198,29 @@ object MiscQueries extends QSet {
           (lit(1L) + col("t_click").isNotNull.cast("long")
             + col("t_purchase").isNotNull.cast("long")).as("stage"))
         .orderBy("user_id")
+    }),
+
+    // Incremental aggregate maintenance (materialized-view refresh):
+    // history before the cutoff is a partial-aggregate STATE table; the
+    // new batch re-aggregates only its own slice and MERGES into the
+    // state — sum/count partials are associative, so the merged result
+    // provably equals the one-shot aggregate (which IS the oracle). At
+    // 100 TB this is the difference between scanning one day and
+    // re-scanning years of history on every refresh.
+    "q_incremental_agg" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cutoff = lit("1996-01-01").cast("timestamp")
+      def part(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderpriority")
+          .agg(sum(D(col("o_totalprice"))).as("s"), count(lit(1)).as("n"))
+      val state = part(orders.filter(col("o_orderdate") < cutoff))
+      val batch = part(orders.filter(col("o_orderdate") >= cutoff))
+      state.union(batch)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+        .select(col("o_orderpriority"), d4(col("s")).as("total"),
+          col("n").cast("long").as("n_orders"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -300,6 +323,15 @@ object MiscQueries extends QSet {
         |FROM v
         |LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id
-        |ORDER BY v.user_id""".stripMargin
+        |ORDER BY v.user_id""".stripMargin,
+
+    // the oracle is the ONE-SHOT aggregate: state+batch merge must equal it
+    "q_incremental_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR)
+        |    AS DOUBLE) AS total,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }
