@@ -52,6 +52,16 @@ object Readers {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Line-oriented text reader (one `value` row per line) — the raw-crawl
+    * ingest format. Splittable like csv/json, so a 100 TB dump of .txt
+    * shards parallelizes by file/block; parsing happens downstream as
+    * Column expressions, not in the reader. */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).text(path)
+
   def writeCsv(df: DataFrame, path: String,
       partitionBy: Seq[String] = Nil): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true")

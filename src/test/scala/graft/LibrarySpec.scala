@@ -315,6 +315,15 @@ class LibrarySpec extends AnyFunSuite {
       cust.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("text source round-trips document lines verbatim") {
+    val docs = Tables.t(spark, sf, "documents").select(col("text"))
+    Readers.writeText(docs, "/tmp/graft_rt_text")
+    val back = Readers.text(spark, "/tmp/graft_rt_text")
+    assert(back.schema.fieldNames.toSeq == Seq("value"))
+    assert(back.collect().map(_.getString(0)).sorted.toSeq ==
+      docs.collect().map(_.getString(0)).sorted.toSeq)
+  }
+
   test("Misra-Gries heavy hitters: guarantee holds under eviction on a " +
     "skewed stream, and the summary merges like the exact counts") {
     import graft.functions.FrequentItems
