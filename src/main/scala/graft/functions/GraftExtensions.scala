@@ -30,5 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NormalizeNfc].getName, null, "nfc_normalize"),
       (children: Seq[Expression]) => NormalizeNfc(children(0))))
+    // optimizer tier: the portable HOF dot-product idiom lowers to the
+    // codegen'd native expression (see RewriteHofDotProduct's Scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
   }
 }

@@ -58,4 +58,29 @@ class PlansSpec extends AnyFunSuite {
     assert(p.contains("AsOfJoin"), p) // exec prints with Exec suffix stripped
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("optimizer rule lowers the HOF dot-product idiom to the native expression") {
+    val emb = Tables.t(spark, sf, "embeddings").limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val hof = emb.select(col("vec_id"), expr(
+      "aggregate(zip_with(embedding, embedding, " +
+        "(x, y) -> cast(x as double) * cast(y as double)), " +
+        "cast(0 as double), (acc, v) -> acc + v)").as("dot"))
+    val opt = hof.queryExecution.optimizedPlan.toString
+    assert(opt.contains("array_dot_f"),
+      s"rule did not fire; optimized plan:\n$opt")
+    // rewritten result must equal the native-API result bit-for-bit
+    // (both fold double products in array order)
+    val native = emb.select(col("vec_id"),
+      graft.functions.Native.dotF(col("embedding"), col("embedding")).as("dot"))
+    assert(hof.orderBy("vec_id").collect().toSeq ==
+      native.orderBy("vec_id").collect().toSeq)
+    // the conservative guard: a bare float multiply (different rounding)
+    // must NOT be rewritten
+    val floatMul = emb.select(expr(
+      "aggregate(zip_with(embedding, embedding, (x, y) -> x * y), " +
+        "cast(0 as double), (acc, v) -> acc + cast(v as double))"))
+    assert(!floatMul.queryExecution.optimizedPlan.toString
+      .contains("array_dot_f"))
+  }
 }
