@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreePattern
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 import graft.functions.ArrayDotProductF
 
@@ -43,8 +44,14 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
     case _                                              => None
   }
 
+  // TreePattern pruning matters: injected rules re-run on every AQE
+  // stage re-optimization, so an unguarded whole-tree expression walk
+  // taxes EVERY query in the engine (~10% measured on the full bench).
+  // With the bitmask guard, plans without higher-order functions skip
+  // the rule in O(1).
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
+    plan.transformAllExpressionsWithPruning(
+      _.containsPattern(TreePattern.HIGH_ORDER_FUNCTION)) {
       case ArrayAggregate(
             ZipWith(a, b, LambdaFunction(Multiply(ml, mr, _),
               Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
