@@ -92,4 +92,43 @@ class EdgeSpec extends AnyFunSuite {
       .select("k", "tag").as[(Long, Option[String])].collect().toSeq
     assert(got == Seq((1L, None)))
   }
+
+  test("frequent items: empty group, k=1 degenerate, and ties stay deterministic") {
+    import graft.functions.FrequentItems
+    val fi1 = udaf(FrequentItems(1))
+    // k=1 on a strict-majority stream must keep the majority element
+    // (the Boyer-Moore special case of Misra-Gries)
+    val majority = (Seq.fill(7)("m") ++ Seq("a", "b", "c", "d", "e"))
+      .toDF("t").repartition(3)
+    val got1 = majority.agg(fi1(col("t")).as("it"))
+      .select(explode(col("it.term"))).as[String].collect().toSeq
+    assert(got1 == Seq("m"))
+    // empty input → empty summary, not a crash or a null row
+    val fi4 = udaf(FrequentItems(4))
+    val empty = Seq.empty[String].toDF("t")
+    val got0 = empty.agg(fi4(col("t")).as("it"))
+      .select(size(col("it"))).as[Int].collect().toSeq
+    assert(got0 == Seq(0))
+    // exact ties under no eviction sort by (-count, term): stable output
+    val ties = Seq("x", "y", "x", "y", "z").toDF("t")
+    val gotT = ties.agg(fi4(col("t")).as("it"))
+      .select(explode(col("it"))).select("col.term", "col.lb_count")
+      .as[(String, Long)].collect().toSeq
+    assert(gotT == Seq(("x", 2L), ("y", 2L), ("z", 1L)))
+  }
+
+  test("chunking building blocks: empty and single-token text still chunk") {
+    // split("") yields [""] — one 1-token chunk, never zero rows: the
+    // q_text_chunk shape can't silently drop degenerate documents
+    val df = Seq((1L, ""), (2L, "solo"), (3L, "a b c d e f g h i j k l m"))
+      .toDF("id", "text")
+      .select(col("id"), split(col("text"), " ").as("tk"))
+      .select(col("id"), col("tk"),
+        explode(expr("sequence(1, size(tk), 8)")).as("st"))
+      .select(col("id"), col("st"),
+        expr("slice(tk, st, 12)").as("ck"))
+    val counts = df.groupBy("id").count().orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(counts == Seq((1L, 1L), (2L, 1L), (3L, 2L)))
+  }
 }
