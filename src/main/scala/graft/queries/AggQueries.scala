@@ -87,6 +87,22 @@ object AggQueries extends QSet {
         .orderBy("o_orderpriority")
     }),
 
+    // Conditional aggregation via count_if / FILTER — one pass computes
+    // each aggregate over its own predicate slice (the SQL-standard
+    // FILTER clause both engines parse), instead of N filtered scans.
+    "q_agg_filtered" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("count_if(value > 100.0)").as("n_big"),
+          d4(expr(
+            "sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE value > 100.0)"))
+            .as("sum_big"),
+          expr("max(value) FILTER (WHERE value <= 100.0)").as("max_small"))
+        .orderBy("event_type")
+    }),
+
     // Non-oracle (HLL impls differ across engines): scalatest asserts
     // within 5% of exact instead. Declared for the rows-only check.
     "q_agg_approx_distinct" -> ((s, dir) => {
@@ -232,6 +248,14 @@ object AggQueries extends QSet {
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust,
         | COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_filtered" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(COUNT(*) FILTER (WHERE value > 100.0) AS BIGINT) AS n_big,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+        |   FILTER (WHERE value > 100.0) AS VARCHAR) AS DOUBLE) AS sum_big,
+        | MAX(value) FILTER (WHERE value <= 100.0) AS max_small
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_agg_stats" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,

@@ -103,6 +103,24 @@ object WindowQueries extends QSet {
           min(col("c_acctbal")).as("lo"),
           max(col("c_acctbal")).as("hi"))
         .orderBy("c_mktsegment", "quartile")
+    }),
+
+    // Rolling distinct count over a row frame: unique event types in
+    // each user's trailing 5 events. Spark has no DISTINCT window
+    // aggregate — size(collect_set) over the frame is the equivalent
+    // (set semantics make per-frame order irrelevant); DuckDB runs the
+    // standard count(DISTINCT) OVER form.
+    "q_win_rolling_distinct" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsu"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts_us")).as("tsu"), col("event_type"))
+        .withColumn("u5",
+          size(collect_set(col("event_type")).over(w)).cast(LongType))
+        .select("user_id", "event_id", "tsu", "u5")
+        .orderBy("user_id", "tsu", "event_id")
     })
   )
 
@@ -168,6 +186,14 @@ object WindowQueries extends QSet {
         |      ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
         |  FROM customer)
         |GROUP BY c_mktsegment, quartile
-        |ORDER BY c_mktsegment, quartile""".stripMargin
+        |ORDER BY c_mktsegment, quartile""".stripMargin,
+
+    "q_win_rolling_distinct" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |  CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS u5
+        |FROM events
+        |ORDER BY user_id, tsu, event_id""".stripMargin
   )
 }
