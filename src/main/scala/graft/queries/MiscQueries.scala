@@ -174,6 +174,35 @@ object MiscQueries extends QSet {
         .orderBy("key", "valid_from", "seq")
     }),
 
+    // Point-in-time (temporal) join against the SCD-2 dimension: each
+    // event attaches the version valid at its date. The lead()-chained
+    // intervals are disjoint, so exactly one version matches any probe
+    // at-or-after the first version (events before it keep NULLs via
+    // the left join). Equi key + range residual = a hash join per key,
+    // never an interval blowup.
+    "q_join_scd2_pit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("valid_from"), col("seq"))
+      val dim = t(s, dir, "orders")
+        .select(col("o_custkey").as("key"),
+          col("o_orderkey").as("seq"),
+          col("o_totalprice").as("value"),
+          col("o_orderdate").cast("date").as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          col("ts_us").cast("date").as("d"))
+      ev.join(dim,
+          ev("user_id") === dim("key") &&
+          col("valid_from") <= col("d") &&
+          (col("valid_to").isNull || col("d") < col("valid_to")), "left")
+        .select(col("event_id"), col("user_id"), col("d"),
+          col("value").as("dim_value"),
+          col("seq").cast("long").as("version_seq"))
+        .orderBy("event_id")
+    }),
+
     "q_funnel_conversion" -> ((s, dir) => {
       // Ordered event funnel (view → click → purchase): each stage's
       // timestamp is the first qualifying event AT OR AFTER the prior
@@ -303,6 +332,22 @@ object MiscQueries extends QSet {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY key, valid_from, seq""".stripMargin,
+
+    "q_join_scd2_pit" ->
+      """WITH dim AS (
+        |  SELECT o_custkey AS key, o_orderkey AS seq,
+        |    o_totalprice AS value,
+        |    CAST(o_orderdate AS DATE) AS valid_from,
+        |    lead(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS valid_to
+        |  FROM orders),
+        |e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT e.event_id, e.user_id, e.d, dim.value AS dim_value,
+        |  CAST(dim.seq AS BIGINT) AS version_seq
+        |FROM e LEFT JOIN dim ON e.user_id = dim.key
+        |  AND dim.valid_from <= e.d
+        |  AND (dim.valid_to IS NULL OR e.d < dim.valid_to)
+        |ORDER BY event_id""".stripMargin,
 
     "q_funnel_conversion" ->
       """WITH v AS (

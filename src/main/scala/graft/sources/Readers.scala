@@ -46,6 +46,26 @@ object Readers {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Schema-evolution-tolerant parquet read: `mergeSchema` unions the
+    * footers of every file, so batches written before a column was
+    * added read as NULL in that column instead of failing or silently
+    * dropping it — the only safe default for a long-lived ingestion
+    * directory. Costs one footer pass over the file listing (not the
+    * data), so it stays cheap even at 100 TB. */
+  def parquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Small-file compaction: rewrite a directory into `targetFiles`
+    * similarly-sized files. Streaming sinks and per-batch CDC merges
+    * accrete thousands of small files whose per-file open/footer cost
+    * eventually dominates scans; periodic compaction is standard
+    * ingestion hygiene. Write to a NEW directory then swap — an
+    * in-place rewrite that dies mid-job loses data. */
+  def compactParquet(spark: SparkSession, srcDir: String, dstDir: String,
+      targetFiles: Int): Unit =
+    spark.read.parquet(srcDir).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(dstDir)
+
   /** ORC reader — the other self-describing columnar at-rest format the
     * ingestion surface supports (schema from file footers, splittable,
     * predicate pushdown like parquet). */

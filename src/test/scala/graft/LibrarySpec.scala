@@ -315,6 +315,32 @@ class LibrarySpec extends AnyFunSuite {
       cust.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("mergeSchema read unions evolved schemas; compaction preserves rows") {
+    val dir = "/tmp/graft_rt_evolve"
+    // batch 1: two columns; batch 2: adds a third — the ingestion
+    // directory shape after a schema evolution
+    Seq((1L, "a")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/b=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score")
+      .write.mode("overwrite").parquet(s"$dir/b=2")
+    val merged = Readers.parquetMerged(spark, dir)
+    assert(merged.columns.toSet == Set("id", "v", "score", "b"))
+    val rows = merged.select("id", "score").orderBy("id")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(rows == Seq((1L, None), (2L, Some(9.5))),
+      "pre-evolution rows read NULL in the added column")
+    // compaction: many small files → targetFiles, same rows
+    val many = "/tmp/graft_rt_manyfiles"
+    Tables.t(spark, sf, "nation").repartition(12)
+      .write.mode("overwrite").parquet(many)
+    Readers.compactParquet(spark, many, s"$many-compact", 2)
+    val out = new java.io.File(s"$many-compact")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(out == 2, s"expected 2 compacted files, got $out")
+    assert(Readers.parquet(spark, s"$many-compact").count() ==
+      Tables.t(spark, sf, "nation").count())
+  }
+
   test("text source round-trips document lines verbatim") {
     val docs = Tables.t(spark, sf, "documents").select(col("text"))
     Readers.writeText(docs, "/tmp/graft_rt_text")
