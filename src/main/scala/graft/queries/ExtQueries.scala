@@ -290,6 +290,51 @@ object ExtQueries extends QSet {
         .orderBy("c_nationkey")
     }),
 
+    // Correlated subquery surface (Catalyst's decorrelation): EXISTS /
+    // NOT EXISTS lower to semi/anti joins, correlated scalar aggregates
+    // to a grouped left join — declared through the SQL front-end
+    // because that is how users write them; the planner must do the
+    // de-correlation, not the author.
+    "q_subquery_exists" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("sq_customer")
+      t(s, dir, "orders").createOrReplaceTempView("sq_orders")
+      s.sql(
+        """SELECT c_custkey, c_name FROM sq_customer c
+          |WHERE EXISTS (SELECT 1 FROM sq_orders o
+          |        WHERE o.o_custkey = c.c_custkey
+          |          AND o.o_orderpriority = '1-URGENT')
+          |  AND NOT EXISTS (SELECT 1 FROM sq_orders o2
+          |        WHERE o2.o_custkey = c.c_custkey
+          |          AND o2.o_orderstatus = 'F')
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    "q_subquery_scalar" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("sq_customer")
+      t(s, dir, "orders").createOrReplaceTempView("sq_orders")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT COUNT(*) FROM sq_orders
+          |     WHERE o_custkey = c_custkey) AS n_orders,
+          |  (SELECT MAX(o_totalprice) FROM sq_orders
+          |     WHERE o_custkey = c_custkey) AS max_price
+          |FROM sq_customer ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // LATERAL correlated top-k per row: the planner turns the per-row
+    // LIMIT subquery into a ranked join — no driver loop, no UDTF.
+    "q_join_lateral_topk" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("sq_customer")
+      t(s, dir, "orders").createOrReplaceTempView("sq_orders")
+      s.sql(
+        """SELECT c_custkey, o_orderkey, o_totalprice
+          |FROM sq_customer, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM sq_orders
+          |  WHERE o_custkey = c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3)
+          |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    }),
+
     // Share-of-total window: each order's fraction of its customer's
     // exact (decimal) spend — the ratio-metric dashboard shape. The
     // window sum is decimal so partial merge order can't change it;
@@ -445,6 +490,32 @@ object ExtQueries extends QSet {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 20 OFFSET 20""".stripMargin,
+
+    "q_subquery_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey
+        |          AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |        WHERE o2.o_custkey = c.c_custkey
+        |          AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_subquery_scalar" ->
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM orders
+        |     WHERE o_custkey = c_custkey) AS n_orders,
+        |  (SELECT MAX(o_totalprice) FROM orders
+        |     WHERE o_custkey = c_custkey) AS max_price
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_join_lateral_topk" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3)
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q_agg_minmax_by" ->
       """SELECT c_nationkey,
