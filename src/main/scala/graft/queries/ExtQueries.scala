@@ -290,6 +290,26 @@ object ExtQueries extends QSet {
         .orderBy("c_nationkey")
     }),
 
+    // Heterogeneous-source merge: unionByName with missing columns —
+    // the ETL shape for folding feeds with drifted schemas into one
+    // activity table (absent columns read NULL, never positionally
+    // misaligned like a blind UNION).
+    "q_union_by_name" -> ((s, dir) => {
+      val a = t(s, dir, "orders").select(
+        col("o_custkey").as("actor_id"), lit("order").as("kind"),
+        col("o_totalprice").as("amount"),
+        col("o_orderdate").cast("date").as("d"))
+      val b = events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("actor_id"),
+          lit("purchase_evt").as("kind"), col("value").as("amount"))
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          d4(sum(D(col("amount")))).as("sum_amount"),
+          sum(when(col("d").isNull, 1L).otherwise(0L)).as("n_missing_date"))
+        .orderBy("kind")
+    }),
+
     // Correlated subquery surface (Catalyst's decorrelation): EXISTS /
     // NOT EXISTS lower to semi/anti joins, correlated scalar aggregates
     // to a grouped left join — declared through the SQL front-end
@@ -490,6 +510,23 @@ object ExtQueries extends QSet {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 20 OFFSET 20""".stripMargin,
+
+    "q_union_by_name" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS actor_id, 'order' AS kind,
+        |    o_totalprice AS amount, CAST(o_orderdate AS DATE) AS d
+        |  FROM orders),
+        |b AS (
+        |  SELECT user_id AS actor_id, 'purchase_evt' AS kind,
+        |    value AS amount
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b)
+        |SELECT kind, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS VARCHAR)
+        |    AS DOUBLE) AS sum_amount,
+        |  CAST(SUM(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_missing_date
+        |FROM u GROUP BY kind ORDER BY kind""".stripMargin,
 
     "q_subquery_exists" ->
       """SELECT c_custkey, c_name FROM customer c
