@@ -28,10 +28,17 @@ object Tables {
     */
   private val rowExplosive = Set("documents", "embeddings")
 
-  /** Plain parquet table at `sfDir/name.parquet`. */
+  /** Plain parquet table at `sfDir/name.parquet`. The spread check reads
+    * `inputFiles` (the driver-side file listing the scan already built)
+    * rather than `rdd.getNumPartitions`, which would materialize the
+    * whole RDD lineage just to count partitions — constant planning
+    * cost on every load. Fewer files than cores is exactly the fixture
+    * case the repartition exists for; a many-file production directory
+    * skips it. */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (rowExplosive(name) && df.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+    if (rowExplosive(name) &&
+        df.inputFiles.length < spark.sparkContext.defaultParallelism)
       df.repartition(spark.sparkContext.defaultParallelism)
     else df
   }

@@ -47,10 +47,16 @@ object Native {
     NativeColumn.wrap(NormalizeNfc(NativeColumn.unwrap(s)))
 }
 
-/** `array<float> × array<float> → double` dot product. NULL if either
-  * side is NULL (BinaryExpression's default null-intolerant contract);
-  * element NULLs are not expected (embeddings are dense) and read as
-  * 0.0f per ArrayData semantics.
+/** `array<float> × array<float> → double` dot product. Exactly the
+  * semantics of the portable HOF fold `aggregate(zip_with(a, b,
+  * (x, y) -> double(x) * double(y)), 0.0D, (acc, v) -> acc + v)`, so
+  * [[graft.plans.RewriteHofDotProduct]] is semantics-preserving on ALL
+  * inputs, not just dense equal-length embeddings: NULL if either side
+  * is NULL (null-intolerant contract), and — matching the fold, where
+  * zip_with pads the shorter array with NULL and `acc + NULL` poisons
+  * the sum — NULL when the lengths differ or any element is NULL. The
+  * element-null branch is never taken on dense vectors, so the hot loop
+  * cost is unchanged.
   */
 case class ArrayDotProductF(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -60,15 +66,21 @@ case class ArrayDotProductF(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // can produce NULL (ragged / null-element inputs) even when both
+  // children are non-null
+  override def nullable: Boolean = true
+
   override def prettyName: String = "array_dot_f"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -80,13 +92,23 @@ case class ArrayDotProductF(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      // nullSafeCodeGen has already set ev.isNull = false here; flip it
+      // back on the HOF-NULL cases (ragged lengths / null elements).
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

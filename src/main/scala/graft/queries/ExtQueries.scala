@@ -273,13 +273,16 @@ object ExtQueries extends QSet {
     // max_by/min_by argmax aggregates. The ordering key must be UNIQUE
     // or argmax ties pick engine-dependent winners: floor(bal*100+0.5)
     // is integral in double on both engines (so the BIGINT cast can't
-    // diverge on truncate-vs-round semantics), ×1e7 + custkey makes it
-    // collision-free and monotone in (acctbal, custkey).
+    // diverge on truncate-vs-round semantics); cast it to BIGINT FIRST,
+    // then ×1e12 + custkey in exact int64 arithmetic (a double packing
+    // would lose bits past 2^53). Collision-free while custkey < 1e12 —
+    // TPC-H customer is 150k×SF, so unique through SF ≈ 6.6M; max
+    // |key| ≈ 1e6×1e12 ≈ 1.0e18, inside int64.
     "q_agg_minmax_by" -> ((s, dir) => {
       t(s, dir, "customer")
         .withColumn("ord",
-          (floor(col("c_acctbal") * 100 + 0.5) * 10000000L +
-            col("c_custkey")).cast(LongType))
+          floor(col("c_acctbal") * 100 + 0.5).cast(LongType) *
+            1000000000000L + col("c_custkey"))
         .groupBy("c_nationkey")
         .agg(
           expr("max_by(c_name, ord)").as("richest"),
@@ -556,11 +559,11 @@ object ExtQueries extends QSet {
 
     "q_agg_minmax_by" ->
       """SELECT c_nationkey,
-        | arg_max(c_name, CAST(floor(c_acctbal*100 + 0.5)*10000000
-        |   + c_custkey AS BIGINT)) AS richest,
+        | arg_max(c_name, CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)
+        |   * 1000000000000 + c_custkey) AS richest,
         | max(c_acctbal) AS max_bal,
-        | arg_min(c_name, CAST(floor(c_acctbal*100 + 0.5)*10000000
-        |   + c_custkey AS BIGINT)) AS poorest,
+        | arg_min(c_name, CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)
+        |   * 1000000000000 + c_custkey) AS poorest,
         | min(c_acctbal) AS min_bal,
         | COUNT(*) AS n
         |FROM customer GROUP BY c_nationkey

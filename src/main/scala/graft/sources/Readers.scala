@@ -60,11 +60,19 @@ object Readers {
     * accrete thousands of small files whose per-file open/footer cost
     * eventually dominates scans; periodic compaction is standard
     * ingestion hygiene. Write to a NEW directory then swap — an
-    * in-place rewrite that dies mid-job loses data. */
+    * in-place rewrite that dies mid-job loses data, so a dst equal to
+    * (or nested under) src is rejected up front rather than left to
+    * Spark's read-while-overwriting failure mode. */
   def compactParquet(spark: SparkSession, srcDir: String, dstDir: String,
-      targetFiles: Int): Unit =
+      targetFiles: Int): Unit = {
+    val src = new java.io.File(srcDir).getCanonicalFile.toPath
+    val dst = new java.io.File(dstDir).getCanonicalFile.toPath
+    require(dst != src && !dst.startsWith(src),
+      s"compactParquet dst must be a separate directory (src=$src dst=$dst)" +
+        ": an in-place overwrite deletes the input mid-read")
     spark.read.parquet(srcDir).repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(dstDir)
+  }
 
   /** ORC reader — the other self-describing columnar at-rest format the
     * ingestion surface supports (schema from file footers, splittable,

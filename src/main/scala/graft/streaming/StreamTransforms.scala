@@ -73,18 +73,23 @@ object StreamTransforms {
     * count of purchases since the last error event. State is one counter
     * per user — bounded by user cardinality, the 100 TB-safe shape.
     * Within a micro-batch the group iterator is sorted by (ts, id) so
-    * replay order, not arrival order, defines the result. Works on batch
-    * Datasets too (Spark runs it as a single "batch" group pass).
+    * replay order, not arrival order, defines the result — at FULL
+    * microsecond precision (Timestamp.getTime truncates to ms, which
+    * would order two same-millisecond events differently from the
+    * full-precision oracle sort). Works on batch Datasets too (Spark
+    * runs it as a single "batch" group pass).
     */
   def purchasesSinceError(ev: Dataset[EvRow]): Dataset[PurchaseCount] = {
     import ev.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     ev.groupByKey(_.user_id)
       .flatMapGroupsWithState[CounterState, PurchaseCount](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[EvRow], state: GroupState[CounterState]) =>
           var n = state.getOption.map(_.n).getOrElse(0L)
           val out = scala.collection.mutable.ArrayBuffer.empty[PurchaseCount]
-          it.toSeq.sortBy(e => (e.ts_us.getTime, e.event_id)).foreach { e =>
+          it.toSeq.sortBy(e => (micros(e.ts_us), e.event_id)).foreach { e =>
             e.event_type match {
               case "error"    => n = 0L
               case "purchase" => n += 1; out += PurchaseCount(uid, e.event_id, n)

@@ -66,7 +66,8 @@ class EdgeSpec extends AnyFunSuite {
     assert(got(0)._2.contains(11.0))
     assert(got(1)._2.isEmpty, "NULL input → NULL (null-intolerant)")
     assert(got(2)._2.contains(0.0), "empty arrays → 0")
-    assert(got(3)._2.contains(2.0), "length mismatch folds the shorter prefix")
+    assert(got(3)._2.isEmpty,
+      "length mismatch → NULL, matching the HOF zip_with pad-with-NULL fold")
   }
 
   test("salted aggregation collapses to plain aggregation on tiny groups") {

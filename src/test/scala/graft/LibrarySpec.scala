@@ -339,6 +339,17 @@ class LibrarySpec extends AnyFunSuite {
     assert(out == 2, s"expected 2 compacted files, got $out")
     assert(Readers.parquet(spark, s"$many-compact").count() ==
       Tables.t(spark, sf, "nation").count())
+    // in-place rewrite refused up front (same dir, trailing-slash alias,
+    // and dst nested under src all destroy the input mid-read)
+    intercept[IllegalArgumentException] {
+      Readers.compactParquet(spark, many, many, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Readers.compactParquet(spark, many, s"$many/", 2)
+    }
+    intercept[IllegalArgumentException] {
+      Readers.compactParquet(spark, many, s"$many/sub", 2)
+    }
   }
 
   test("text source round-trips document lines verbatim") {

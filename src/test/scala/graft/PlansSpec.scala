@@ -83,4 +83,45 @@ class PlansSpec extends AnyFunSuite {
     assert(!floatMul.queryExecution.optimizedPlan.toString
       .contains("array_dot_f"))
   }
+
+  test("HOF rewrite preserves NULL semantics on ragged / null-element arrays") {
+    // the un-rewritten fold returns NULL when zip_with pads a length
+    // mismatch (NULL products poison acc + v) or any element is NULL;
+    // the injected rule must not change those answers
+    // through parquet, not a LocalRelation — ConvertToLocalRelation
+    // would otherwise evaluate the fold in the main optimizer batch
+    // before the injected rule ever sees it
+    val dir = s"/tmp/graft_${spark.sparkContext.applicationId}_ragged"
+    Seq(
+      (1L, Some(Seq[Option[Float]](Some(1.0f), Some(2.0f))),
+        Some(Seq[Option[Float]](Some(3.0f), Some(4.0f)))),      // dense
+      (2L, Some(Seq[Option[Float]](Some(1.0f), Some(2.0f))),
+        Some(Seq[Option[Float]](Some(3.0f)))),                  // ragged
+      (3L, Some(Seq[Option[Float]](Some(1.0f), None)),
+        Some(Seq[Option[Float]](Some(3.0f), Some(4.0f)))),      // null elem
+      (4L, None, Some(Seq[Option[Float]](Some(1.0f))))          // null array
+    ).toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val hof = df.select(col("id"), expr(
+      "aggregate(zip_with(a, b, " +
+        "(x, y) -> cast(x as double) * cast(y as double)), " +
+        "cast(0 as double), (acc, v) -> acc + v)").as("dot"))
+    assert(hof.queryExecution.optimizedPlan.toString.contains("array_dot_f"),
+      "rule must fire on nullable-element arrays for this test to bite")
+    val got = hof.orderBy("id").as[(Long, Option[Double])].collect().toSeq
+    assert(got == Seq(1L -> Some(11.0), 2L -> None, 3L -> None, 4L -> None),
+      s"rewritten fold diverged from HOF NULL semantics: $got")
+    // interpreted eval path must agree with the codegen path above
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val at = ArrayType(FloatType, containsNull = true)
+    def lit(xs: Seq[java.lang.Float]) = Literal.create(xs, at)
+    import graft.functions.ArrayDotProductF
+    assert(ArrayDotProductF(lit(Seq(1.0f, 2.0f)), lit(Seq(3.0f, 4.0f)))
+      .eval() == 11.0)
+    assert(ArrayDotProductF(lit(Seq(1.0f, 2.0f)), lit(Seq(3.0f)))
+      .eval() == null, "ragged → NULL in interpreted eval")
+    assert(ArrayDotProductF(lit(Seq(1.0f, null)), lit(Seq(3.0f, 4.0f)))
+      .eval() == null, "null element → NULL in interpreted eval")
+  }
 }
