@@ -141,11 +141,20 @@ object DedupQueries extends QSet {
     // operators, so the transform+array_distinct array build runs twice
     // per row — the groupBy over the persisted exploded frame is
     // cheaper than a second array pass.)
+    // xxhash64(sh) rides along as the LEADING equi-key: the sort-merge
+    // then orders by the fixed-width long and falls back to the string
+    // comparator only on hash-equal rows (true matches), instead of
+    // comparing variable-length shingle strings throughout the sort.
+    // The string equality stays in the key, so the pair set is still
+    // EXACT — the hash only accelerates, never decides.
     val shs = sh.join(broadcast(sizes), "doc_id")
-    shs.select(col("doc_id").as("d1"), col("sh"), col("sz").as("sz1"))
-      .join(shs.select(col("doc_id").as("d2"), col("sh").as("sh2"),
-        col("sz").as("sz2")),
-        col("sh") === col("sh2") && col("d1") < col("d2") &&
+      .withColumn("hb", xxhash64(col("sh")))
+    shs.select(col("doc_id").as("d1"), col("hb"), col("sh"),
+        col("sz").as("sz1"))
+      .join(shs.select(col("doc_id").as("d2"), col("hb").as("hb2"),
+        col("sh").as("sh2"), col("sz").as("sz2")),
+        col("hb") === col("hb2") && col("sh") === col("sh2") &&
+          col("d1") < col("d2") &&
           col("sz1") * 5 >= col("sz2") * 4 && col("sz2") * 5 >= col("sz1") * 4)
       .groupBy("d1", "d2", "sz1", "sz2").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
@@ -166,9 +175,10 @@ object DedupQueries extends QSet {
     */
   def componentReps(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.HashPartitioner
-    // persist the pair list: verts + both edge directions + the
-    // self-loop branch otherwise each re-run the shingle self-join.
-    val pairs = ngramPairs(s, dir).select("d1", "d2").persist()
+    // the RDD cache below is the only materialization the loop needs —
+    // a DF-level persist on top of it would build a second (columnar)
+    // copy of the pair list for nothing
+    val pairs = ngramPairs(s, dir).select("d1", "d2")
     // Iterate ONLY over edge-endpoint vertices: isolated documents are
     // their own singleton cluster by definition and re-labelling them
     // every round would make each iteration corpus-sized instead of
@@ -181,12 +191,17 @@ object DedupQueries extends QSet {
     // round (~0.5 s/round measured at sf0.1, 3+ s total on a 256-edge
     // graph), while the RDD join/reduceByKey pair reuses a fixed
     // co-partitioning with zero per-round planning. Edges are
-    // hash-partitioned once and cached; each round is partition-local
-    // (the co-partitioned join emits (dst, label) straight into
-    // reduceByKey(min) on the same partitioner); the driver sees one
-    // label-sum scalar per round (the strictly-decreasing convergence
-    // witness), never rows. Self-loops (v, v) fold "keep your own
-    // label" into the same join.
+    // hash-partitioned once and cached; each round is a neighbor-min
+    // hop (the co-partitioned join emits (dst, label) straight into
+    // reduceByKey(min) on the same partitioner) followed by a pointer
+    // jump label(v) ← label(label(v)) — the jump collapses chains
+    // exponentially, so rounds track log(diameter) instead of diameter
+    // (GraphX/connected-components-in-MapReduce-style two-hop
+    // acceleration), and its shuffle is vertex-sized where the
+    // neighbor-min is edge-sized. The driver sees one label-sum scalar
+    // per round (labels only decrease, so an unchanged sum — neither
+    // hop moved any label — is the fixpoint witness), never rows.
+    // Self-loops (v, v) fold "keep your own label" into the same join.
     val pairRdd = pairs.rdd
       .map(r => (r.getLong(0), r.getLong(1))).cache()
     val nParts = math.max(1, math.min(s.sparkContext.defaultParallelism,
@@ -203,9 +218,17 @@ object DedupQueries extends QSet {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 32) {
-      val next = edgesR.join(labels)
+      val mins = edgesR.join(labels)
         .map { case (_, (dst, lbl)) => (dst, lbl) }
         .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      // pointer jump: every label value is itself a vertex of the same
+      // component (labels start as vertex ids and min() only selects
+      // among them), so label(label(v)) exists, stays in-component, and
+      // is ≤ label(v) by the label(x) ≤ x invariant — chase it one hop
+      val next = mins.map { case (v, l) => (l, v) }
+        .join(mins)
+        .map { case (_, (v, l2)) => (v, l2) }
+        .partitionBy(part)
         .cache()
       val s2 = next.values.fold(0L)(_ + _)
       labels.unpersist(blocking = false)
