@@ -82,8 +82,19 @@ object TextQueries extends QSet {
     "q_text_langid" -> ((s, dir) => {
       // Cavnar–Trenkle n-gram language-ID self-trained on the corpus
       // (graft.functions.LangId: profile build + predict are joins and
-      // windows only — fully oracle-able). Scores are sums of integral
-      // weights, exact in double, cast to long for the compare.
+      // windows only — fully oracle-able). Two corpus passes ON
+      // PURPOSE: the scorer pass is map-side and shuffle-free
+      // (predictBroadcast streams text against the broadcast profile
+      // map), so the only shuffle in the whole query is the profile
+      // build's small (lang, gram) exchange. The "share one gram-count
+      // frame" fusion (LangId.predictFromCounts over a persisted
+      // (doc_id, lang, gram, gcnt) frame) was built and measured
+      // 2.7× SLOWER at sf0.1 (3.01 s vs 1.12 s median-of-3): it trades
+      // the cheap second text pass for a (doc_id, gram)-grained
+      // exchange plus a second shuffle into the per-doc score
+      // aggregate. LibrarySpec asserts all three scorer formulations
+      // agree row-for-row. Scores are sums of integral weights, exact
+      // in double, cast to long for the compare.
       val docs = t(s, dir, "documents").filter(length(col("text")) >= 3)
       val langs = t(s, dir, "documents").select("lang").distinct()
         .collect().map(_.getString(0)).toSeq

@@ -142,6 +142,20 @@ class LibrarySpec extends AnyFunSuite {
     val again = LangId.predict(docs, "doc_id", "text", profiles)
       .collect().map(_.toString).sorted.toSeq
     assert(pred.collect().map(_.toString).sorted.toSeq == again)
+    // all three scorer formulations are exact integer sums of the same
+    // weights — they must agree row-for-row, not just statistically
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").cast("long"), col("pred_lang"),
+        col("score").cast("long")).collect().map(_.toString).sorted.toSeq
+    val exact = norm(pred)
+    assert(norm(LangId.predictBroadcast(
+      docs, "doc_id", "text", profiles)) == exact,
+      "broadcast-map scorer diverged from the join formulation")
+    val cnts = LangId.gramCounts(
+      docs.select(col("doc_id"), col("text")), Seq("doc_id"), "text")
+    assert(norm(LangId.predictFromCounts(
+      cnts, "doc_id", profiles)) == exact,
+      "shared-count scorer diverged from the join formulation")
   }
 
   test("native dot-product expression: codegen'd, equals the HOF fold") {
