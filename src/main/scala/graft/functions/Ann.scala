@@ -23,12 +23,6 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  private def planes(dim: Int, bits: Int, tables: Int,
-      seed: Long): Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(tables, bits, dim)(rnd.nextGaussian())
-  }
-
   /** (id, e, nrm): the vector frame with its L2 norm computed once, by
     * the codegen'd native dot product — the frame every scoring join
     * reattaches vectors from.
@@ -64,26 +58,16 @@ object Ann {
   def approxCosineTopK(df: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int = 64, bits: Int = 6, tables: Int = 32,
       seed: Long = 42L): DataFrame = {
-    val ps = planes(dim, bits, tables, seed)
-    val sigUdf = udf((e: Seq[Float]) => {
-      val v = e.toArray
-      ps.toIndexedSeq.map { table =>
-        var sig = 0L
-        var b = 0
-        while (b < table.length) {
-          var acc = 0.0; var i = 0
-          while (i < v.length) { acc += table(b)(i) * v(i); i += 1 }
-          if (acc > 0) sig |= (1L << b)
-          b += 1
-        }
-        sig
-      }
-    })
     // one pass computes norms + signatures; persisted because the
-    // scoring joins re-read it (twice) after the candidate shuffle
+    // scoring joins re-read it (twice) after the candidate shuffle.
+    // Signatures come from the codegen'd native expression (all tables
+    // in one primitive pass over the unsafe array — the former Scala
+    // UDF boxed each vector into Seq[Float] and broke codegen).
     val vn = withNorm(df, idCol, vecCol).persist()
     val sigs = vn
-      .select(col("id"), posexplode(sigUdf(col("e"))).as(Seq("tbl", "sig")))
+      .select(col("id"), posexplode(
+        Native.lshSignatures(col("e"), dim, bits, tables, seed))
+        .as(Seq("tbl", "sig")))
     val cand = sigs.select(col("id").as("id1"), col("tbl"), col("sig"))
       .join(sigs.select(col("id").as("id2"), col("tbl").as("tbl2"),
         col("sig").as("sig2")),

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftnative.NativeColumn
@@ -35,6 +35,13 @@ object Native {
     import org.apache.spark.sql.functions.sqrt
     sqrt(dotF(a, a))
   }
+
+  /** All `tables` random-hyperplane LSH signatures of an `array<float>`
+    * vector in one codegen'd pass (see [[LshSignaturesF]]). */
+  def lshSignatures(v: Column, dim: Int, bits: Int, tables: Int,
+      seed: Long): Column =
+    NativeColumn.wrap(
+      LshSignaturesF(NativeColumn.unwrap(v), dim, bits, tables, seed))
 
   /** Unicode NFC normalization of a string column — canonical
     * composition ahead of dedup keys / text analysis, so visually
@@ -150,4 +157,80 @@ case class NormalizeNfc(child: Expression)
 
   override protected def withNewChildInternal(
       newChild: Expression): NormalizeNfc = copy(child = newChild)
+}
+
+/** `array<float> → array<long>`: all `tables` random-hyperplane LSH
+  * signatures of a vector in one pass. Bit b of table t is the sign of
+  * the dot product with plane (t, b); planes are Gaussian, derived
+  * lazily from the (dim, bits, tables, seed) parameters — the
+  * expression carries only primitives, so it canonicalizes, serializes
+  * small, and every executor regenerates identical planes
+  * (java.util.Random's algorithm is specified, SURVEY.md A.6).
+  *
+  * Replaces a Scala UDF that boxed every element into Seq[Float] per
+  * row and walled off codegen: this stays inside WholeStageCodegen and
+  * reads the unsafe array data directly. Vectors shorter than `dim`
+  * fold the shared prefix (dense fixed-dim embeddings in practice).
+  */
+case class LshSignaturesF(child: Expression, dim: Int, bits: Int,
+    tables: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  // inferred as Seq[AbstractDataType] (that type is private[sql])
+  override def inputTypes = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "lsh_signatures_f"
+
+  // flattened (tables*bits) × dim plane matrix; regenerated per JVM
+  @transient lazy val planeRows: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables * bits, dim)(rnd.nextGaussian())
+  }
+
+  private def signatures(x: ArrayData): Array[Long] = {
+    val out = new Array[Long](tables)
+    val nv = x.numElements()
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val p = planeRows(t * bits + b)
+        val n = math.min(nv, p.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += p(i) * x.getFloat(i); i += 1 }
+        if (acc > 0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      signatures(a.asInstanceOf[ArrayData]))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the expression instance itself is the codegen reference: the
+    // generated call reuses the same hot loop as the interpreted path
+    // (plane lookup + primitive fold), with the plane matrix built once
+    // per JVM via the lazy val
+    val ref = ctx.addReferenceObj("lshExpr", this,
+      classOf[LshSignaturesF].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util." +
+        s"GenericArrayData($ref.signaturesJava($a));")
+  }
+
+  /** Java-callable bridge for the generated code. */
+  def signaturesJava(x: ArrayData): Array[Long] = signatures(x)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LshSignaturesF = copy(child = newChild)
 }
