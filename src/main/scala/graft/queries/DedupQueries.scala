@@ -105,10 +105,36 @@ object DedupQueries extends QSet {
     * inherently O(n²) — at 100 TB use the LSH/IVF variants in
     * [[graft.functions.Ann]] and keep this as the verification path.
     */
-  def cosineTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
-    val vn = t(s, dir, "embeddings").select(
-      col("vec_id"), col("embedding"),
-      graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
+  /** Hard ceiling on rows entering a DECLARED all-pairs verification
+    * baseline. The two exact-by-construction queries below are O(n²)
+    * on purpose — the scale path is the banded candidate generation in
+    * [[graft.functions.Ann]] with the same exact re-rank — and this
+    * guard turns that documented boundary into an enforced invariant:
+    * past the cap the query fails loudly BEFORE the quadratic join
+    * ever schedules, instead of melting a cluster. One count job on
+    * the skinny (id, vector) frame is the price, paid only by the
+    * baselines themselves.
+    */
+  private[graft] val AllPairsMaxRows = 100000L
+
+  private[graft] def guardAllPairs(df: DataFrame, what: String,
+      maxRows: Long): DataFrame = {
+    val n = df.count()
+    if (n > maxRows) throw new IllegalStateException(
+      s"$what is an exact all-pairs verification baseline and refuses " +
+        s"$n input rows (cap $maxRows): at this scale use the banded " +
+        "candidate generation in graft.functions.Ann (LSH/IVF) with the " +
+        "same exact re-rank")
+    df
+  }
+
+  def cosineTopK(s: SparkSession, dir: String, k: Int,
+      maxRows: Long = AllPairsMaxRows): DataFrame = {
+    val vn = guardAllPairs(
+      t(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding"),
+        graft.functions.Native.l2NormF(col("embedding")).as("nrm")),
+      "cosineTopK", maxRows)
     vn.select(col("vec_id").as("id1"), col("embedding").as("e1"),
         col("nrm").as("n1"))
       .join(vn.select(col("vec_id").as("id2"), col("embedding").as("e2"),
@@ -358,12 +384,17 @@ object DedupQueries extends QSet {
     * 100 TB swap this candidate generator for the LSH banding in
     * [[graft.functions.Ann]] and keep the representative stage
     * unchanged. Cosine rounds HALF_UP to 4dp BEFORE thresholding so
-    * both engines make identical keep/drop decisions.
+    * both engines make identical keep/drop decisions. Guarded by
+    * [[guardAllPairs]]: past the cap it refuses to run rather than
+    * schedule the quadratic join.
     */
-  def embeddingDedup(s: SparkSession, dir: String, tau: Double): DataFrame = {
-    val vn = t(s, dir, "embeddings").select(
-      col("vec_id"), col("embedding"),
-      graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
+  def embeddingDedup(s: SparkSession, dir: String, tau: Double,
+      maxRows: Long = AllPairsMaxRows): DataFrame = {
+    val vn = guardAllPairs(
+      t(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding"),
+        graft.functions.Native.l2NormF(col("embedding")).as("nrm")),
+      "embeddingDedup", maxRows)
     val pairs = vn.select(col("vec_id").as("vid"), col("embedding").as("e1"),
         col("nrm").as("n1"))
       .join(vn.select(col("vec_id").as("nbr"), col("embedding").as("e2"),

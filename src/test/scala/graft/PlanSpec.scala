@@ -219,4 +219,47 @@ class PlanSpec extends AnyFunSuite {
     val expected = ev.filter(col("day") === lit(firstDay)).count()
     assert(back.count() == expected)
   }
+
+  // The machine-checked all-pairs boundary: every declared query's
+  // physical plan is free of CartesianProduct / BroadcastNestedLoopJoin
+  // EXCEPT the explicitly declared exact baselines. A new query that
+  // accidentally plans all-pairs (dropped equi key, non-equi-only
+  // condition) fails this lint instead of shipping as a 100 TB
+  // scale-killer.
+  test("plan lint: no cartesian/BNLJ outside the declared all-pairs baselines") {
+    val declared = Map(
+      // explicit cross join of two bounded dimensions
+      "q_join_cross" -> "declared cross join",
+      // exact brute-force verification baselines, each row-count-guarded
+      // (guardAllPairs) and each documenting its Ann.* banded swap
+      "q_sim_cosine_topk" -> "exact brute-force baseline",
+      "q_dedup_embedding" -> "exact brute-force baseline",
+      // 1-row global-aggregate attaches: the BNLJ's build side is a
+      // single-row count/summary frame by construction (n × 1, not n²)
+      "q_text_tfidf" -> "broadcast of the 1-row corpus count",
+      "q_quality_constraints" -> "cross of three 1-row audit summaries")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val p = fn(spark, sf).queryExecution.executedPlan.toString
+        val allPairs = p.contains("CartesianProduct") ||
+          p.contains("BroadcastNestedLoopJoin")
+        if (allPairs && !declared.contains(name)) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"undeclared all-pairs plan in: ${offenders.mkString(", ")}")
+  }
+
+  test("all-pairs baselines refuse oversized inputs before planning the join") {
+    import graft.queries.DedupQueries
+    val e1 = intercept[IllegalStateException] {
+      DedupQueries.cosineTopK(spark, sf, 10, maxRows = 1L)
+    }
+    assert(e1.getMessage.contains("graft.functions.Ann"))
+    val e2 = intercept[IllegalStateException] {
+      DedupQueries.embeddingDedup(spark, sf, 0.40, maxRows = 1L)
+    }
+    assert(e2.getMessage.contains("all-pairs"))
+    // at the declared cap the baselines still construct and plan
+    assert(DedupQueries.cosineTopK(spark, sf, 10).columns.nonEmpty)
+  }
 }
