@@ -144,10 +144,39 @@ object FnQueries extends QSet {
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"))
         .orderBy("event_type")
+    }),
+
+    // Edit-distance family (the scalar backbone of fuzzy key matching /
+    // near-dup verification): levenshtein between each customer name
+    // and the NEXT name in its nation — the window pairing keeps the
+    // candidate set linear in the table (one pair per row), where a
+    // naive distance self-join would be quadratic. Both engines
+    // implement classic unit-cost edit distance.
+    "q_fn_strdist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_name"))
+        .withColumn("next_name", lead(col("c_name"), 1).over(w))
+        .filter(col("next_name").isNotNull)
+        .select(col("c_custkey"), col("c_name"), col("next_name"),
+          levenshtein(col("c_name"), col("next_name")).cast(LongType)
+            .as("lev"))
+        .orderBy("c_custkey")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fn_strdist" ->
+      """WITH x AS (
+        |  SELECT c_custkey, c_name,
+        |    lead(c_name) OVER (PARTITION BY c_nationkey ORDER BY c_custkey)
+        |      AS next_name
+        |  FROM customer)
+        |SELECT c_custkey, c_name, next_name,
+        |  CAST(levenshtein(c_name, next_name) AS BIGINT) AS lev
+        |FROM x WHERE next_name IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin,
     "q_fn_string" ->
       """SELECT p_partkey,
         | lower(p_name) AS lo, upper(p_type) AS up,

@@ -144,10 +144,42 @@ object JoinQueries extends QSet {
         .select(col("event_id"), col("ts_us").as("ts"),
           col("c_id").as("prior_click_id"), col("c_ts").as("prior_ts"))
         .orderBy("event_id")
+    }),
+
+    // Skew-salted join, the companion technique to q_agg_salted_twophase:
+    // the probe (fact) side salts each row into one of S buckets by a
+    // hash of its ROW identity, the build (dim) side replicates each key
+    // S times, and the equi-join runs on (key, salt) — a hot fact key
+    // that would pin one reduce task now spreads across S tasks. The
+    // result is provably salt-invariant (every fact row still matches
+    // exactly its dim row), so the oracle is the PLAIN join. At this SF
+    // Spark broadcasts the replicated dim (salting is then free); at
+    // skew scale you disable the broadcast and the (key, salt) shuffle
+    // is the point.
+    "q_join_salted" -> ((s, dir) => {
+      val S = 8
+      val fact = t(s, dir, "orders")
+        .withColumn("salt",
+          pmod(xxhash64(col("o_orderkey")), lit(S)).cast(IntegerType))
+      val dim = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        .withColumn("salt", explode(expr(s"sequence(0, ${S - 1})")))
+      fact.join(dim,
+          col("o_custkey") === col("c_custkey") &&
+            fact("salt") === dim("salt"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          d4(sum(D(col("o_totalprice")))).as("revenue"))
+        .orderBy("c_mktsegment")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_salted" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q_join_broadcast" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, p_name, p_retailprice
         |FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -250,10 +250,84 @@ object MiscQueries extends QSet {
         .select(col("o_orderpriority"), d4(col("s")).as("total"),
           col("n").cast("long").as("n_orders"))
         .orderBy("o_orderpriority")
+    }),
+
+    // Linear interpolation of gapped per-user daily series — the
+    // companion to q_ts_resample_fill's zero-fill: each user's day
+    // spine spans their own (min, max) active day, missing days take
+    // prev + (next − prev) · elapsed/gap from the nearest real
+    // neighbours. Everything is per-user windows (ignoreNulls
+    // last/first carry the neighbour value and ITS day in one pass);
+    // no self-join, no iteration. Endpoints can't dangle: the spine
+    // starts and ends on days that have data by construction. Both
+    // engines interpolate the same d4-normalized doubles with the same
+    // int-ratio fraction, so the arithmetic is bit-identical.
+    "q_ts_interpolate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val daily = ev
+        .groupBy(col("user_id"),
+          date_trunc("day", col("ts_us")).cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt"), d4(sum(D(col("value")))).as("v"))
+      val spine = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val wp = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val dayIfReal = when(col("v").isNotNull, col("day"))
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+        .withColumn("pd", last(dayIfReal, ignoreNulls = true).over(wp))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+        .withColumn("nd", first(dayIfReal, ignoreNulls = true).over(wn))
+        .select(col("user_id"), col("day"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          round(when(col("v").isNotNull, col("v")).otherwise(
+            col("pv") + (col("nv") - col("pv")) *
+              (datediff(col("day"), col("pd")).cast("double") /
+                datediff(col("nd"), col("pd")).cast("double"))), 4)
+            .as("v_interp"))
+        .orderBy("user_id", "day")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_interpolate" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    COUNT(*) AS cnt,
+        |    CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        |        FROM daily GROUP BY 1)),
+        |j AS (
+        |  SELECT s.user_id, s.day, COALESCE(cnt, 0) AS cnt, v,
+        |    last_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY s.user_id ORDER BY s.day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN s.day END IGNORE NULLS)
+        |      OVER (PARTITION BY s.user_id ORDER BY s.day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    first_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY s.user_id ORDER BY s.day
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN s.day END IGNORE NULLS)
+        |      OVER (PARTITION BY s.user_id ORDER BY s.day
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM spine s LEFT JOIN daily USING (user_id, day))
+        |SELECT user_id, day, cnt,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |    ELSE pv + (nv - pv) *
+        |      (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)) END, 4)
+        |    AS v_interp
+        |FROM j
+        |ORDER BY user_id, day""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,

@@ -121,10 +121,46 @@ object WindowQueries extends QSet {
           size(collect_set(col("event_type")).over(w)).cast(LongType))
         .select("user_id", "event_id", "tsu", "u5")
         .orderBy("user_id", "tsu", "event_id")
+    }),
+
+    // Gaps-and-islands: longest run of CONSECUTIVE active days per
+    // user. The classic constant-anchor trick — day minus row_number
+    // is constant exactly within a consecutive run — turns streak
+    // detection into a groupBy, so the whole query is one user window
+    // plus two hash aggregates: no self-join, no iteration, partitioned
+    // by user at any scale.
+    "q_win_streak" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      events(s, dir)
+        .select(col("user_id"),
+          date_trunc("day", col("ts_us")).cast("date").as("day"))
+        .distinct()
+        .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "anchor")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max(col("len")).as("longest_streak"),
+          sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_streak" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS INTEGER) AS anchor
+        |  FROM ud),
+        |st AS (SELECT user_id, anchor, COUNT(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, MAX(len) AS longest_streak,
+        | CAST(SUM(len) AS BIGINT) AS n_active_days, COUNT(*) AS n_streaks
+        |FROM st GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "q_win_rownumber_topk" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,
