@@ -179,6 +179,26 @@ object AggQueries extends QSet {
         .orderBy("o_orderstatus")
     }),
 
+    // Discrete percentile: an ACTUAL element of the group (the inverse
+    // empirical CDF — smallest value whose cume_dist ≥ p), not an
+    // interpolated midpoint; the estimator quantile reporting wants
+    // when the value must be a real observation. Spark's
+    // percentile_disc and DuckDB's quantile_disc both implement the
+    // inverse-CDF convention (verified on odd/even/1/2-element
+    // boundary cases), and the result is an exact input double — no
+    // rounding needed.
+    "q_agg_percentile_disc" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("p50_disc"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("p90_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
     "q_agg_rollup" -> ((s, dir) => {
       // Via the SQL front-end: sorting over a DF-API rollup of a join
       // trips the analyzer's ambiguous-attribute check (the grouping-set
@@ -272,6 +292,13 @@ object AggQueries extends QSet {
       """SELECT o_orderstatus,
         | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         | round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_percentile_disc" ->
+      """SELECT o_orderstatus,
+        | quantile_disc(o_totalprice, 0.5) AS p50_disc,
+        | quantile_disc(o_totalprice, 0.9) AS p90_disc,
+        | COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_agg_rollup" ->

@@ -156,6 +156,24 @@ object MiscQueries extends QSet {
         .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
     }),
 
+    // Deterministic 3-way train/val/test split (~80/10/10): the first
+    // two md5 hex digits of the doc key compare lexicographically
+    // against 'cc' (=204/256) and 'e6' (=230/256) — reproducible on
+    // any engine/partitioning, every doc in exactly one split, and a
+    // doc never migrates when the corpus grows (hash of the KEY, not
+    // of position). The audit output is per-(split, lang) volume.
+    "q_sample_split" -> ((s, dir) => {
+      val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(h2 < "cc", "train").when(h2 < "e6", "val")
+            .otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"))
+        .orderBy("split", "lang")
+    }),
+
     "q_scd2_history" -> ((s, dir) => {
       // SCD-2 dimension history build: every order versions its
       // customer's value; validity = [this version's date, next
@@ -396,6 +414,20 @@ object MiscQueries extends QSet {
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity FROM lineitem
         |WHERE substring(md5(l_orderkey || '-' || l_linenumber || '-' || l_suppkey), 1, 1) = '0'
         |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_quantity""".stripMargin,
+
+    "q_sample_split" ->
+      """WITH x AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+        |           THEN 'train'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+        |FROM x GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin,
 
     "q_scd2_history" ->
       """SELECT o_custkey AS key, o_orderkey AS seq, o_totalprice AS value,
