@@ -249,6 +249,46 @@ class PlanSpec extends AnyFunSuite {
       s"undeclared all-pairs plan in: ${offenders.mkString(", ")}")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Tables
+    // the 100 TB shape: a selective dim filter should also prune the
+    // FACT scan via a runtime bloom filter on the join key (Spark's
+    // InjectRuntimeFilter). Size thresholds exist for production
+    // (creation side must be ≤ 10MB, fact scan ≥ 10GB); relax both so
+    // the tiny fixture plans the same shuffle-join shape a real fact
+    // table would, and disable broadcast for the same reason.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    def joined = Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+      .join(Tables.t(spark, sf, "part")
+          .filter(col("p_retailprice") > 915) // keeps ~25% of parts at this SF
+          .select("p_partkey", "p_name"),
+        col("l_partkey") === col("p_partkey"))
+    try {
+      val j = joined
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter did not inject:\n$p")
+      // the bloom filter may only PRUNE non-matching rows, never change
+      // the result: same count with the rule off
+      val n = j.count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plain = joined
+      assert(!plain.queryExecution.optimizedPlan.toString.contains("might_contain"))
+      assert(n > 0 && n == plain.count())
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("all-pairs baselines refuse oversized inputs before planning the join") {
     import graft.queries.DedupQueries
     val e1 = intercept[IllegalStateException] {
