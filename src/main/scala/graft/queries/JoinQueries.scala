@@ -48,6 +48,59 @@ object JoinQueries extends QSet {
         .orderBy("n_name")
     }),
 
+    // TPC-H Q3 (shipping priority), adapted to this schema (no
+    // o_shippriority column → o_orderpriority rides along): selective
+    // filters on BOTH fact inputs land in the scans, revenue partial-
+    // aggregates per (orderkey, ...) group, and the global top-10 is a
+    // TakeOrdered merge — never a full sort. (revenue, date, orderkey)
+    // is a total order, so the LIMIT frontier is engine-independent.
+    "q_tpch_q3" -> ((s, dir) => {
+      val rev = (D(col("l_extendedprice")) *
+        (lit(1).cast(Dec) - D(col("l_discount")))).cast(Dec)
+      val cut = to_timestamp(lit("1998-06-01"))
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+        .join(t(s, dir, "orders").filter(col("o_orderdate") < cut),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_shipdate") > cut),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast("date").as("orderdate"),
+          col("o_orderpriority"))
+        .agg(d4(sum(rev)).as("revenue"))
+        .orderBy(col("revenue").desc, col("orderdate"), col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    }),
+
+    // TPC-H Q5 (local supplier volume) proper: the 6-table join with
+    // the same-nation customer⋈supplier constraint and a 1-year date
+    // window. Catalyst broadcast-joins the three dimension tables and
+    // shuffles only the two facts; the n_name aggregate is partial+
+    // final. The q_join_star query is the simplified shape; this one
+    // exercises join ordering across six inputs.
+    "q_tpch_q5" -> ((s, dir) => {
+      val rev = (D(col("l_extendedprice")) *
+        (lit(1).cast(Dec) - D(col("l_discount")))).cast(Dec)
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(
+          col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(d4(sum(rev)).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     "q_join_sortmerge" -> ((s, dir) => {
       // big ⋈ big: forced sort-merge (the 100 TB-correct plan shape).
       val disc = (D(col("l_extendedprice")) *
@@ -174,6 +227,35 @@ object JoinQueries extends QSet {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        | CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS revenue,
+        | CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        |ORDER BY revenue DESC, orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        | CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
     "q_join_salted" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS revenue
