@@ -101,6 +101,27 @@ object JoinQueries extends QSet {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // TPC-H Q18 (large-volume customers): the grouped-HAVING semi
+    // shape — aggregate lineitem per order, keep the >300-quantity
+    // tail, and attach customer/order detail to only those survivors.
+    // The filtered aggregate is tiny, so Catalyst broadcasts it into
+    // the orders scan; the global top-100 is a TakeOrdered merge.
+    // (o_totalprice, orderdate, o_orderkey) is a total order.
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300.0)
+      t(s, dir, "customer").select("c_custkey", "c_name")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("orderdate"), col("o_orderkey"))
+        .limit(100)
+    }),
+
     "q_join_sortmerge" -> ((s, dir) => {
       // big ⋈ big: forced sort-merge (the 100 TB-correct plan shape).
       val disc = (D(col("l_extendedprice")) *
@@ -255,6 +276,18 @@ object JoinQueries extends QSet {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        | CAST(o_orderdate AS DATE) AS orderdate, o_totalprice, sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING SUM(l_quantity) > 300.0) big
+        |  ON o_orderkey = big.l_orderkey
+        |ORDER BY o_totalprice DESC, orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q_join_salted" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,

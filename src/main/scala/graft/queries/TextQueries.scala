@@ -137,6 +137,26 @@ object TextQueries extends QSet {
         .orderBy("doc_id", "fp")
     }),
 
+    // Pattern redaction: scrub a sensitive-term list from every doc
+    // (the PII/compliance pass a corpus pipeline runs before training),
+    // auditing hit counts and fingerprinting the scrubbed text. One
+    // narrow projection — no shuffle until the presentation sort.
+    // DuckDB's regexp_replace needs the 'g' flag to match Spark's
+    // replace-all; the pattern stays in the RE2 ∩ java.util.regex
+    // common dialect.
+    "q_text_redact" -> ((s, dir) => {
+      val pat = "(customer|supplier|order)"
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr(s"cast(size(regexp_extract_all(text, '$pat', 0)) as bigint)")
+            .as("n_redactions"),
+          length(regexp_replace(col("text"), pat, "[REDACTED]"))
+            .cast(LongType).as("redacted_len"),
+          md5(regexp_replace(col("text"), pat, "[REDACTED]"))
+            .as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_token_count" -> ((s, dir) => {
       // Whitespace tokens vs BPE-ish regex tokens (word / number /
       // single-symbol pieces) — the two standard corpus size estimates.
@@ -326,6 +346,16 @@ object TextQueries extends QSet {
         |    j -> list_min(list_slice(h, j, j + 3)))) AS fps FROM hs)
         |SELECT doc_id, unnest(fps) AS fp FROM wins
         |ORDER BY doc_id, fp""".stripMargin,
+
+    "q_text_redact" ->
+      """SELECT doc_id, lang,
+        | CAST(len(regexp_extract_all(text, '(customer|supplier|order)')) AS BIGINT)
+        |   AS n_redactions,
+        | CAST(length(regexp_replace(text, '(customer|supplier|order)', '[REDACTED]', 'g')) AS BIGINT)
+        |   AS redacted_len,
+        | md5(regexp_replace(text, '(customer|supplier|order)', '[REDACTED]', 'g'))
+        |   AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_token_count" ->
       """SELECT doc_id, lang,
