@@ -101,6 +101,40 @@ object JoinQueries extends QSet {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // Bucketed co-located join: both sides land as bucketBy(8, key)
+    // sortBy(key) external tables, so the subsequent join reads the
+    // bucketing as a valid hash partitioning and plans with NO shuffle
+    // under the join or the per-key aggregate (asserted in PlanSpec;
+    // the only exchange is the presentation sort). This is the
+    // pre-shuffled layout that turns a nightly fact⋈fact join at
+    // 100 TB from two full shuffles into a map-side merge. Bucketing
+    // is result-invariant, so the oracle is the plain join on the
+    // original parquet. Paths/names are (sfDir, applicationId)-scoped
+    // like the source round-trips — concurrent harness runs don't race.
+    "q_join_bucketed" -> ((s, dir) => {
+      val tag = (new java.io.File(dir).getName + "_" +
+        s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
+      val ot = s"g_orders_bkt_$tag"
+      val ct = s"g_customer_bkt_$tag"
+      t(s, dir, "orders").select("o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .option("path", s"/tmp/graft_bkt_orders_$tag")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+      t(s, dir, "customer").select("c_custkey")
+        .write.mode("overwrite")
+        .option("path", s"/tmp/graft_bkt_customer_$tag")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+      // hint("merge") keeps the oracle-scale fixture off the broadcast
+      // path so the declared plan is the bucketed sort-merge a 100 TB
+      // run would pick (both sides far past any broadcast threshold).
+      s.table(ct)
+        .join(s.table(ot).hint("merge"), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          d4(sum(D(col("o_totalprice")))).as("revenue"))
+        .orderBy("c_custkey")
+    }),
+
     // TPC-H Q18 (large-volume customers): the grouped-HAVING semi
     // shape — aggregate lineitem per order, keep the >300-quantity
     // tail, and attach customer/order detail to only those survivors.
@@ -276,6 +310,13 @@ object JoinQueries extends QSet {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_join_bucketed" ->
+      """SELECT c_custkey, COUNT(*) AS n_orders,
+        | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey,

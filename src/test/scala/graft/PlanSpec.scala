@@ -149,6 +149,17 @@ class PlanSpec extends AnyFunSuite {
       o.join(l, col("o_orderkey") === col("l_orderkey")).count())
   }
 
+  test("declared bucketed join runs join AND per-key agg with no hash exchange") {
+    // q_join_bucketed: bucketBy(8, key) on both sides makes the scan
+    // output a valid hash partitioning, so the sort-merge join and the
+    // groupBy on the SAME key both plan exchange-free — the only
+    // exchange left is the presentation sort's range partitioning.
+    val p = plan("q_join_bucketed")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("decontamination broadcasts the holdout gram set (no shuffled semi join)") {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)
