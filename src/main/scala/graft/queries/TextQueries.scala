@@ -137,6 +137,32 @@ object TextQueries extends QSet {
         .orderBy("doc_id", "fp")
     }),
 
+    // Unigram-LM quality scoring (the perplexity-filter shape): train
+    // token logprobs from the corpus itself, then score each doc by
+    // mean token log-likelihood. The vocab is corpus-bounded so the
+    // logprob table broadcasts into a map-side join; per-token logprobs
+    // are rounded to 6dp (Java vs libm ln differ in the ulp) and
+    // decimal-ized BEFORE the per-doc sum — order-independent exact
+    // aggregation — with the d4-style string hop back to DOUBLE.
+    "q_quality_lm" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val total = tok.agg(count(lit(1)).as("n_total"))
+      val lp = tok.groupBy("term").agg(count(lit(1)).as("tf"))
+        .crossJoin(broadcast(total))
+        .select(col("term"),
+          round(log(col("tf").cast(DoubleType) / col("n_total")), 6)
+            .as("logp"))
+      tok.join(broadcast(lp), "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(col("logp").cast(DecimalType(18, 8))).as("sum_lp"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("sum_lp").cast(DecimalType(28, 8)).cast(StringType)
+            .cast(DoubleType) / col("n_tok"), 4).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     // Pattern redaction: scrub a sensitive-term list from every doc
     // (the PII/compliance pass a corpus pipeline runs before training),
     // auditing hit counts and fingerprinting the scrubbed text. One
@@ -346,6 +372,22 @@ object TextQueries extends QSet {
         |    j -> list_min(list_slice(h, j, j + 3)))) AS fps FROM hs)
         |SELECT doc_id, unnest(fps) AS fp FROM wins
         |ORDER BY doc_id, fp""".stripMargin,
+
+    "q_quality_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS n_total FROM tok),
+        |lp AS (
+        |  SELECT term,
+        |    ROUND(ln(CAST(COUNT(*) AS DOUBLE) / n_total), 6) AS logp
+        |  FROM tok, tot GROUP BY term, n_total)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  ROUND(CAST(CAST(CAST(SUM(CAST(logp AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS VARCHAR) AS DOUBLE)
+        |    / COUNT(*), 4) AS avg_logp
+        |FROM tok JOIN lp USING (term)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_redact" ->
       """SELECT doc_id, lang,

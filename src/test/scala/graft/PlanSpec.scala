@@ -248,6 +248,7 @@ class PlanSpec extends AnyFunSuite {
       // 1-row global-aggregate attaches: the BNLJ's build side is a
       // single-row count/summary frame by construction (n × 1, not n²)
       "q_text_tfidf" -> "broadcast of the 1-row corpus count",
+      "q_quality_lm" -> "broadcast of the 1-row corpus token total",
       "q_quality_constraints" -> "cross of three 1-row audit summaries")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
