@@ -233,6 +233,38 @@ object JoinQueries extends QSet {
         .orderBy("id1", "id2")
     }),
 
+    // Pure range join (NO shared equi key): errors within ±5 minutes
+    // of each purchase, across ALL users. Naively this plans as a
+    // BroadcastNestedLoopJoin — the classic scale-killer. Interval
+    // bucketing restores an equi key: every error lands in exactly one
+    // 5-minute bucket, every purchase probes its own and both
+    // neighbour buckets, and the exact range predicate runs INSIDE the
+    // equi join — so an error pairs with a purchase at most once and
+    // the join shuffles on bucket like any hash join. The all-pairs
+    // plan lint passing over this query is the machine proof of shape.
+    // LEFT join keeps zero-match purchases (count ignores the nulls;
+    // the 3 bucket probes of an unmatched purchase collapse to one
+    // zero-count group).
+    "q_join_range_bucket" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("ts_us").as("ts_e"),
+          expr("unix_micros(ts_us) div 300000000").as("bkt"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts_us").as("ts_p"),
+          expr("unix_micros(ts_us) div 300000000").as("b0"))
+        .withColumn("bkt",
+          explode(expr("array(b0 - 1, b0, b0 + 1)")))
+      pur.join(err,
+          pur("bkt") === err("bkt") &&
+            col("ts_e") >= col("ts_p") - expr("INTERVAL 5 MINUTES") &&
+            col("ts_e") <= col("ts_p") + expr("INTERVAL 5 MINUTES"),
+          "left")
+        .groupBy("event_id")
+        .agg(count(col("ts_e")).as("n_nearby_errors"))
+        .orderBy("event_id")
+    }),
+
     "q_join_asof" -> ((s, dir) => {
       // as-of: each purchase's latest strictly-earlier click by the same
       // user. Window formulation (row_number over ts desc) rather than a
@@ -397,6 +429,15 @@ object JoinQueries extends QSet {
         | ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |ORDER BY id1, id2""".stripMargin,
+
+    "q_join_range_bucket" ->
+      """SELECT p.event_id, COUNT(e.ts) AS n_nearby_errors
+        |FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT ts FROM events WHERE event_type = 'error') e
+        |  ON e.ts >= p.ts - INTERVAL 5 MINUTE
+        | AND e.ts <= p.ts + INTERVAL 5 MINUTE
+        |GROUP BY p.event_id
+        |ORDER BY p.event_id""".stripMargin,
 
     "q_join_asof" ->
       """SELECT event_id, ts, prior_click_id, prior_ts FROM (
