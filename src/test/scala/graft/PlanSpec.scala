@@ -261,6 +261,49 @@ class PlanSpec extends AnyFunSuite {
       s"undeclared all-pairs plan in: ${offenders.mkString(", ")}")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew-join lever)") {
+    import org.apache.spark.sql.functions.col
+    // The runtime complement to q_join_salted's static salting: with
+    // AQE skew handling on, a pathologically skewed sort-merge join is
+    // split into subpartitions AT RUNTIME, no query rewrite needed.
+    // The 256MB production threshold is shrunk so the fixture's skew
+    // registers; assertions pin both the split marker in the final
+    // adaptive plan and result-invariance with the feature off.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val dir = s"/tmp/graft_skew_${spark.sparkContext.applicationId}"
+    // 75% of the probe side lands on key 0; the build side is uniform.
+    spark.range(400000)
+      .selectExpr("CASE WHEN id % 4 != 0 THEN 0L ELSE id END AS k",
+        "id AS v")
+      .write.mode("overwrite").parquet(s"$dir/probe")
+    spark.range(1000).selectExpr("id AS k", "id AS w")
+      .write.mode("overwrite").parquet(s"$dir/build")
+    def joined = spark.read.parquet(s"$dir/probe")
+      .join(spark.read.parquet(s"$dir/build"), "k")
+    try {
+      val j = joined
+      // collect() executes THIS dataset's queryExecution — count() or
+      // foreachPartition build separate plans and would leave j's
+      // adaptive plan unfinalized
+      val n = j.collect().length.toLong
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("AQEShuffleRead") && p.toLowerCase.contains("skew"),
+        s"AQE did not split the skewed partition:\n$p")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      assert(n > 0 && n == joined.count())
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions._
     import graft.engine.Tables
