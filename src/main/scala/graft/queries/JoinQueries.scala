@@ -135,6 +135,30 @@ object JoinQueries extends QSet {
         .orderBy("c_custkey")
     }),
 
+    // TPC-H Q10 (returned-item reporting), adapted to this schema:
+    // customers ranked by revenue lost to returns in one quarter. Both
+    // fact filters reach the scans; nation broadcasts; the global
+    // top-20 is a TakeOrdered merge with c_custkey as the total-order
+    // tiebreak.
+    "q_tpch_q10" -> ((s, dir) => {
+      val rev = (D(col("l_extendedprice")) *
+        (lit(1).cast(Dec) - D(col("l_discount")))).cast(Dec)
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(
+          col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1996-04-01"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(d4(sum(rev)).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    }),
+
     // TPC-H Q18 (large-volume customers): the grouped-HAVING semi
     // shape — aggregate lineitem per order, keep the >300-quantity
     // tail, and attach customer/order detail to only those survivors.
@@ -349,6 +373,21 @@ object JoinQueries extends QSet {
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        | CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS revenue,
+        | c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "q_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey,
