@@ -66,26 +66,28 @@ object PipelineQueries extends QSet {
     }),
 
     // Sequence packing: assign docs to fixed 512-token context bins by
-    // contiguous fill — per-lang shard, docs in doc_id order, each doc's
-    // bin is its starting token offset `div` the budget. The window is
-    // PARTITIONED by lang (pack-per-shard, the production layout), so
-    // the cumsum parallelizes across shards — no global window. The
-    // per-bin fill-rate audit is the packing-efficiency metric a
-    // pretraining pipeline tracks.
+    // contiguous fill — per-(lang, source) shard, docs in doc_id order,
+    // each doc's bin is its starting token offset `div` the budget.
+    // The window is PARTITIONED by the shard key (pack-per-shard, the
+    // production layout; lang × source gives ~100 shards here where
+    // lang alone would cap parallelism at 5), so the cumsum
+    // parallelizes across shards — no global window. The per-bin
+    // fill-rate audit is the packing-efficiency metric a pretraining
+    // pipeline tracks.
     "q_pack_sequences" -> ((s, dir) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val w = Window.partitionBy("lang", "source").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "documents")
-        .select(col("lang"), col("doc_id"),
+        .select(col("lang"), col("source"), col("doc_id"),
           size(split(col("text"), " ")).cast(LongType).as("n_tok"))
         .withColumn("cum", sum(col("n_tok")).over(w))
         .withColumn("bin", expr("(cum - n_tok) div 512"))
-        .groupBy("lang", "bin")
+        .groupBy("lang", "source", "bin")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("bin_tokens"))
         .withColumn("fill_rate",
           round(col("bin_tokens").cast(DoubleType) / 512.0, 4))
-        .orderBy("lang", "bin")
+        .orderBy("lang", "source", "bin")
     }),
 
     // Context-window chunking: overlapping 12-token windows at stride 8
@@ -233,18 +235,18 @@ object PipelineQueries extends QSet {
         |ORDER BY cohort, week_offset""".stripMargin,
 
     "q_pack_sequences" ->
-      """SELECT lang, (cum - n_tok) // 512 AS bin,
+      """SELECT lang, source, (cum - n_tok) // 512 AS bin,
         | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
         | ROUND(CAST(SUM(n_tok) AS DOUBLE) / 512.0, 4) AS fill_rate
         |FROM (
-        |  SELECT lang, doc_id,
+        |  SELECT lang, source, doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
         |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
-        |      PARTITION BY lang ORDER BY doc_id
+        |      PARTITION BY lang, source ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
         |  FROM documents)
-        |GROUP BY lang, bin
-        |ORDER BY lang, bin""".stripMargin,
+        |GROUP BY lang, source, bin
+        |ORDER BY lang, source, bin""".stripMargin,
 
     "q_text_chunk" ->
       """WITH toks AS (
