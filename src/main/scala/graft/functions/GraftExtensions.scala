@@ -30,6 +30,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NormalizeNfc].getName, null, "nfc_normalize"),
       (children: Seq[Expression]) => NormalizeNfc(children(0))))
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // own runtime-filter rewrite (InjectRuntimeFilter) but does not
+    // register them as SQL functions; exposing them makes the
+    // bloom-prefilter pattern (build a bits-sized sketch of a huge key
+    // set, pre-filter the probe side, exact-verify the survivors)
+    // writable as a plain query — the 100 TB alternative to
+    // broadcasting the key set itself. might_contain requires its
+    // bloom argument to be a scalar subquery or literal by its own
+    // input check, which is exactly the shape the pattern wants.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        null, "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2)).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        null, "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
     // optimizer tier: the portable HOF dot-product idiom lowers to the
     // codegen'd native expression (see RewriteHofDotProduct's Scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)

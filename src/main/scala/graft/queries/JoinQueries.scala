@@ -135,6 +135,41 @@ object JoinQueries extends QSet {
         .orderBy("c_custkey")
     }),
 
+    // Bloom-prefiltered semi join: the probe (lineitem) is pre-filtered
+    // by a bits-sized bloom sketch of the build keys BEFORE any shuffle,
+    // then the survivors are exact-verified with the real semi join. At
+    // 100 TB the build key set (urgent orders ≈ 1.5M keys/SF) is far too
+    // large to broadcast as data, but its bloom image is a fixed few MB
+    // — a single scalar row — so the fact scan drops ~70% of its rows
+    // map-side and only the prefiltered remainder pays the semi-join
+    // shuffle. Spark's own InjectRuntimeFilter applies this rewrite only
+    // under size thresholds (PlanSpec pins that path); `graft_bloom_agg`
+    // / `graft_might_contain` (GraftExtensions) make the same pattern
+    // writable EXPLICITLY, for when the author knows better than the
+    // thresholds. False positives are removed by the exact verify, so
+    // the result — and the DuckDB oracle — is the plain semi join.
+    "q_join_bloom_prefilter" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey").createOrReplaceTempView("bf_urgent")
+      t(s, dir, "lineitem").createOrReplaceTempView("bf_lineitem")
+      s.sql(
+        """WITH pre AS (
+          |  SELECT l_orderkey, l_returnflag, l_extendedprice
+          |  FROM bf_lineitem
+          |  WHERE graft_might_contain(
+          |    (SELECT graft_bloom_agg(xxhash64(o_orderkey), 1000000L, 8388608L)
+          |     FROM bf_urgent),
+          |    xxhash64(l_orderkey)))
+          |SELECT l_returnflag, COUNT(*) AS n_lines,
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+          |    AS STRING) AS DOUBLE) AS sum_base
+          |FROM pre
+          |WHERE EXISTS (SELECT 1 FROM bf_urgent b
+          |              WHERE b.o_orderkey = pre.l_orderkey)
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // TPC-H Q10 (returned-item reporting), adapted to this schema:
     // customers ranked by revenue lost to returns in one quarter. Both
     // fact filters reach the scans; nation broadcasts; the global
@@ -338,6 +373,16 @@ object JoinQueries extends QSet {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_bloom_prefilter" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = l.l_orderkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q_tpch_q3" ->
       """SELECT l_orderkey,
         | CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS revenue,

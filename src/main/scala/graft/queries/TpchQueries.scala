@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.engine.Tables._
+
+/** SURVEY.md §2.11 — the remaining distinctive TPC-H query shapes, each
+  * adapted to this schema (no partsupp / commitdate / receiptdate /
+  * shipmode columns in the fixtures — adaptations keep the SHAPE that
+  * makes each query a benchmark classic, substituting columns that
+  * exist).
+  *
+  * 100 TB posture per query is noted inline; the common thread: every
+  * dimension side broadcasts, every fact⋈fact shuffles on its key once,
+  * correlated subqueries become aggregate-then-join (the standard
+  * decorrelation Spark's own subquery planner performs), and global
+  * scalars ride windows or 1-row broadcasts, never a driver collect.
+  */
+object TpchQueries extends QSet {
+
+  val queries: Map[String, QFn] = Map(
+
+    // TPC-H Q12 (shipmode priority classification) adapted: lineitem
+    // has no l_shipmode → classify by l_returnflag instead. The shape
+    // is the point: fact⋈fact join with the date filter pushed to the
+    // lineitem scan, conditional aggregation splitting order priorities
+    // into critical/non-critical counts. One shuffle per fact, 3-row
+    // result.
+    "q_tpch_q12" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q13 (customer order-count distribution): the left-outer
+    // join that keeps zero-order customers, then the count-of-counts
+    // histogram. Two aggregate shuffles (custkey, then c_count); both
+    // partial+final. The orders-side filter excludes urgent orders the
+    // way Q13's comment NOT LIKE does.
+    "q_tpch_q13" -> ((s, dir) => {
+      t(s, dir, "customer").select("c_custkey")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q14 (promotion effect): conditional aggregation ratio over
+    // a one-month lineitem window joined to the part dimension
+    // (broadcast). Both money sums are exact decimal; the percentage is
+    // one double division of the two exact d4 values — bit-identical
+    // cross-engine (SURVEY.md A.8 recipe).
+    "q_tpch_q14" -> ((s, dir) => {
+      val rev = (D(col("l_extendedprice")) *
+        (lit(1).cast(Dec) - D(col("l_discount")))).cast(Dec)
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-09-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-10-01")))
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          d4(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(Dec))))
+            .as("promo_rev"),
+          d4(sum(rev)).as("total_rev"))
+        .withColumn("promo_pct",
+          round(lit(100.0) * col("promo_rev") / col("total_rev"), 6))
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue): the correlated
+    // avg-quantity subquery, decorrelated the way every engine executes
+    // it — aggregate per partkey, join back. The brand filter lands
+    // FIRST (broadcast semi via the filtered part dim), so the
+    // per-partkey average aggregates only the brand's lineitems — same
+    // rows per surviving partkey, ~50× less aggregated. l_quantity is
+    // integral, so sum/count in double is exact and order-independent;
+    // the 0.2× threshold compare is then bit-identical cross-engine.
+    "q_tpch_q17" -> ((s, dir) => {
+      val parts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23").select("p_partkey")
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      val avgq = li.groupBy(col("l_partkey").as("pk"))
+        .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      li.join(avgq, col("l_partkey") === col("pk") &&
+          col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(count(lit(1)).as("n_lines"),
+          d4(sum(D(col("l_extendedprice")))).as("total_ext"))
+        .withColumn("avg_yearly", round(col("total_ext") / 7.0, 4))
+    }),
+
+    // TPC-H Q21 (suppliers who kept orders waiting) adapted: no
+    // commit/receipt dates → "late" = shipped more than 90 days after
+    // the order date. The EXISTS (another supplier in the order) and
+    // NOT EXISTS (another LATE supplier) pair becomes ONE per-order
+    // aggregate — distinct-supplier and distinct-late-supplier counts —
+    // the aggregate-decorrelation that turns two correlated fact⋈fact
+    // subqueries into a single shuffle of the order's lines. min(late
+    // supplier) is THE late supplier when the distinct-late count is 1.
+    "q_tpch_q21" -> ((s, dir) => {
+      val late = col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 90 DAYS")
+      val perOrder = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(late, col("l_suppkey"))).as("n_late"),
+          min(when(late, col("l_suppkey"))).as("late_supp"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+      perOrder
+        .join(broadcast(t(s, dir, "supplier")
+          .join(t(s, dir, "nation"),
+            col("s_nationkey") === col("n_nationkey"))
+          .filter(col("n_name") === "NATION_3")
+          .select("s_suppkey", "s_name")),
+          col("late_supp") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(25)
+    }),
+
+    // TPC-H Q22 (global sales opportunity) adapted: customer "country
+    // code" = last digit of c_name. Three classic pieces: the scalar
+    // AVG subquery (exact-decimal sum ÷ count → one double division,
+    // broadcast as a 1-row frame), the anti join against orders
+    // (customers with no URGENT orders — this fixture's order stream
+    // covers every custkey, so Q22's literal "no orders at all" is
+    // vacuously empty; the urgent-order restriction keeps the
+    // anti-join shape AND a non-degenerate result at every SF), and
+    // the per-code rollup.
+    "q_tpch_q22" -> ((s, dir) => {
+      val codes = Seq("1", "3", "5", "7", "9")
+      val cust = t(s, dir, "customer")
+        .withColumn("code", expr("right(c_name, 1)"))
+        .filter(col("code").isin(codes: _*))
+      val thr = cust.filter(col("c_acctbal") > 0.0)
+        .agg(d4(sum(D(col("c_acctbal")))).as("s"), count(lit(1)).as("c"))
+        .select((col("s") / col("c")).as("thr"))
+      cust.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("thr"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("code")
+        .agg(count(lit(1)).as("numcust"),
+          d4(sum(D(col("c_acctbal")))).as("totacctbal"))
+        .orderBy("code")
+    }),
+
+    // TPC-H Q11 (important stock) adapted: no partsupp → revenue share
+    // by part brand, keeping Q11's defining shape: a grouped aggregate
+    // HAVING-compared against a fraction of the same aggregate's global
+    // total. The global total rides an unpartitioned window over the
+    // ~25-row aggregate output (tiny by construction), NOT a second
+    // scan; the share predicate multiplies instead of divides
+    // (brand_rev × 25 > total ⟺ share > 4%) so the compare stays in
+    // exact decimal.
+    "q_tpch_q11" -> ((s, dir) => {
+      val rev = (D(col("l_extendedprice")) *
+        (lit(1).cast(Dec) - D(col("l_discount")))).cast(Dec)
+      val byBrand = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(rev).as("brand_rev"))
+      byBrand
+        .withColumn("total_rev", sum(col("brand_rev")).over(Window.partitionBy()))
+        .filter(col("brand_rev") * 25 > col("total_rev"))
+        .select(col("p_brand"), d4(col("brand_rev")).as("brand_rev"),
+          round(d4(col("brand_rev")) / d4(col("total_rev")), 6).as("share"))
+        .orderBy(col("brand_rev").desc, col("p_brand"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders
+        |                   WHERE o_orderpriority <> '1-URGENT') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) x
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q14" ->
+      s"""SELECT promo_rev, total_rev,
+        | ROUND(100.0 * promo_rev / total_rev, 6) AS promo_pct
+        |FROM (SELECT
+        | ${sqlD4("SUM(CASE WHEN p_type = 'PROMO' THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)")} AS promo_rev,
+        | ${sqlD4("SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)))")} AS total_rev
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01') x""".stripMargin,
+
+    "q_tpch_q17" ->
+      s"""WITH li AS (
+        |  SELECT l.* FROM lineitem l
+        |  JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'),
+        | a AS (
+        |  SELECT l_partkey AS pk, SUM(l_quantity) / COUNT(*) AS avg_qty
+        |  FROM li GROUP BY l_partkey)
+        |SELECT n_lines, total_ext, ROUND(total_ext / 7.0, 4) AS avg_yearly
+        |FROM (SELECT COUNT(*) AS n_lines,
+        |        ${sqlD4("SUM(CAST(l_extendedprice AS DECIMAL(18,4)))")} AS total_ext
+        |      FROM li JOIN a ON l_partkey = pk
+        |      WHERE l_quantity < 0.2 * avg_qty) x""".stripMargin,
+
+    "q_tpch_q21" ->
+      """WITH perorder AS (
+        |  SELECT l_orderkey,
+        |    COUNT(DISTINCT l_suppkey) AS n_supp,
+        |    COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |                        THEN l_suppkey END) AS n_late,
+        |    MIN(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |             THEN l_suppkey END) AS late_supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM perorder
+        |JOIN supplier ON late_supp = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_supp > 1 AND n_late = 1 AND n_name = 'NATION_3'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 25""".stripMargin,
+
+    "q_tpch_q22" ->
+      s"""WITH cust AS (
+        |  SELECT c_custkey, c_acctbal, right(c_name, 1) AS code
+        |  FROM customer WHERE right(c_name, 1) IN ('1','3','5','7','9')),
+        | thr AS (
+        |  SELECT ${sqlD4("SUM(CAST(c_acctbal AS DECIMAL(18,4)))")} / COUNT(*) AS thr
+        |  FROM cust WHERE c_acctbal > 0.0)
+        |SELECT code, COUNT(*) AS numcust,
+        | ${sqlD4("SUM(CAST(c_acctbal AS DECIMAL(18,4)))")} AS totacctbal
+        |FROM cust, thr
+        |WHERE c_acctbal > thr
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY code
+        |ORDER BY code""".stripMargin,
+
+    "q_tpch_q11" ->
+      s"""WITH bb AS (
+        |  SELECT p_brand,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS brand_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand),
+        | tt AS (SELECT bb.*, SUM(brand_rev) OVER () AS total_rev FROM bb)
+        |SELECT p_brand,
+        | CAST(CAST(brand_rev AS VARCHAR) AS DOUBLE) AS brand_rev,
+        | ROUND(CAST(CAST(brand_rev AS VARCHAR) AS DOUBLE)
+        |   / CAST(CAST(total_rev AS VARCHAR) AS DOUBLE), 6) AS share
+        |FROM tt
+        |WHERE brand_rev * 25 > total_rev
+        |ORDER BY brand_rev DESC, p_brand""".stripMargin
+  )
+}
