@@ -305,6 +305,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("explicit bloom prefilter drops probe rows before any exchange") {
+    // q_join_bloom_prefilter's whole point is that the might_contain
+    // filter is map-side: it must sit in the lineitem scan's subtree
+    // with NO exchange between them, so at 100 TB the ~70% row drop
+    // happens before the semi-join shuffle pays for those rows.
+    val lines = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf)
+      .queryExecution.executedPlan.toString.linesIterator.toSeq
+    val at = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("might_contain"))
+    assert(at >= 0, "no might_contain filter in the executed plan")
+    // tree print: a node's subtree follows it immediately — the scan
+    // must appear before any Exchange does. The filter prints its
+    // scalar SUBQUERY (the bloom build, whose own SinglePartition
+    // sketch-merge exchange is expected and build-side) inline with a
+    // second ':' guide column — skip those lines, they are not on the
+    // probe path.
+    val below = lines.drop(at + 1).filterNot(_.matches(""".*:\s+:.*"""))
+    val scanAt = below.indexWhere(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    val exchangeAt = below.indexWhere(_.contains("Exchange"))
+    assert(scanAt >= 0, "lineitem scan not under the bloom prefilter")
+    assert(exchangeAt < 0 || scanAt < exchangeAt,
+      "an exchange sits between the bloom prefilter and the scan")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions._
     import graft.engine.Tables
