@@ -49,7 +49,17 @@ object Tables {
     * is mandatory — double `/1000` is only ~0.25 µs-granular at 1.7e18.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // REQUIRE the conf rather than set it: a loader silently mutating
+    // session state at plan-build time is a surprising side effect in a
+    // library (it would also affect unrelated concurrent plans). Every
+    // harness entry point (Verify/Bench/TestSpark) pins this at builder
+    // time; anything else gets a clear actionable error instead of a
+    // mid-scan PARQUET_TYPE_ILLEGAL.
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"),
+      "events.parquet carries nanosecond timestamps: build the session " +
+        "with spark.sql.legacy.parquet.nanosAsLong=true (see Bench/Verify)")
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
   }

@@ -67,9 +67,10 @@ object Readers {
       targetFiles: Int): Unit = {
     val src = new java.io.File(srcDir).getCanonicalFile.toPath
     val dst = new java.io.File(dstDir).getCanonicalFile.toPath
-    require(dst != src && !dst.startsWith(src),
+    require(dst != src && !dst.startsWith(src) && !src.startsWith(dst),
       s"compactParquet dst must be a separate directory (src=$src dst=$dst)" +
-        ": an in-place overwrite deletes the input mid-read")
+        ": an in-place overwrite deletes the input mid-read, and a dst that" +
+        " is a parent of src deletes src when Overwrite clears dst")
     spark.read.parquet(srcDir).repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(dstDir)
   }
