@@ -155,7 +155,18 @@ object LangId {
     * drop out, exactly like the inner gram join.
     */
   def predictBroadcast(docs: DataFrame, idCol: String, textCol: String,
-      profiles: DataFrame, langsHint: Seq[String] = Nil): DataFrame = {
+      profiles: DataFrame, langsHint: Seq[String] = Nil): DataFrame =
+    predictWithModel(docs, idCol, textCol,
+      collectProfile(profiles, langsHint))
+
+  /** Materialize the (gram → per-lang weight) hash map + sorted language
+    * list from a profile frame — the trained MODEL ARTIFACT a long-lived
+    * pipeline builds once and reuses across every scoring run (topK ×
+    * #langs rows of bounded dimension metadata, same footing as a
+    * broadcast join's build side).
+    */
+  def collectProfile(profiles: DataFrame, langsHint: Seq[String] = Nil)
+      : (java.util.HashMap[String, Array[Long]], Array[String]) = {
     val langs: Seq[String] =
       (if (langsHint.nonEmpty) langsHint
        else profiles.select("lang").distinct()
@@ -167,8 +178,16 @@ object LangId {
         _ => new Array[Long](langs.length))
       arr(idx(r.getString(1))) = r.getDouble(2).toLong
     }
+    (m, langs.toArray)
+  }
+
+  /** Scoring pass against a pre-collected model (see [[collectProfile]]).
+    */
+  def predictWithModel(docs: DataFrame, idCol: String, textCol: String,
+      model: (java.util.HashMap[String, Array[Long]], Array[String]))
+      : DataFrame = {
     val spark = docs.sparkSession
-    val bc = spark.sparkContext.broadcast((m, langs.toArray))
+    val bc = spark.sparkContext.broadcast(model)
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>

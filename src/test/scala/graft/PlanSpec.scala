@@ -28,6 +28,30 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema.contains("l_orderkey"), readSchema)
   }
 
+  test("declared partitioned-fact query prunes at the partition level") {
+    // the month equality must land in PartitionFilters (directory skip),
+    // and the files the scan actually lists must ALL be in the matching
+    // partition directory — i.e. pruning happened before IO, not as a
+    // row filter after reading every partition
+    val df = SparkEntry.queries("q_scan_partition_pruned")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // attribute ids suffix the column name in the printed plan
+    // (o_month#39 = 1996-06), so match on the filter literal
+    assert(p.linesIterator.exists(l => l.contains("PartitionFilters") &&
+      l.contains("o_month") && l.contains("= 1996-06")), p)
+    // the filter must NOT survive as a post-scan row filter: partition
+    // columns are directory metadata, a Filter node on one means the
+    // scan listed every partition and filtered rows after IO
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Filter") &&
+      l.contains("o_month")), p)
+    // and the layout genuinely has many partitions to skip (the orders
+    // date domain spans 1995-01..2001-08 — ~80 month directories)
+    val dirs = new java.io.File(
+      graft.queries.ScanQueries.ensurePartitionedOrders(spark, sf))
+      .listFiles().filter(_.getName.startsWith("o_month="))
+    assert(dirs.length > 12, s"expected many month partitions, got ${dirs.length}")
+  }
+
   test("fact-dim joins broadcast the dim side") {
     assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
     val star = plan("q_join_star")
