@@ -57,7 +57,7 @@ object Ann {
     */
   def approxCosineTopK(df: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int = 64, bits: Int = 6, tables: Int = 32,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, probes: Int = 0): DataFrame = {
     // one pass computes norms + signatures; persisted because the
     // scoring joins re-read it (twice) after the candidate shuffle.
     // Signatures come from the codegen'd native expression (all tables
@@ -68,7 +68,24 @@ object Ann {
       .select(col("id"), posexplode(
         Native.lshSignatures(col("e"), dim, bits, tables, seed))
         .as(Seq("tbl", "sig")))
-    val cand = sigs.select(col("id").as("id1"), col("tbl"), col("sig"))
+    // Multiprobe (probes > 0): one side of the candidate join also
+    // visits the `probes` Hamming-1 neighbour buckets (sig with one bit
+    // flipped). A near pair whose signatures differ in exactly one bit
+    // of some table — the dominant miss mode, since per-bit collision
+    // is (1 - θ/π) — is then still found via that table, trading a
+    // bounded (1 + probes)× probe-row fan-out for recall instead of
+    // paying ~2× tables. Only the probe SIDE expands; bucket contents
+    // are unchanged, so the join stays an equi-join on (tbl, sig) and
+    // the Hamming-1 pair is found when the smaller id probes the
+    // larger id's home bucket.
+    val nProbe = math.min(probes, bits)
+    val probeSide =
+      if (nProbe <= 0) sigs.select(col("id").as("id1"), col("tbl"),
+        col("sig"))
+      else sigs.select(col("id").as("id1"), col("tbl"),
+        explode(array(col("sig") +: (0 until nProbe).map(b =>
+          col("sig").bitwiseXOR(lit(1 << b))): _*)).as("sig"))
+    val cand = probeSide
       .join(sigs.select(col("id").as("id2"), col("tbl").as("tbl2"),
         col("sig").as("sig2")),
         col("tbl") === col("tbl2") && col("sig") === col("sig2") &&

@@ -79,10 +79,19 @@ object DedupQueries extends QSet {
     "q_sim_cosine_topk" -> ((s, dir) => cosineTopK(s, dir, 10)),
 
     // Non-oracle (random-hyperplane LSH is impl-defined): LibrarySpec
-    // measures its recall against the exact brute-force top-k.
+    // measures its recall against the exact brute-force top-k — ≥9/10
+    // for this declared multiprobe config, ≥7/10 for the single-probe
+    // default. Multiprobe lets HALF the tables beat the single-probe
+    // recall: each table also visits all 6 Hamming-1 neighbour buckets,
+    // so a near pair split by one hyperplane is still found. Interleaved
+    // A/B medians at sf0.1 (AnnBench, 5 rounds round-robin in one
+    // session — back-to-back process benches drift 2-3× on this host):
+    // 32 tables single-probe 1.07 s, 32×7-probe 1.84 s, 16×7-probe
+    // 1.36 s — the declared config buys the recall floor for +0.3 s AND
+    // halves signature storage/shuffle vs doubling tables.
     "q_sim_ann_lsh" -> ((s, dir) =>
       graft.functions.Ann.approxCosineTopK(
-        t(s, dir, "embeddings"), "vec_id", "embedding", 10)),
+        t(s, dir, "embeddings"), "vec_id", "embedding", 10, tables = 16, probes = 6)),
 
     // Non-oracle (coarse-quantizer cells are impl-defined): the IVF
     // scale path — candidates only within shared centroid cells, exact
@@ -114,8 +123,17 @@ object DedupQueries extends QSet {
     * ever schedules, instead of melting a cluster. One count job on
     * the skinny (id, vector) frame is the price, paid only by the
     * baselines themselves.
+    *
+    * 14000 rows ≈ a 10^8-pair budget (n·(n-1)/2): the most quadratic
+    * work a single verification query should ever schedule — about a
+    * minute of native dot products on one node, and a bounded, explicit
+    * cost on a cluster. The previous 100k-row cap allowed 5·10^9 pairs,
+    * which is exactly the melt-the-cluster case the guard exists for;
+    * the sf1.0 scale rehearsal (SCALE.md) is what exposed that the cap
+    * must trip at 20k embeddings (2·10^8 pairs), not wave it through.
     */
-  private[graft] val AllPairsMaxRows = 100000L
+  private[graft] val AllPairsMaxRows = 14000L
+
 
   private[graft] def guardAllPairs(df: DataFrame, what: String,
       maxRows: Long): DataFrame = {

@@ -235,6 +235,19 @@ class LibrarySpec extends AnyFunSuite {
     assert(recall >= 7, s"recall $recall/10 too low")
   }
 
+  test("LSH ANN multiprobe recall: ≥ 9 of exact top-10 (declared query)") {
+    // the declared q_sim_ann_lsh runs with probes = 6 (every Hamming-1
+    // neighbour bucket per table) — multiprobe must lift recall to at
+    // least 9/10, and candidates stay a superset of the single-probe
+    // run (flipping bits only ADDS buckets visited)
+    val exact = graft.queries.DedupQueries.cosineTopK(spark, sf, 10)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val multi = graft.queries.DedupQueries.queries("q_sim_ann_lsh")(spark, sf)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(multi).size
+    assert(recall >= 9, s"multiprobe recall $recall/10 too low")
+  }
+
   test("IVF ANN: top pairs are true high-cosine pairs with useful recall") {
     val exact = graft.queries.DedupQueries.cosineTopK(spark, sf, 10)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
@@ -363,6 +376,14 @@ class LibrarySpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       Readers.compactParquet(spark, many, s"$many/sub", 2)
+    }
+    // dst a PARENT of src is just as destructive: Overwrite clears the
+    // parent (and the source under it) before/while the lazy read runs
+    intercept[IllegalArgumentException] {
+      Readers.compactParquet(spark, s"$many/sub", many, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Readers.compactParquet(spark, many, "/tmp", 2)
     }
   }
 
