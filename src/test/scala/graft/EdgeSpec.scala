@@ -132,4 +132,109 @@ class EdgeSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(counts == Seq((1L, 1L), (2L, 1L), (3L, 2L)))
   }
+
+  test("q15 shape: exact-decimal revenue ties return BOTH suppliers") {
+    import graft.engine.Tables.{D, Dec}
+    // supplier 1: one line of 200.00; supplier 2: two lines of 100.00 —
+    // identical totals ONLY under exact decimal accumulation (the
+    // declared q_tpch_q15 discipline); supplier 3 strictly lower. The
+    // global-max equality filter must keep both tied winners.
+    val li = Seq((1L, 200.0, 0.0), (2L, 100.0, 0.0), (2L, 100.0, 0.0),
+      (3L, 150.0, 0.05)).toDF("l_suppkey", "l_extendedprice", "l_discount")
+    val rev = (D(col("l_extendedprice")) *
+      (lit(1).cast(Dec) - D(col("l_discount")))).cast(Dec)
+    import org.apache.spark.sql.expressions.Window
+    val winners = li.groupBy("l_suppkey").agg(sum(rev).as("total_rev"))
+      .withColumn("mx", max(col("total_rev")).over(Window.partitionBy()))
+      .filter(col("total_rev") === col("mx"))
+      .select("l_suppkey").as[Long].collect().toSet
+    assert(winners == Set(1L, 2L), s"tied winners must both survive: $winners")
+  }
+
+  test("q16 shape: empty and full complaint-supplier anti sides") {
+    // the anti join's build side is a FILTERED dim — when the filter
+    // matches nothing, the anti join must pass everything through (not
+    // drop everything), and when it matches every supplier the result
+    // must be empty (not a 0-count row: groups vanish with their rows)
+    val li = Seq((10L, 1L), (10L, 2L), (20L, 2L))
+      .toDF("l_partkey", "l_suppkey")
+    val part = Seq((10L, "b1", "t1", 5), (20L, "b2", "t2", 9))
+      .toDF("p_partkey", "p_brand", "p_type", "p_size")
+    def q16(complaints: Seq[Long]) = {
+      val supp = complaints.toDF("s_suppkey")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .select("p_brand", "supplier_cnt")
+        .as[(String, Long)].collect().toMap
+    }
+    assert(q16(Nil) == Map("b1" -> 2L, "b2" -> 1L),
+      "empty anti side keeps every supplier")
+    assert(q16(Seq(1L, 2L)) == Map.empty[String, Long],
+      "all-complaint anti side yields NO groups (not 0-count rows)")
+    assert(q16(Seq(1L)) == Map("b1" -> 1L, "b2" -> 1L))
+  }
+
+  test("q19 shape: disjunctive arms are inclusive at bounds and never mix") {
+    // each OR arm fixes (brand, size range, quantity range); a line may
+    // satisfy one arm's quantity bound and another arm's brand — such
+    // cross-arm mixes must NOT match. Boundary values are inclusive
+    // (between semantics) and a multi-arm filter counts a row ONCE.
+    val arm = (b: String, szHi: Int, qLo: Int, qHi: Int) =>
+      col("p_brand") === b && col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    val rows = Seq(
+      // matches arm1 exactly at both quantity bounds (inclusive)
+      ("Brand#12", 15, 1.0), ("Brand#12", 15, 20.0),
+      // arm1 brand + arm2-only quantity → cross-arm mix, must drop
+      ("Brand#12", 15, 30.0),
+      // arm2 match, interior point
+      ("Brand#23", 20, 25.0),
+      // arm2 brand but size above arm2's cap → drop
+      ("Brand#23", 30, 25.0))
+      .toDF("p_brand", "p_size", "l_quantity")
+    val got = rows
+      .filter(arm("Brand#12", 15, 1, 20) || arm("Brand#23", 25, 10, 35) ||
+        arm("Brand#13", 35, 20, 50))
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("Brand#12" -> 2L, "Brand#23" -> 1L), got.toString)
+  }
+
+  test("bloom prefilter: false positives are cancelled by the exact rejoin") {
+    // force false positives with a deliberately tiny filter (64 bits for
+    // 40 member keys), mirroring q_join_bloom_prefilter's structure: the
+    // bloom is a PREFILTER only — the exact semi join afterwards must
+    // cancel every false positive, so the result equals the exact
+    // answer no matter how saturated the filter is. xxhash64 is
+    // deterministic, so the FP set (and this test) is stable.
+    val members = (1L to 40L).map(k => k * 7L)
+    val probes = (1L to 400L)
+    members.toDF("k").createOrReplaceTempView("bf_edge_members")
+    probes.toDF("k").createOrReplaceTempView("bf_edge_probes")
+    val passed = spark.sql(
+      """SELECT k FROM bf_edge_probes
+        |WHERE graft_might_contain(
+        |  (SELECT graft_bloom_agg(xxhash64(k), 40L, 64L)
+        |   FROM bf_edge_members),
+        |  xxhash64(k))""".stripMargin)
+      .as[Long].collect().toSet
+    val trueMembers = members.filter(_ <= 400L).toSet
+    assert(trueMembers.subsetOf(passed), "bloom must never false-negative")
+    assert((passed -- trueMembers).nonEmpty,
+      "a 64-bit filter over 40 keys must produce false positives — " +
+        "otherwise this test proves nothing")
+    val exact = spark.sql(
+      """SELECT p.k FROM bf_edge_probes p
+        |WHERE graft_might_contain(
+        |  (SELECT graft_bloom_agg(xxhash64(k), 40L, 64L)
+        |   FROM bf_edge_members),
+        |  xxhash64(p.k))
+        |AND EXISTS (SELECT 1 FROM bf_edge_members m WHERE m.k = p.k)""".stripMargin)
+      .as[Long].collect().toSet
+    assert(exact == trueMembers,
+      s"rejoin must cancel every false positive: ${exact -- trueMembers}")
+  }
 }

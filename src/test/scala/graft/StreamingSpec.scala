@@ -68,6 +68,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(stream) == canon(batch))
   }
 
+  test("stateful aggregation under the RocksDB state store provider") {
+    // the 100 TB posture for long-running stateful streams: HDFS-backed
+    // in-memory state grows with key cardinality until executors OOM;
+    // RocksDB spills state to local disk with bounded heap. Run a
+    // stateful twin (tumbling agg + key dedup) end-to-end under the
+    // RocksDB provider and require exact agreement with the batch twin —
+    // proving the provider is present, loads, and checkpoints correctly
+    // in this Spark build, so a deployment can flip the conf without
+    // touching query code.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = StreamTransforms.tumbling(
+        graft.engine.Tables.events(spark, TestSpark.Sf)).collect()
+      val stream = runStream("s_tumbling_rocks", eventRows, 5, "complete")(
+        StreamTransforms.tumbling)
+      assert(canon(stream) == canon(batch))
+      val ev = graft.engine.Tables.events(spark, TestSpark.Sf)
+      val batchDedup = StreamTransforms.dedupByKey(ev.unionAll(ev)).collect()
+      val streamDedup = runStream("s_dedup_rocks",
+        eventRows ++ eventRows, 6, "append")(StreamTransforms.dedupByKey)
+      assert(canon(streamDedup) == canon(batchDedup))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-static dim join: stream == batch") {
     val cust = graft.engine.Tables.t(spark, TestSpark.Sf, "customer")
     val batch = StreamTransforms.joinDim(
