@@ -202,7 +202,14 @@ object ExtQueries extends QSet {
           (col("l_orderkey").bitwiseXOR(col("l_suppkey"))).as("k_xor"),
           shiftleft(col("l_partkey"), 2).as("k_shl"),
           shiftright(col("l_partkey"), 1).as("k_shr"))
-        .orderBy("l_orderkey", "l_linenumber", "k_xor")
+        // k_shl in the sort: (orderkey, linenumber, xor) ties DO occur
+        // (two lines sharing orderkey+linenumber+suppkey with different
+        // partkey — present from sf0.1 up) and both engines only
+        // happened to break them identically below sf1.0, where the
+        // scale rehearsal caught the mismatch. xor fixes suppkey given
+        // orderkey, shl is injective in partkey, so this is total up to
+        // fully-duplicate rows (where order can't matter). SURVEY A.3.
+        .orderBy("l_orderkey", "l_linenumber", "k_xor", "k_shl")
     }),
 
     // Bit/bool aggregates + filtered count per priority class.
@@ -474,7 +481,7 @@ object ExtQueries extends QSet {
         | xor(l_orderkey, l_suppkey) AS k_xor,
         | l_partkey << 2 AS k_shl,
         | l_partkey >> 1 AS k_shr
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber, k_xor""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, k_xor, k_shl""".stripMargin,
 
     "q_agg_bitbool" ->
       """SELECT o_orderpriority,

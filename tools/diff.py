@@ -8,7 +8,7 @@ run the SQL in DuckDB against views over <sfDir>/*.parquet, load the
 Spark parquet result from <outDir>/<name>/, sort columns by name, and
 compare stringified values cell-by-cell in row order.
 """
-import sys, os, json, glob
+import sys, os, json, glob, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -49,6 +49,7 @@ def main():
     for name in sorted(oracle):
         if only and name not in only:
             continue
+        t0 = time.time()
         files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output (query crashed in Verify?)")
@@ -81,7 +82,7 @@ def main():
             print(f"FAIL {name}: first diff at row {i}: {diffs[:4]}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(srows)} rows)")
+            print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
