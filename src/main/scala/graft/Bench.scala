@@ -79,10 +79,29 @@ object Bench {
       }.sorted
       name -> samples(samples.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedList = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val failedJson = failedList.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Field order matters downstream: the driver's bench artifact keeps
+    // only a 2000-char TAIL of stdout, so with ~160 queries the head of
+    // this line (where metric/value used to sit) was cut and the round-5
+    // artifact recorded parsed=null. Leading with "queries" and trailing
+    // with the summary keeps total + failure count inside any tail
+    // window; the full line is also persisted to bench_last.json so no
+    // per-query time is ever unrecoverable.
+    val line =
+      s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_failed":${failedList.size},"failed":$failedJson}"""
+    println(line)
+    if (failedList.nonEmpty)
+      System.err.println(s"Bench: ${failedList.size} queries FAILED: " +
+        failedList.mkString(", "))
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"Bench: could not persist bench_last.json: $e") }
     spark.stop()
   }
 }

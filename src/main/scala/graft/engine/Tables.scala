@@ -7,9 +7,11 @@ import org.apache.spark.sql.types._
 /** Table loaders + cross-engine determinism helpers.
   *
   * Two hazards every query must respect (SURVEY.md Appendix A):
-  *  - `events.ts` is a nanosecond parquet timestamp: Spark 4.x refuses it
-  *    by default; DuckDB silently truncates to µs. The [[events]] loader
-  *    encapsulates the verified reconciliation recipe.
+  *  - `events.ts` has changed physical type across testdata generations:
+  *    ns-epoch (TIMESTAMP(NANOS), needs nanosAsLong) through round 4,
+  *    µs (timestamp[us], read natively as TIMESTAMP_NTZ) since round 5.
+  *    The [[events]] loader adapts to whichever footer it finds and always
+  *    exposes a `ts_us` TimestampType column that matches DuckDB's read.
   *  - double aggregation is accumulation-order dependent: all money/metric
   *    aggregates go through [[D]] (decimal 18,4) so partial/final merge
   *    order can't change the answer, on either engine.
@@ -43,25 +45,33 @@ object Tables {
     else df
   }
 
-  /** `events` with the ns-timestamp recipe: raw `ts` column stays as
-    * epoch-nanos Long (via nanosAsLong), and a derived `ts_us` Timestamp
-    * equals DuckDB's µs-truncated read of the same column. Integer `div`
-    * is mandatory — double `/1000` is only ~0.25 µs-granular at 1.7e18.
+  /** `events` with a schema-adaptive `ts_us` Timestamp column.
+    *
+    * The driver has shipped two physical encodings of `events.ts`:
+    *  - INT64 TIMESTAMP(NANOS): under nanosAsLong it loads as epoch-nanos
+    *    Long; `ts_us = timestamp_micros(ts div 1000)` reproduces DuckDB's
+    *    µs truncation. Integer `div` is mandatory — double `/1000` is only
+    *    ~0.25 µs-granular at 1.7e18.
+    *  - timestamp[us] (isAdjustedToUTC=false): Spark loads TIMESTAMP_NTZ
+    *    natively; under the pinned UTC session a cast to TimestampType is
+    *    value-preserving and keeps every downstream consumer (window(),
+    *    watermarks, unix_micros, date_trunc) on the same LTZ type the
+    *    codebase was validated against.
+    * Branching on the loaded dtype (not a conf) means a future
+    * regeneration in EITHER direction keeps working; SchemaCanarySpec
+    * pins the current footer so a third variant fails loudly.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    // REQUIRE the conf rather than set it: a loader silently mutating
-    // session state at plan-build time is a surprising side effect in a
-    // library (it would also affect unrelated concurrent plans). Every
-    // harness entry point (Verify/Bench/TestSpark) pins this at builder
-    // time; anything else gets a clear actionable error instead of a
-    // mid-scan PARQUET_TYPE_ILLEGAL.
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-        .contains("true"),
-      "events.parquet carries nanosecond timestamps: build the session " +
-        "with spark.sql.legacy.parquet.nanosAsLong=true (see Bench/Verify)")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType => // ns data read under nanosAsLong=true
+        df.withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts_us", col("ts").cast(TimestampType))
+      case other => sys.error(
+        s"events.ts has unexpected type $other — inspect the parquet " +
+          "footer and extend graft.engine.Tables.events")
+    }
   }
 
   /** The fixed decimal type all cross-engine-compared aggregates use. */

@@ -72,6 +72,10 @@ object DedupQueries extends QSet {
     // cover every pair q_dedup_near_ngram finds at jaccard ≥ 0.9.
     "q_dedup_minhash" -> ((s, dir) => minhashCandidates(s, dir)),
 
+    // The LSH pipeline END-TO-END (candidates → exact jaccard verify →
+    // final pairs): oracle-compared against the exhaustive ground truth.
+    "q_dedup_minhash_jaccard" -> ((s, dir) => minhashVerifiedPairs(s, dir)),
+
     "q_dedup_simhash" -> ((s, dir) => simhashPairs(s, dir, 3)),
 
     "q_dedup_embedding" -> ((s, dir) => embeddingDedup(s, dir, 0.40)),
@@ -302,11 +306,17 @@ object DedupQueries extends QSet {
   }
 
   /** MinHash-LSH candidate pairs (d1 < d2, distinct). Signature h_i =
-    * min over shingles of xxhash64(shingle || '#' || i); bands of 4
-    * minhashes hash to one bucket key; docs sharing any (band, key)
-    * bucket become candidates via equi-join — never an all-pairs scan.
+    * min over shingles of xxhash64(shingle || '#' || i); `bands` bands of
+    * MinhashPerms/bands minhashes hash to one bucket key; docs sharing any
+    * (band, key) bucket become candidates via equi-join — never an
+    * all-pairs scan. More bands (shorter rows) = higher recall, more
+    * false candidates: 8×4 is the standalone candidate query; 16×2 is
+    * the verified-pipeline config (miss prob < 1e-7 at jaccard 0.8).
     */
-  def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+  def minhashCandidates(s: SparkSession, dir: String,
+      bands: Int = Bands): DataFrame = {
+    val rows = MinhashPerms / bands
+    require(bands * rows == MinhashPerms, s"bands $bands must divide 32")
     // hash each shingle STRING once, then derive the 32 permutation
     // hashes by chaining xxhash64 over (base, seed) — fixed-width long
     // mixing instead of 32 string hashes per row (the string pass was
@@ -320,10 +330,10 @@ object DedupQueries extends QSet {
     val sig = hashed.groupBy("doc_id").agg(
       min(col("x0")).as("h0"),
       (1 until MinhashPerms).map(i => min(col(s"x$i")).as(s"h$i")): _*)
-    val bandCols: Seq[Column] = (0 until Bands).map { band =>
+    val bandCols: Seq[Column] = (0 until bands).map { band =>
       struct(lit(band).as("band"),
-        xxhash64((4 * band until 4 * band + 4).map(i => col(s"h$i")): _*)
-          .as("key"))
+        xxhash64((rows * band until rows * band + rows)
+          .map(i => col(s"h$i")): _*).as("key"))
     }
     val buckets = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
@@ -334,6 +344,43 @@ object DedupQueries extends QSet {
         col("band") === col("band2") && col("key") === col("key2") &&
           col("d1") < col("d2"))
       .select("d1", "d2").distinct()
+      .orderBy("d1", "d2")
+  }
+
+  /** The full LSH dedup pipeline at its 100 TB shape, made
+    * oracle-checkable end-to-end: banded MinHash candidate generation →
+    * EXACT 3-gram Jaccard computed only on the candidate pairs → final
+    * jaccard ≥ 0.8 pairs. With 16 bands × 2 rows the probability a true
+    * jaccard-0.8 pair shares no band is (1 − 0.8²)¹⁶ < 1e-7, so the
+    * verified output equals the exhaustive ground truth and this query
+    * shares q_dedup_near_ngram's oracle SQL — the approximate path is
+    * hash-compared against DuckDB, not just recall-tested. Unlike the
+    * ground-truth query, nothing here is corpus-quadratic: candidates
+    * come from the bucket equi-join, and the verification join is
+    * candidate-pair-sized (near-dup pairs are rare by construction —
+    * that is why dedup is worth running), broadcast into the shingle
+    * stream.
+    */
+  def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val cand = minhashCandidates(s, dir, bands = 16)
+    val sh = shingles(s, dir).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // pair → shared-shingle count: attach d1's shingles, keep only rows
+    // where d2 also has that shingle. Both joins see the tiny pair list
+    // on one side; sizes is one row per doc (broadcast).
+    val inter = broadcast(cand)
+      .join(sh.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("d1"),
+        col("sz").as("sz1"))), Seq("d1"))
+      .join(broadcast(sizes.select(col("doc_id").as("d2"),
+        col("sz").as("sz2"))), Seq("d2"))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select("d1", "d2", "inter", "jaccard")
       .orderBy("d1", "d2")
   }
 
@@ -431,6 +478,32 @@ object DedupQueries extends QSet {
       .orderBy("vec_id")
   }
 
+  /** Exhaustive 3-gram jaccard ≥ 0.8 pair SQL — the oracle for BOTH the
+    * declared ground-truth query and the LSH-verified pipeline (which
+    * must reproduce it exactly; see [[minhashVerifiedPairs]]).
+    */
+  private val ngramPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(tk) - 2),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, inter,
+      |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = d1
+      |JOIN sizes sb ON sb.doc_id = d2
+      |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+      |ORDER BY d1, d2""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT doc_id, md5(text) AS h, lang, n_chars FROM documents
@@ -438,27 +511,9 @@ object DedupQueries extends QSet {
         |  SELECT min(doc_id) FROM documents GROUP BY md5(text))
         |ORDER BY doc_id""".stripMargin,
 
-    "q_dedup_near_ngram" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, len(tk) - 2),
-        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
-        |  FROM toks),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT d1, d2, inter,
-        |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
-        |FROM pairs
-        |JOIN sizes sa ON sa.doc_id = d1
-        |JOIN sizes sb ON sb.doc_id = d2
-        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
-        |ORDER BY d1, d2""".stripMargin,
+    "q_dedup_near_ngram" -> ngramPairsSql,
+
+    "q_dedup_minhash_jaccard" -> ngramPairsSql,
 
     "q_dedup_components" ->
       """WITH RECURSIVE toks AS (
