@@ -281,6 +281,197 @@ object TpchQueries extends QSet {
         .select(col("p_brand"), d4(col("brand_rev")).as("brand_rev"),
           round(d4(col("brand_rev")) / d4(col("total_rev")), 6).as("share"))
         .orderBy(col("brand_rev").desc, col("p_brand"))
+    }),
+
+    // TPC-H Q6 (forecast revenue change): the canonical pushdown probe —
+    // every predicate is a plain column comparison, so ALL of them reach
+    // the parquet scan and the whole query is scan→partial-agg→1 row.
+    // At 100 TB this is the query shape that must never shuffle anything
+    // but one partial aggregate per partition.
+    "q_tpch_q6" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(d4(sum((D(col("l_extendedprice")) * D(col("l_discount")))
+          .cast(Dec))).as("revenue"))
+    }),
+
+    // TPC-H Q7 (volume shipping) adapted: supplier nations are sparse at
+    // small SF, so the two-country filter becomes a two-REGION filter
+    // (EUROPE↔ASIA in either direction; same OR-of-pairs shape). The
+    // fact⋈fact join (lineitem⋈orders) shuffles on the order key once;
+    // supplier/customer pre-shrink to the two regions via the broadcast
+    // nation dim BEFORE touching the facts, so the fact join carries the
+    // region filter as a semi-join-sized probe on both sides.
+    "q_tpch_q7" -> ((s, dir) => {
+      val n = broadcast(t(s, dir, "nation"))
+      val supp = t(s, dir, "supplier")
+        .join(n.select(col("n_nationkey").as("s_nk"),
+            col("n_name").as("supp_nation"),
+            col("n_regionkey").as("s_rk")),
+          col("s_nationkey") === col("s_nk"))
+        .filter(col("s_rk").isin(2, 3))
+        .select("s_suppkey", "supp_nation", "s_rk")
+      val cust = t(s, dir, "customer")
+        .join(n.select(col("n_nationkey").as("c_nk"),
+            col("n_name").as("cust_nation"),
+            col("n_regionkey").as("c_rk")),
+          col("c_nationkey") === col("c_nk"))
+        .filter(col("c_rk").isin(2, 3))
+        .select("c_custkey", "cust_nation", "c_rk")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("s_rk") === 3 && col("c_rk") === 2) ||
+          (col("s_rk") === 2 && col("c_rk") === 3))
+        .withColumn("vol",
+          (D(col("l_extendedprice")) * (D(lit(1)) - D(col("l_discount"))))
+            .cast(Dec))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(d4(sum(col("vol"))).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q8 (national market share): NATION_12's share of STANDARD-
+    // part revenue sold to ASIA customers, by order year. One pass over
+    // the filtered facts; the share is a conditional-sum / sum inside
+    // the same aggregate — no second scan, no post-join. All dims hang
+    // off the fact star; nation/region broadcast.
+    "q_tpch_q8" -> ((s, dir) => {
+      val n = broadcast(t(s, dir, "nation"))
+      val asiaCust = t(s, dir, "customer")
+        .join(n.select(col("n_nationkey").as("c_nk"),
+            col("n_regionkey").as("c_rk")),
+          col("c_nationkey") === col("c_nk"))
+        .join(broadcast(t(s, dir, "region"))
+            .filter(col("r_name") === "ASIA"),
+          col("c_rk") === col("r_regionkey"))
+        .select("c_custkey")
+      val suppN = t(s, dir, "supplier")
+        .join(n.select(col("n_nationkey").as("s_nk"),
+            col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("s_nk"))
+        .select("s_suppkey", "supp_nation")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_type") === "STANDARD")
+          .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .join(suppN, col("l_suppkey") === col("s_suppkey"))
+        .withColumn("vol",
+          (D(col("l_extendedprice")) * (D(lit(1)) - D(col("l_discount"))))
+            .cast(Dec))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_12", col("vol"))
+            .otherwise(D(lit(0)))).cast(Dec).as("nv"),
+          sum(col("vol")).cast(Dec).as("tv"))
+        .select(col("o_year"), d4(col("nv")).as("nation_vol"),
+          d4(col("tv")).as("total_vol"),
+          round(d4(col("nv")) / d4(col("tv")), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9 (product type profit) adapted: no partsupp/supplycost →
+    // profit = revenue − p_retailprice·quantity (the part's list price
+    // as the cost stand-in). The p_name LIKE filter prunes part before
+    // it meets the fact; grouped by supplier nation × order year.
+    "q_tpch_q9" -> ((s, dir) => {
+      val n = broadcast(t(s, dir, "nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_name").like("%widget%"))
+          .select("p_partkey", "p_retailprice"),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(n.select(col("n_nationkey"), col("n_name").as("nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .withColumn("profit",
+          (D(col("l_extendedprice")) * (D(lit(1)) - D(col("l_discount"))))
+            .cast(Dec) -
+            (D(col("p_retailprice")) * D(col("l_quantity"))).cast(Dec))
+        .groupBy(col("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(d4(sum(col("profit"))).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q2 (min-cost supplier) adapted: no partsupp → a supplier's
+    // cost for a part is its best observed unit price in lineitem
+    // (min extendedprice/quantity). The correlated "= (SELECT MIN ...)"
+    // rides a window-min over the per-(part,supplier) aggregate — the
+    // window input is already one row per (part,supplier), never the
+    // fact. EUROPE prunes suppliers via broadcast dims before the
+    // aggregate output joins anything; part's size/type filter prunes
+    // the final probe.
+    "q_tpch_q2" -> ((s, dir) => {
+      val n = broadcast(t(s, dir, "nation"))
+      val euSupp = t(s, dir, "supplier")
+        .join(n.select(col("n_nationkey").as("s_nk"), col("n_name"),
+            col("n_regionkey").as("s_rk")),
+          col("s_nationkey") === col("s_nk"))
+        .join(broadcast(t(s, dir, "region"))
+            .filter(col("r_name") === "EUROPE"),
+          col("s_rk") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val ucost = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+        .join(euSupp, col("l_suppkey") === col("s_suppkey"))
+      val best = ucost.withColumn("best_cost",
+        min(col("unit_cost")).over(Window.partitionBy(col("l_partkey"))))
+      best.filter(col("unit_cost") === col("best_cost"))
+        .join(t(s, dir, "part")
+          .filter(col("p_size").between(10, 30) &&
+            col("p_type") === "SMALL")
+          .select("p_partkey", "p_name"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("unit_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q20 (part promotion) adapted: no partsupp/availqty → a
+    // supplier qualifies when its 1997 shipped quantity of 'blue%'
+    // parts exceeds 1.2× the average over qualifying suppliers (the
+    // original's "availqty > ½ shipped" correlated-threshold shape,
+    // with the threshold itself an aggregate). The threshold is ONE
+    // row — cross-joined (broadcast) into the per-supplier aggregate,
+    // then the supplier dim left-semi-joins the qualifiers.
+    "q_tpch_q20" -> ((s, dir) => {
+      val shipped = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .join(t(s, dir, "part").filter(col("p_name").like("blue%"))
+          .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(D(col("l_quantity"))).cast(Dec).as("qty"))
+      val thr = shipped.agg(
+        (d4(sum(col("qty"))) / count(lit(1))).as("thr"))
+      val qualifying = shipped.join(broadcast(thr))
+        .filter(d4(col("qty")) > lit(1.2) * col("thr"))
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
     })
   )
 
@@ -429,6 +620,105 @@ object TpchQueries extends QSet {
         |   / CAST(CAST(total_rev AS VARCHAR) AS DOUBLE), 6) AS share
         |FROM tt
         |WHERE brand_rev * 25 > total_rev
-        |ORDER BY brand_rev DESC, p_brand""".stripMargin
+        |ORDER BY brand_rev DESC, p_brand""".stripMargin,
+
+    "q_tpch_q6" ->
+      s"""SELECT ${sqlD4("SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(18,4)))")} AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q7" ->
+      s"""SELECT supp_nation, cust_nation, l_year,
+        |  ${sqlD4("SUM(vol)")} AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |        CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS vol
+        |      FROM lineitem
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN supplier ON l_suppkey = s_suppkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l_shipdate < TIMESTAMP '1998-01-01'
+        |        AND ((n1.n_regionkey = 3 AND n2.n_regionkey = 2)
+        |          OR (n1.n_regionkey = 2 AND n2.n_regionkey = 3))) x
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q8" ->
+      s"""WITH vols AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_year,
+        |  ${sqlD4("SUM(CASE WHEN supp_nation = 'NATION_12' THEN vol ELSE CAST(0 AS DECIMAL(18,4)) END)")} AS nation_vol,
+        |  ${sqlD4("SUM(vol)")} AS total_vol,
+        |  ROUND(${sqlD4("SUM(CASE WHEN supp_nation = 'NATION_12' THEN vol ELSE CAST(0 AS DECIMAL(18,4)) END)")}
+        |    / ${sqlD4("SUM(vol)")}, 6) AS mkt_share
+        |FROM vols GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q_tpch_q9" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  ${sqlD4("SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) - CAST(CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,4)))")} AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q_tpch_q2" ->
+      """WITH ucost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eu AS (
+        |  SELECT ucost.*, s_acctbal, s_name, n_name
+        |  FROM ucost
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |best AS (SELECT *,
+        |  MIN(unit_cost) OVER (PARTITION BY l_partkey) AS best_cost FROM eu)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+        |FROM best JOIN part ON l_partkey = p_partkey
+        |WHERE unit_cost = best_cost
+        |  AND p_size BETWEEN 10 AND 30 AND p_type = 'SMALL'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q20" ->
+      s"""WITH shipped AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'blue%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_suppkey),
+        |thr AS (SELECT ${sqlD4("SUM(qty)")} / COUNT(*) AS thr FROM shipped)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM shipped, thr
+        |              WHERE l_suppkey = s_suppkey
+        |                AND CAST(CAST(qty AS VARCHAR) AS DOUBLE) > 1.2 * thr)
+        |ORDER BY s_suppkey""".stripMargin
   )
 }

@@ -21,7 +21,7 @@ class DeterminismSpec extends AnyFunSuite {
 
   test("every oracle-compared query sorts globally (row order is graded)") {
     // Single-row ungrouped aggregates are trivially ordered.
-    val exempt = Set("q_agg_global", "q_tpch_q14", "q_tpch_q17")
+    val exempt = Set("q_agg_global", "q_tpch_q14", "q_tpch_q17", "q_tpch_q6")
     val unsorted = SparkEntry.oracleSql.keys.toSeq.sorted
       .filterNot(exempt).filterNot { name =>
         val plan = SparkEntry.queries(name)(spark, sf).queryExecution.analyzed
