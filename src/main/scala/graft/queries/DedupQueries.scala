@@ -76,6 +76,11 @@ object DedupQueries extends QSet {
     // final pairs): oracle-compared against the exhaustive ground truth.
     "q_dedup_minhash_jaccard" -> ((s, dir) => minhashVerifiedPairs(s, dir)),
 
+    // Incremental against-existing dedup (continuous-ingest shape):
+    // incoming 10% batch vs the accepted corpus, LSH buckets + exact
+    // verify; oracle-compared against the exhaustive cross-set pairs.
+    "q_dedup_incremental" -> ((s, dir) => incrementalDedup(s, dir)),
+
     "q_dedup_simhash" -> ((s, dir) => simhashPairs(s, dir, 3)),
 
     "q_dedup_embedding" -> ((s, dir) => embeddingDedup(s, dir, 0.40)),
@@ -321,8 +326,12 @@ object DedupQueries extends QSet {
     * false candidates: 8×4 is the standalone candidate query; 16×2 is
     * the verified-pipeline config (miss prob < 1e-7 at jaccard 0.8).
     */
-  def minhashCandidates(s: SparkSession, dir: String,
-      bands: Int = Bands): DataFrame = {
+  /** (doc_id, band, key) LSH bucket assignments — the shared candidate
+    * substrate for in-corpus pairs ([[minhashCandidates]]) and
+    * incremental against-existing dedup ([[incrementalDedup]]).
+    */
+  private def minhashBuckets(s: SparkSession, dir: String,
+      bands: Int): DataFrame = {
     val rows = MinhashPerms / bands
     require(bands * rows == MinhashPerms, s"bands $bands must divide 32")
     // hash each shingle STRING once, then derive the 32 permutation
@@ -343,9 +352,14 @@ object DedupQueries extends QSet {
         xxhash64((rows * band until rows * band + rows)
           .map(i => col(s"h$i")): _*).as("key"))
     }
-    val buckets = sig
+    sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+  }
+
+  def minhashCandidates(s: SparkSession, dir: String,
+      bands: Int = Bands): DataFrame = {
+    val buckets = minhashBuckets(s, dir, bands)
     buckets.select(col("doc_id").as("d1"), col("band"), col("key"))
       .join(buckets.select(col("doc_id").as("d2"), col("band").as("band2"),
         col("key").as("key2")),
@@ -353,6 +367,56 @@ object DedupQueries extends QSet {
           col("d1") < col("d2"))
       .select("d1", "d2").distinct()
       .orderBy("d1", "d2")
+  }
+
+  /** Exact 3-gram Jaccard over an (a, b) candidate id-pair list: shared
+    * verify stage of the LSH pipelines. The pair list is tiny by
+    * construction (near-dups are rare — that is why dedup pays off), so
+    * it broadcasts into the shingle stream; sizes is one row per doc.
+    */
+  private def verifyJaccard(s: SparkSession, dir: String, cand: DataFrame,
+      a: String, b: String): DataFrame = {
+    val sh = shingles(s, dir).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = broadcast(cand)
+      .join(sh.select(col("doc_id").as(a), col("sh")), Seq(a))
+      .join(sh.select(col("doc_id").as(b), col("sh")), Seq(b, "sh"))
+      .groupBy(a, b).agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as(a),
+        col("sz").as("sz1"))), Seq(a))
+      .join(broadcast(sizes.select(col("doc_id").as(b),
+        col("sz").as("sz2"))), Seq(b))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col(a), col(b), col("inter"), col("jaccard"))
+      .orderBy(a, b)
+  }
+
+  /** Incremental (against-existing) near-dedup — the production shape
+    * for a continuously-ingesting corpus: new documents are checked
+    * against the ALREADY-ACCEPTED corpus only, never against each
+    * other or all-pairs. Here "incoming" = doc_id % 10 == 0 (a
+    * deterministic 10% batch), "existing" = the rest. Candidates come
+    * from the same 16-band MinHash buckets the in-corpus pipeline uses
+    * — an equi-join of the incoming side's buckets against the
+    * existing side's (at deployment the existing side's (band, key,
+    * doc_id) index is a persisted table that only ever appends) — then
+    * exact Jaccard verifies, so the output equals the exhaustive
+    * cross-set ground truth (same < 1e-7 miss bound) and is
+    * DuckDB-oracle-compared.
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val bk = minhashBuckets(s, dir, bands = 16)
+    val cand = bk.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("d_in"), col("band"), col("key"))
+      .join(bk.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("d_ex"), col("band").as("band2"),
+          col("key").as("key2")),
+        col("band") === col("band2") && col("key") === col("key2"))
+      .select("d_in", "d_ex").distinct()
+    verifyJaccard(s, dir, cand, "d_in", "d_ex")
   }
 
   /** The full LSH dedup pipeline at its 100 TB shape, made
@@ -369,28 +433,9 @@ object DedupQueries extends QSet {
     * that is why dedup is worth running), broadcast into the shingle
     * stream.
     */
-  def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val cand = minhashCandidates(s, dir, bands = 16)
-    val sh = shingles(s, dir).persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // pair → shared-shingle count: attach d1's shingles, keep only rows
-    // where d2 also has that shingle. Both joins see the tiny pair list
-    // on one side; sizes is one row per doc (broadcast).
-    val inter = broadcast(cand)
-      .join(sh.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
-      .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.select(col("doc_id").as("d1"),
-        col("sz").as("sz1"))), Seq("d1"))
-      .join(broadcast(sizes.select(col("doc_id").as("d2"),
-        col("sz").as("sz2"))), Seq("d2"))
-      .withColumn("jaccard", col("inter").cast(DoubleType) /
-        (col("sz1") + col("sz2") - col("inter")))
-      .filter(col("jaccard") >= 0.8)
-      .select("d1", "d2", "inter", "jaccard")
-      .orderBy("d1", "d2")
-  }
+  def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+    verifyJaccard(s, dir, minhashCandidates(s, dir, bands = 16),
+      "d1", "d2")
 
   /** SimHash near-dup pairs within `maxHam` Hamming distance, fully
     * oracle-able: the 60-bit signature derives every token hash from
@@ -522,6 +567,31 @@ object DedupQueries extends QSet {
     "q_dedup_near_ngram" -> ngramPairsSql,
 
     "q_dedup_minhash_jaccard" -> ngramPairsSql,
+
+    // exhaustive CROSS-SET ground truth: incoming (doc_id%10=0) vs
+    // existing, jaccard ≥ 0.8 — the incremental pipeline must equal it
+    "q_dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 2),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d_in, b.doc_id AS d_ex, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |    AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT d_in, d_ex, inter,
+        |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = d_in
+        |JOIN sizes sb ON sb.doc_id = d_ex
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+        |ORDER BY d_in, d_ex""".stripMargin,
 
     "q_dedup_components" ->
       """WITH RECURSIVE toks AS (

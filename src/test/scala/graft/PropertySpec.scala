@@ -219,6 +219,24 @@ class PropertySpec extends AnyFunSuite {
     reps.foreach { case (d, r) => assert(r <= d) }
   }
 
+  test("incremental dedup: exactly the cross-set restriction of the " +
+      "exhaustive pairs") {
+    val inc = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+      .select("d_in", "d_ex").as[(Long, Long)].collect()
+    // side discipline: incoming on the left, existing on the right
+    inc.foreach { case (i, e) =>
+      assert(i % 10 == 0 && e % 10 != 0, s"($i,$e) violates the split") }
+    // completeness + soundness vs the exhaustive unordered ground truth
+    val exhaustive = SparkEntry.queries("q_dedup_near_ngram")(spark, sf)
+      .select("d1", "d2").as[(Long, Long)].collect()
+      .filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b) => if (a % 10 == 0) (a, b) else (b, a) }
+      .toSet
+    assert(inc.toSet == exhaustive,
+      s"incremental ${inc.length} pairs vs exhaustive cross-set " +
+        s"${exhaustive.size}")
+  }
+
   test("pagination: offset page is disjoint from and follows page one") {
     val ordered = Tables.t(spark, sf, "orders")
       .select("o_orderkey", "o_totalprice")
