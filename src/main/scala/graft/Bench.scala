@@ -38,6 +38,9 @@ object Bench {
     try graft.queries.ScanQueries.ensurePartitionedOrders(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"Bench: partitioned-layout warmup failed: $e") }
+    try graft.queries.ScanQueries.ensureEvolvedOrders(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"Bench: evolved-layout warmup failed: $e") }
     // optional args = bench only the named queries (dev loop; the
     // driver invokes with no args and times the full set). Unknown
     // names fail loudly: a typo'd filter silently benching nothing

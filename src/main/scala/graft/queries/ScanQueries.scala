@@ -36,6 +36,36 @@ object ScanQueries extends QSet {
   private val partitionedOrders =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Layout prep for q_source_schema_evolution: two write GENERATIONS
+    * of the orders feed — gen1 before `o_orderstatus` existed (even
+    * keys), gen2 after the column was added (odd keys). At 100 TB a
+    * long-lived ingestion directory ALWAYS spans schema generations;
+    * the engine must read them as one table. Memoized like the other
+    * layout preps; overwrite keeps one /tmp location per sfDir.
+    */
+  private val evolvedOrders =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ensureEvolvedOrders(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    evolvedOrders.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + dir, _ => {
+        val tag = new java.io.File(dir).getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"/tmp/graft_evolved_orders_$tag"
+        val o = t(s, dir, "orders")
+        graft.sources.Readers.writeParquet(
+          o.filter(col("o_orderkey") % 2 === 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice"),
+          s"$path/gen1")
+        graft.sources.Readers.writeParquet(
+          o.filter(col("o_orderkey") % 2 === 1)
+            .select("o_orderkey", "o_custkey", "o_totalprice",
+              "o_orderstatus"),
+          s"$path/gen2")
+        path
+      })
+
   def ensurePartitionedOrders(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     partitionedOrders.computeIfAbsent(
@@ -67,6 +97,22 @@ object ScanQueries extends QSet {
         .agg(count(lit(1)).as("n_orders"),
           d4(sum(D(col("o_totalprice")))).as("sum_price"))
         .orderBy("o_orderpriority")
+    }),
+
+    // Schema evolution as a DECLARED query: gen1 files physically lack
+    // o_orderstatus, gen2 files carry it; the mergeSchema read unions
+    // the footers so gen1 rows surface the column as NULL. The layout
+    // is result-equivalent to nulling the column on even keys, so the
+    // oracle runs that projection over the ORIGINAL parquet — the
+    // evolved read must agree exactly.
+    "q_source_schema_evolution" -> ((s, dir) => {
+      val p = ensureEvolvedOrders(s, dir)
+      graft.sources.Readers.parquetMerged(s, s"$p/gen1", s"$p/gen2")
+        .groupBy(coalesce(col("o_orderstatus"), lit("ABSENT"))
+          .as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          d4(sum(D(col("o_totalprice")))).as("sum_price"))
+        .orderBy("status")
     }),
 
     "q_scan_project" -> ((s, dir) => {
@@ -183,6 +229,15 @@ object ScanQueries extends QSet {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_source_schema_evolution" ->
+      s"""SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1
+        |    THEN o_orderstatus END, 'ABSENT') AS status,
+        |  COUNT(*) AS n_orders,
+        |  ${sqlD4("SUM(CAST(o_totalprice AS DECIMAL(18,4)))")} AS sum_price
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY status""".stripMargin,
+
     "q_scan_partition_pruned" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
         | ${sqlD4("SUM(CAST(o_totalprice AS DECIMAL(18,4)))")} AS sum_price

@@ -52,8 +52,8 @@ object Readers {
     * dropping it — the only safe default for a long-lived ingestion
     * directory. Costs one footer pass over the file listing (not the
     * data), so it stays cheap even at 100 TB. */
-  def parquetMerged(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(path)
+  def parquetMerged(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 
   /** Small-file compaction: rewrite a directory into `targetFiles`
     * similarly-sized files. Streaming sinks and per-batch CDC merges
