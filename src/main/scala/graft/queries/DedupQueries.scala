@@ -330,8 +330,7 @@ object DedupQueries extends QSet {
     * substrate for in-corpus pairs ([[minhashCandidates]]) and
     * incremental against-existing dedup ([[incrementalDedup]]).
     */
-  private def minhashBuckets(s: SparkSession, dir: String,
-      bands: Int): DataFrame = {
+  private def minhashBuckets(sh: DataFrame, bands: Int): DataFrame = {
     val rows = MinhashPerms / bands
     require(bands * rows == MinhashPerms, s"bands $bands must divide 32")
     // hash each shingle STRING once, then derive the 32 permutation
@@ -339,8 +338,12 @@ object DedupQueries extends QSet {
     // mixing instead of 32 string hashes per row (the string pass was
     // the minhash hot spot: ~32M variable-length hashes at sf0.1).
     // Min-aggregates fold map-side, so the shuffle carries one 32-long
-    // row per (doc, partition).
-    val hashed = shingles(s, dir)
+    // row per (doc, partition). Callers pass the UNPERSISTED shingle
+    // frame: feeding this from a persisted string-shingle cache was
+    // measured ~1.5x SLOWER (same-session A/B at sf0.1) than letting
+    // codegen fuse tokenize→shingle→hash with the scan and prune the
+    // strings before the aggregate.
+    val hashed = sh
       .select(col("doc_id"), xxhash64(col("sh")).as("hb"))
       .select(col("doc_id") +: (0 until MinhashPerms).map(i =>
         xxhash64(col("hb"), lit(i)).as(s"x$i")): _*)
@@ -358,8 +361,10 @@ object DedupQueries extends QSet {
   }
 
   def minhashCandidates(s: SparkSession, dir: String,
-      bands: Int = Bands): DataFrame = {
-    val buckets = minhashBuckets(s, dir, bands)
+      bands: Int = Bands): DataFrame =
+    bucketPairs(minhashBuckets(shingles(s, dir), bands))
+
+  private def bucketPairs(buckets: DataFrame): DataFrame =
     buckets.select(col("doc_id").as("d1"), col("band"), col("key"))
       .join(buckets.select(col("doc_id").as("d2"), col("band").as("band2"),
         col("key").as("key2")),
@@ -367,16 +372,14 @@ object DedupQueries extends QSet {
           col("d1") < col("d2"))
       .select("d1", "d2").distinct()
       .orderBy("d1", "d2")
-  }
 
   /** Exact 3-gram Jaccard over an (a, b) candidate id-pair list: shared
     * verify stage of the LSH pipelines. The pair list is tiny by
     * construction (near-dups are rare — that is why dedup pays off), so
     * it broadcasts into the shingle stream; sizes is one row per doc.
     */
-  private def verifyJaccard(s: SparkSession, dir: String, cand: DataFrame,
+  private def verifyJaccard(sh: DataFrame, cand: DataFrame,
       a: String, b: String): DataFrame = {
-    val sh = shingles(s, dir).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = broadcast(cand)
       .join(sh.select(col("doc_id").as(a), col("sh")), Seq(a))
@@ -408,7 +411,7 @@ object DedupQueries extends QSet {
     * DuckDB-oracle-compared.
     */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val bk = minhashBuckets(s, dir, bands = 16)
+    val bk = minhashBuckets(shingles(s, dir), bands = 16)
     val cand = bk.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("d_in"), col("band"), col("key"))
       .join(bk.filter(col("doc_id") % 10 =!= 0)
@@ -416,7 +419,7 @@ object DedupQueries extends QSet {
           col("key").as("key2")),
         col("band") === col("band2") && col("key") === col("key2"))
       .select("d_in", "d_ex").distinct()
-    verifyJaccard(s, dir, cand, "d_in", "d_ex")
+    verifyJaccard(shingles(s, dir).persist(), cand, "d_in", "d_ex")
   }
 
   /** The full LSH dedup pipeline at its 100 TB shape, made
@@ -434,7 +437,8 @@ object DedupQueries extends QSet {
     * stream.
     */
   def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame =
-    verifyJaccard(s, dir, minhashCandidates(s, dir, bands = 16),
+    verifyJaccard(shingles(s, dir).persist(),
+      bucketPairs(minhashBuckets(shingles(s, dir), bands = 16)),
       "d1", "d2")
 
   /** SimHash near-dup pairs within `maxHam` Hamming distance, fully
