@@ -107,7 +107,15 @@ object DedupQueries extends QSet {
     // re-rank after. LibrarySpec measures recall vs brute force.
     "q_sim_ann_ivf" -> ((s, dir) =>
       graft.functions.Ann.ivfCosineTopK(
-        t(s, dir, "embeddings"), "vec_id", "embedding", 10))
+        t(s, dir, "embeddings"), "vec_id", "embedding", 10)),
+
+    // Non-oracle (LSH candidate set is impl-defined): PER-VECTOR top-k
+    // neighbours — the kNN-graph building block (each vector gets its k
+    // best candidates ranked by exact cosine). LibrarySpec pins the
+    // structure (dense ranks, sorted scores) and score-exactness.
+    "q_sim_ann_neighbors" -> ((s, dir) =>
+      graft.functions.Ann.approxNeighbors(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 5))
   )
 
   /** Brute-force cosine top-k, declared as a self-join: norms are

@@ -10,6 +10,8 @@ import graft.engine.Tables.{D, d4}
 /** Row/state/output types for the custom stateful operator. */
 case class EvRow(event_id: Long, user_id: Long, event_type: String,
   value: Double, ts_us: java.sql.Timestamp)
+/** One incoming document for the streaming dedup firehose. */
+case class DocRow(doc_id: Long, text: String)
 case class CounterState(n: Long)
 case class PurchaseCount(user_id: Long, event_id: Long,
   purchases_since_error: Long)
@@ -198,4 +200,78 @@ object StreamTransforms {
         ev("user_id") === col("c_custkey"))
       .groupBy("tier")
       .agg(count(lit(1)).as("cnt"), d4(sum(D(col("value")))).as("sum_val"))
+
+  // --- streaming incremental dedup (the ingest-firehose shape) ---
+  // New documents arrive as a stream and must be near-dup-checked
+  // against the ACCEPTED corpus: per micro-batch everything is either a
+  // narrow per-row computation or a stream⋈static equi-join, so the
+  // operator needs NO stream-stream join and NO watermark state — the
+  // only stateful step is the final (d_in, d_ex) de-duplication of
+  // multi-band hits. The MinHash construction is bit-identical to
+  // graft.queries.DedupQueries.minhashBuckets (hb = xxhash64(sh);
+  // x_i = xxhash64(hb, i); h_i = min x_i; band key = xxhash64 over the
+  // band's h_i), so StreamingSpec can assert stream == the declared
+  // batch q_dedup_incremental exactly.
+
+  private val DedupBands = 16 // × 2 rows per band, as the batch pipeline
+
+  /** (doc_id, shs): the distinct 3-gram shingle SET as an array column.
+    * Arrays ride the row, so candidate verification downstream is
+    * per-row set math (array_intersect) instead of a join against an
+    * exploded shingle table — the trick that keeps the stream side
+    * join-free.
+    */
+  def shingleArrays(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+        .as("shs"))
+
+  /** (band, key) struct array for one shingle-set row — the per-row
+    * (no groupBy) formulation of the banded MinHash signature, exact
+    * same hash chain as the batch pipeline.
+    */
+  private def bandKeys = expr(
+    s"""transform(sequence(0, ${DedupBands - 1}), b -> named_struct(
+       |  'band', b,
+       |  'key', xxhash64(
+       |    array_min(transform(shs, x -> xxhash64(xxhash64(x), 2 * b))),
+       |    array_min(transform(shs, x -> xxhash64(xxhash64(x), 2 * b + 1))))))
+       |""".stripMargin)
+
+  /** Static LSH index of the accepted corpus: (band, key, d_ex, shs_ex,
+    * sz_ex). At deployment this is a persisted table that appends as
+    * documents are accepted; here it is derived from the existing docs.
+    */
+  def dedupIndex(existing: DataFrame): DataFrame =
+    shingleArrays(existing)
+      .select(col("doc_id").as("d_ex"), col("shs").as("shs_ex"),
+        explode(bandKeys).as("b"))
+      .select(col("d_ex"), col("shs_ex"),
+        size(col("shs_ex")).as("sz_ex"),
+        col("b.band").as("band"), col("b.key").as("key"))
+
+  /** Near-dup pairs of an incoming doc frame (batch OR streaming)
+    * against a static [[dedupIndex]]: LSH-bucket equi-join → per-row
+    * exact Jaccard on the carried shingle arrays → ≥ 0.8 pairs, one row
+    * per (d_in, d_ex). Output schema matches q_dedup_incremental.
+    */
+  def dedupIncoming(incoming: DataFrame, index: DataFrame): DataFrame =
+    shingleArrays(incoming)
+      .select(col("doc_id").as("d_in"), col("shs"),
+        explode(bandKeys).as("b"))
+      .select(col("d_in"), col("shs"), col("b.band").as("band"),
+        col("b.key").as("key"))
+      .join(index, Seq("band", "key"))
+      .withColumn("inter",
+        size(array_intersect(col("shs"), col("shs_ex"))).cast(LongType))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("shs")) + col("sz_ex") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      // multi-band hits collapse here — the one stateful step on a
+      // stream; every duplicate row is identical, so first() is exact
+      .groupBy("d_in", "d_ex")
+      .agg(first(col("inter")).as("inter"),
+        first(col("jaccard")).as("jaccard"))
 }

@@ -266,6 +266,37 @@ class LibrarySpec extends AnyFunSuite {
       exactCos.get((a, b)).foreach(e => assert(e == c)) }
   }
 
+  test("per-vector ANN neighbours: dense ranks, sorted exact scores") {
+    import org.apache.spark.sql.functions._
+    val nn = graft.SparkEntry.queries("q_sim_ann_neighbors")(spark, sf)
+    val rows = nn.select("qid", "nid", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect()
+    // structure: per qid, ranks are 1..n(≤5) and cos is non-increasing
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to rs.length),
+        s"qid $q ranks not dense")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.reverse.toSeq,
+        s"qid $q scores not sorted")
+      assert(rs.length <= 5)
+    }
+    // score exactness: recompute each pair's cosine with the same
+    // native expression — LSH prunes candidates, never alters scores
+    val vn = Tables.t(spark, sf, "embeddings").select(
+      col("vec_id"), col("embedding"),
+      graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
+    val recomputed = nn
+      .join(vn.select(col("vec_id").as("qid"), col("embedding").as("e1"),
+        col("nrm").as("n1")), "qid")
+      .join(vn.select(col("vec_id").as("nid"), col("embedding").as("e2"),
+        col("nrm").as("n2")), "nid")
+      .withColumn("cos2", round(
+        graft.functions.Native.dotF(col("e1"), col("e2")) /
+          (col("n1") * col("n2")), 4))
+      .filter(col("cos") =!= col("cos2")).count()
+    assert(recomputed == 0, s"$recomputed neighbour scores diverge")
+  }
+
   test("approx percentile tracks the exact percentile within 2%") {
     import org.apache.spark.sql.functions._
     val both = Tables.t(spark, sf, "orders")

@@ -98,6 +98,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: incoming stream vs static index == declared batch") {
+    val docs = graft.engine.Tables.t(spark, TestSpark.Sf, "documents")
+      .select("doc_id", "text")
+    val index = StreamTransforms.dedupIndex(
+      docs.filter($"doc_id" % 10 =!= 0))
+    // the declared batch query is the ground truth (itself DuckDB-
+    // oracle-compared); project to the stream function's output schema
+    val batch = graft.SparkEntry.queries("q_dedup_incremental")(
+      spark, TestSpark.Sf).select("d_in", "d_ex", "inter", "jaccard")
+      .collect()
+    // sanity: the shared-code batch path of the stream function agrees
+    val viaFn = StreamTransforms.dedupIncoming(
+      docs.filter($"doc_id" % 10 === 0), index)
+      .select("d_in", "d_ex", "inter", "jaccard").collect()
+    assert(canon(viaFn) == canon(batch))
+    // replay the incoming 10% batch through MemoryStream micro-batches
+    val rows = docs.filter($"doc_id" % 10 === 0)
+      .as[DocRow].collect().toSeq.sortBy(_.doc_id)
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[DocRow]
+    val q = StreamTransforms.dedupIncoming(ms.toDF, index)
+      .select("d_in", "d_ex", "inter", "jaccard")
+      .writeStream.format("memory").queryName("s_dedup_inc")
+      .outputMode("complete").start()
+    try {
+      val size = math.max(1, rows.size / 4)
+      rows.grouped(size).foreach { g => ms.addData(g); q.processAllAvailable() }
+      assert(canon(spark.table("s_dedup_inc").collect()) == canon(batch))
+    } finally q.stop()
+  }
+
   test("stream-static dim join: stream == batch") {
     val cust = graft.engine.Tables.t(spark, TestSpark.Sf, "customer")
     val batch = StreamTransforms.joinDim(
