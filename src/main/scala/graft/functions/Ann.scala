@@ -75,7 +75,20 @@ object Ann {
 
   def approxCosineTopK(df: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int = 64, bits: Int = 0, tables: Int = 32,
-      seed: Long = 42L, probes: Int = 0): DataFrame = {
+      seed: Long = 42L, probes: Int = 0): DataFrame =
+    scoredCandidates(df, idCol, vecCol, dim, bits, tables, seed, probes)
+      .orderBy(col("cos").desc, col("id1"), col("id2"))
+      .limit(k)
+
+  /** All LSH candidate pairs with exact cosine scores, UNRANKED —
+    * the shared core: global-top-k ranks it (TakeOrdered), per-vector
+    * top-k windows it per qid. Kept separate because ranking the full
+    * candidate set globally just to re-rank per vector costs a global
+    * sort for nothing (measured 5.5 s → ~2 s on q_sim_ann_neighbors).
+    */
+  private def scoredCandidates(df: DataFrame, idCol: String,
+      vecCol: String, dim: Int, bits: Int, tables: Int,
+      seed: Long, probes: Int): DataFrame = {
     // one pass computes norms + signatures; persisted because the
     // scoring joins re-read it (twice) after the candidate shuffle.
     // Signatures come from the codegen'd native expression (all tables
@@ -114,8 +127,6 @@ object Ann {
       .select("id1", "id2")
       .dropDuplicates("id1", "id2")
     scorePairs(cand, vn)
-      .orderBy(col("cos").desc, col("id1"), col("id2"))
-      .limit(k)
   }
 
   /** IVF (inverted-file) ANN: coarse-quantize vectors to centroid
@@ -179,8 +190,8 @@ object Ann {
   def approxNeighbors(df: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int = 64, bits: Int = 0, tables: Int = 32,
       seed: Long = 42L): DataFrame = {
-    val pairs = approxCosineTopK(df, idCol, vecCol, Int.MaxValue, dim, bits,
-      tables, seed)
+    val pairs = scoredCandidates(df, idCol, vecCol, dim, bits,
+      tables, seed, probes = 0)
     // candidates are symmetric: expand to both directions, rank per id
     val directed = pairs.select(col("id1").as("qid"), col("id2").as("nid"),
         col("cos"))
