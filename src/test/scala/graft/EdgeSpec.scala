@@ -151,6 +151,40 @@ class EdgeSpec extends AnyFunSuite {
     assert(winners == Set(1L, 2L), s"tied winners must both survive: $winners")
   }
 
+  test("q2 shape: unit-cost ties keep every best supplier of a part") {
+    import org.apache.spark.sql.expressions.Window
+    // suppliers 1 and 2 both hit unit cost 5.0 for part 100 (via
+    // different price/qty splits whose double division is exact);
+    // supplier 3 is strictly worse. The window-min equality filter must
+    // keep BOTH tied best suppliers — the same ties-survive discipline
+    // as the q15 shape, on the per-(part,supplier) aggregate.
+    val li = Seq((100L, 1L, 10.0, 2.0), (100L, 1L, 20.0, 2.0),
+      (100L, 2L, 40.0, 8.0), (100L, 3L, 60.0, 10.0))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    val best = li.groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      .withColumn("best_cost",
+        min(col("unit_cost")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("unit_cost") === col("best_cost"))
+      .select("l_suppkey").as[Long].collect().toSet
+    assert(best == Set(1L, 2L), s"tied best suppliers must survive: $best")
+  }
+
+  test("q20 shape: the relative threshold is strict — boundary excluded") {
+    import graft.engine.Tables.{d4, D, Dec}
+    // three suppliers shipped 10/20/30 → mean 20; qty > 1.2·mean = 24
+    // keeps ONLY the 30 shipper; the 20-at-the-boundary×1.2=24 case is
+    // excluded by the strict inequality on both engines.
+    val shipped = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("l_suppkey", "qty_raw")
+      .groupBy("l_suppkey").agg(sum(D(col("qty_raw"))).cast(Dec).as("qty"))
+    val thr = shipped.agg((d4(sum(col("qty"))) / count(lit(1))).as("thr"))
+    val kept = shipped.join(broadcast(thr))
+      .filter(d4(col("qty")) > lit(1.2) * col("thr"))
+      .select("l_suppkey").as[Long].collect().toSet
+    assert(kept == Set(3L), s"only the strictly-above supplier survives: $kept")
+  }
+
   test("q16 shape: empty and full complaint-supplier anti sides") {
     // the anti join's build side is a FILTERED dim — when the filter
     // matches nothing, the anti join must pass everything through (not
