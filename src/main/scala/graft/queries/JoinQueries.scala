@@ -389,6 +389,32 @@ object JoinQueries extends QSet {
         .orderBy("event_id")
     }),
 
+    // The SAME as-of semantics through the custom physical operator
+    // (plans/AsOfJoin: LogicalPlan + Strategy + co-partitioned merge
+    // exec, O(L+R) per partition — the 100 TB path the window
+    // formulation above can't take). Strict "<" rides a −1 µs shift of
+    // the left timestamp in the long domain (the exec's native bound is
+    // ≤). Shares q_join_asof's oracle SQL verbatim: the custom operator
+    // itself is DuckDB-graded, not just scalatest-proven. Equal-ts
+    // right rows would be sort-order-dependent in the exec (documented
+    // at AsOf.join) — the events fixture has none at any SF (verified),
+    // and DeterminismSpec's double-run check would flag a regeneration
+    // that introduces them.
+    "q_join_asof_native" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts_us").as("c_ts"))
+      graft.plans.AsOf.join(p, c,
+          col("user_id"), unix_micros(col("ts_us")) - 1,
+          col("c_user"), unix_micros(col("c_ts")))
+        .select(col("event_id"), col("ts_us").as("ts"),
+          col("c_id").as("prior_click_id"), col("c_ts").as("prior_ts"))
+        .orderBy("event_id")
+    }),
+
     // Skew-salted join, the companion technique to q_agg_salted_twophase:
     // the probe (fact) side salts each row into one of S buckets by a
     // hash of its ROW identity, the build (dim) side replicates each key
@@ -567,14 +593,21 @@ object JoinQueries extends QSet {
         |GROUP BY p.event_id
         |ORDER BY p.event_id""".stripMargin,
 
-    "q_join_asof" ->
-      """SELECT event_id, ts, prior_click_id, prior_ts FROM (
-        | SELECT p.event_id, p.ts, c.event_id AS prior_click_id, c.ts AS prior_ts,
-        |  row_number() OVER (PARTITION BY p.event_id
-        |    ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
-        | FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        | LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND c.ts < p.ts)
-        |WHERE rn = 1 ORDER BY event_id""".stripMargin
+    "q_join_asof" -> asofOracleSql,
+
+    "q_join_asof_native" -> asofOracleSql
   )
+
+  /** Shared by the window formulation AND the custom-operator query —
+    * both must reproduce DuckDB's as-of answer exactly.
+    */
+  private lazy val asofOracleSql: String =
+    """SELECT event_id, ts, prior_click_id, prior_ts FROM (
+      | SELECT p.event_id, p.ts, c.event_id AS prior_click_id, c.ts AS prior_ts,
+      |  row_number() OVER (PARTITION BY p.event_id
+      |    ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+      | FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      | LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts < p.ts)
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin
 }
