@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables._
+
+/** Late round-6 analytics additions: table profiling (the first query
+  * every warehouse runs on a new load), per-entity outlier detection
+  * (the metric-anomaly shape), and fixed-iteration PageRank (the
+  * iterative-graph-analytics shape, complementing connected
+  * components).
+  *
+  * Scale notes: profiling is ONE pass over the table (all per-column
+  * aggregates fold map-side; the distincts plan through Expand exactly
+  * like q_agg_distinct_multi). Anomaly stats are a per-key aggregate
+  * joined back to the fact — the stats side is one row per entity, so
+  * at 100 TB it broadcasts (or rides a co-partitioned shuffle when the
+  * entity count itself is huge). Each PageRank iteration is one equi
+  * join on src plus one aggregate shuffle on dst — the standard
+  * distributed formulation; scores are BIGINT micro-units and every
+  * step is integer floor arithmetic, so partial/final merge order
+  * can't change a score and an ITERATIVE computation stays
+  * cross-engine exact with no float rounding anywhere.
+  */
+object AnalyticsQueries extends QSet {
+
+  /** Exact decimal sum emitted as the identical double on both engines
+    * (through the exact digit string — SURVEY.md A.8). */
+  private def sd(c: Column) =
+    sum(c).cast(StringType).cast(DoubleType)
+
+  /** PageRank: 3 unrolled iterations keep the oracle a plain
+    * chained-CTE query (damping 0.85 is spelled in exact micro-unit
+    * integer arithmetic at the use site). */
+  private val PrIters = 3
+
+  /** The bipartite interaction graph from events: user nodes interact
+    * with property-key nodes (key node ids offset to 1,000,000+k so the
+    * two vertex families share one id space). Undirected = both edge
+    * directions materialized. */
+  private def prEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ek = events(s, dir)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .distinct()
+    ek.select(col("user_id").as("src"), (col("k") + 1000000L).as("dst"))
+      .unionAll(ek.select((col("k") + 1000000L).as("src"),
+        col("user_id").as("dst")))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    // Data-profiling summary: per-column null count, exact distinct
+    // count, and a numeric min/max (string columns profile their
+    // LENGTH min/max — one uniform double-typed metric column instead
+    // of a sum type). One aggregation pass over the table, then a
+    // 5-row unpivot of the single result row.
+    "q_profile_table" -> ((s, dir) => {
+      def nNull(c: String) =
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
+      val agg1 = t(s, dir, "customer").agg(
+        count(lit(1)).as("n_rows"),
+        nNull("c_custkey"), nNull("c_name"), nNull("c_nationkey"),
+        nNull("c_acctbal"), nNull("c_mktsegment"),
+        countDistinct(col("c_custkey")).as("c_custkey_nd"),
+        countDistinct(col("c_name")).as("c_name_nd"),
+        countDistinct(col("c_nationkey")).as("c_nationkey_nd"),
+        countDistinct(col("c_acctbal")).as("c_acctbal_nd"),
+        countDistinct(col("c_mktsegment")).as("c_mktsegment_nd"),
+        min(col("c_custkey")).cast(DoubleType).as("c_custkey_min"),
+        max(col("c_custkey")).cast(DoubleType).as("c_custkey_max"),
+        min(length(col("c_name"))).cast(DoubleType).as("c_name_min"),
+        max(length(col("c_name"))).cast(DoubleType).as("c_name_max"),
+        min(col("c_nationkey")).cast(DoubleType).as("c_nationkey_min"),
+        max(col("c_nationkey")).cast(DoubleType).as("c_nationkey_max"),
+        min(col("c_acctbal")).as("c_acctbal_min"),
+        max(col("c_acctbal")).as("c_acctbal_max"),
+        min(length(col("c_mktsegment"))).cast(DoubleType)
+          .as("c_mktsegment_min"),
+        max(length(col("c_mktsegment"))).cast(DoubleType)
+          .as("c_mktsegment_max"))
+      val cols = Seq("c_acctbal", "c_custkey", "c_mktsegment", "c_name",
+        "c_nationkey")
+      val stackArgs = cols.map(c =>
+        s"'$c', ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
+      agg1.selectExpr("n_rows",
+          s"stack(${cols.length}, $stackArgs) AS " +
+            "(col_name, n_null, n_distinct, min_v, max_v)")
+        .select("col_name", "n_rows", "n_null", "n_distinct", "min_v",
+          "max_v")
+        .orderBy("col_name")
+    }),
+
+    // Per-user metric outliers: mean/stddev from EXACT decimal sums
+    // (the q_agg_stats recipe — identical IEEE expression shape on
+    // both engines), events flagged where |z| > 2. The stats frame is
+    // one row per user; the join back to events is broadcast-shaped.
+    "q_ts_anomaly" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("value"))
+      val xd = col("value").cast(DecimalType(19, 4))
+      val sq = (xd * xd).cast(DecimalType(28, 4))
+      val n = count(lit(1))
+      val sx = sd(D(col("value")))
+      val sxx = sum(sq).cast(StringType).cast(DoubleType)
+      val vr = (sxx - sx * sx / n) / (n - lit(1L))
+      val stats = ev.groupBy("user_id")
+        .agg(n.as("n_ev"), (sx / n).as("mean_v"), sqrt(vr).as("std_v"))
+        .filter(col("n_ev") >= 10 && col("std_v") > 0)
+        .withColumnRenamed("user_id", "su")
+      // no broadcast hint: stats is one row per entity — bounded at the
+      // fixture but not at 100 TB user counts; AQE picks broadcast when
+      // it fits and a co-partitioned shuffle join when it doesn't.
+      ev.join(stats, col("user_id") === col("su"))
+        .withColumn("z",
+          round((col("value") - col("mean_v")) / col("std_v"), 4))
+        .filter(abs(col("z")) > lit(2.0))
+        .select(col("user_id"), col("event_id"), col("value"), col("z"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Fixed-iteration PageRank over the bipartite user↔property-key
+    // interaction graph. Degrees attach to the edge list once; each
+    // iteration shuffles only on dst for the contribution sum.
+    // Exactness: scores live as BIGINT micro-units (pr × 10⁶) and every
+    // step is integer floor arithmetic — contribution = pr div deg,
+    // damping = 150000 + (85·Σ) div 100 — so all three iterations are
+    // bit-identical across engines with NO float rounding anywhere (a
+    // first cut rounding doubles at 6dp hit a HALF_UP-vs-nearbyint
+    // half-way divergence at sf0.01; integers cannot).
+    "q_graph_pagerank" -> ((s, dir) => {
+      // deg/pr are one row per VERTEX — no broadcast hints: a web-scale
+      // graph's vertex frame doesn't fit an executor, so the joins stay
+      // src-keyed shuffles that co-partition across iterations (AQE
+      // broadcasts them at fixture scale anyway).
+      val edges = prEdges(s, dir)
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val ed = edges.join(deg, "src")
+      var pr: DataFrame = deg.select(col("src").as("node"),
+        lit(1000000L).as("pr"))
+      for (_ <- 1 to PrIters) {
+        pr = ed.join(pr, col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("pr div deg")).as("sc"))
+          .select(col("dst").as("node"),
+            (lit(150000L) + expr("(85 * sc) div 100")).as("pr"))
+      }
+      pr.orderBy("node")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_profile_table" ->
+      """WITH a AS (SELECT
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
+        |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nm_nulls,
+        |  CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nk_nulls,
+        |  CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ab_nulls,
+        |  CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS mk_nulls,
+        |  COUNT(DISTINCT c_custkey) AS k_nd,
+        |  COUNT(DISTINCT c_name) AS nm_nd,
+        |  COUNT(DISTINCT c_nationkey) AS nk_nd,
+        |  COUNT(DISTINCT c_acctbal) AS ab_nd,
+        |  COUNT(DISTINCT c_mktsegment) AS mk_nd,
+        |  CAST(MIN(c_custkey) AS DOUBLE) AS k_min,
+        |  CAST(MAX(c_custkey) AS DOUBLE) AS k_max,
+        |  CAST(MIN(len(c_name)) AS DOUBLE) AS nm_min,
+        |  CAST(MAX(len(c_name)) AS DOUBLE) AS nm_max,
+        |  CAST(MIN(c_nationkey) AS DOUBLE) AS nk_min,
+        |  CAST(MAX(c_nationkey) AS DOUBLE) AS nk_max,
+        |  MIN(c_acctbal) AS ab_min,
+        |  MAX(c_acctbal) AS ab_max,
+        |  CAST(MIN(len(c_mktsegment)) AS DOUBLE) AS mk_min,
+        |  CAST(MAX(len(c_mktsegment)) AS DOUBLE) AS mk_max
+        | FROM customer)
+        |SELECT 'c_acctbal' AS col_name, n_rows, ab_nulls AS n_null, ab_nd AS n_distinct, ab_min AS min_v, ab_max AS max_v FROM a
+        |UNION ALL SELECT 'c_custkey', n_rows, k_nulls, k_nd, k_min, k_max FROM a
+        |UNION ALL SELECT 'c_mktsegment', n_rows, mk_nulls, mk_nd, mk_min, mk_max FROM a
+        |UNION ALL SELECT 'c_name', n_rows, nm_nulls, nm_nd, nm_min, nm_max FROM a
+        |UNION ALL SELECT 'c_nationkey', n_rows, nk_nulls, nk_nd, nk_min, nk_max FROM a
+        |ORDER BY col_name""".stripMargin,
+
+    "q_ts_anomaly" ->
+      """WITH st AS (
+        |  SELECT user_id AS su, COUNT(*) AS n_ev,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4)) AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY 1),
+        |st2 AS (
+        |  SELECT su, n_ev, sx / n_ev AS mean_v,
+        |    sqrt((sxx - sx * sx / n_ev) / (n_ev - 1)) AS std_v
+        |  FROM st WHERE n_ev >= 10),
+        |st3 AS (SELECT * FROM st2 WHERE std_v > 0)
+        |SELECT e.user_id, e.event_id, e.value,
+        |  round((e.value - s.mean_v) / s.std_v, 4) AS z
+        |FROM events e JOIN st3 s ON e.user_id = s.su
+        |WHERE abs(round((e.value - s.mean_v) / s.std_v, 4)) > 2.0
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
+
+    "q_graph_pagerank" ->
+      """WITH ek AS (
+        |  SELECT DISTINCT user_id, CAST(props->>'$.k' AS BIGINT) AS k
+        |  FROM events WHERE props->>'$.k' IS NOT NULL),
+        |edges AS (
+        |  SELECT user_id AS src, 1000000 + k AS dst FROM ek
+        |  UNION ALL
+        |  SELECT 1000000 + k AS src, user_id AS dst FROM ek),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, d.deg FROM edges e
+        |       JOIN deg d ON d.src = e.src),
+        |pr0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+        |it1 AS (
+        |  SELECT e.dst AS node, CAST(150000 +
+        |    (85 * CAST(SUM(p.pr // e.deg) AS BIGINT)) // 100 AS BIGINT) AS pr
+        |  FROM ed e JOIN pr0 p ON p.node = e.src GROUP BY e.dst),
+        |it2 AS (
+        |  SELECT e.dst AS node, CAST(150000 +
+        |    (85 * CAST(SUM(p.pr // e.deg) AS BIGINT)) // 100 AS BIGINT) AS pr
+        |  FROM ed e JOIN it1 p ON p.node = e.src GROUP BY e.dst),
+        |it3 AS (
+        |  SELECT e.dst AS node, CAST(150000 +
+        |    (85 * CAST(SUM(p.pr // e.deg) AS BIGINT)) // 100 AS BIGINT) AS pr
+        |  FROM ed e JOIN it2 p ON p.node = e.src GROUP BY e.dst)
+        |SELECT node, pr FROM it3 ORDER BY node""".stripMargin
+  )
+}

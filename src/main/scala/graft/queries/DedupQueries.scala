@@ -61,6 +61,13 @@ object DedupQueries extends QSet {
         .select("d1", "d2", "inter", "jaccard")
         .orderBy("d1", "d2")),
 
+    // Near-SUBSET duplication: containment |A∩B| / min(|A|,|B|) ≥ 0.9
+    // catches a short doc embedded in a longer one — pairs symmetric
+    // Jaccard misses because the size imbalance caps it (jaccard ≤
+    // min/max). The quote/excerpt/boilerplate-wrapper case corpus
+    // dedup has to handle beyond whole-doc near-dups.
+    "q_dedup_containment" -> ((s, dir) => containmentPairs(s, dir)),
+
     // Transitive closure of the near-dup pairs: every document maps to
     // the smallest doc_id reachable through jaccard ≥ 0.8 edges (its
     // cluster representative) plus the cluster size — the form corpus
@@ -221,6 +228,35 @@ object DedupQueries extends QSet {
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= 0.8)
+  }
+
+  /** Exact 3-gram containment ≥ 0.9 pairs (d1 < d2): same candidate
+    * machinery as [[ngramPairs]] (hash-led shingle equi-join), minus
+    * the Jaccard size-ratio prune — containment has no size bound (a
+    * tiny doc inside a huge one is exactly the positive case), so
+    * every gram-sharing pair is a candidate. At 100 TB the banded
+    * analogue signs ONLY the smaller set's minhash per pair-direction
+    * (containment LSH); this exact form is the verification tier, and
+    * stays bounded by the shared-gram pair count like the Jaccard
+    * ground truth.
+    */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shs = sh.join(broadcast(sizes), "doc_id")
+      .withColumn("hb", xxhash64(col("sh")))
+    shs.select(col("doc_id").as("d1"), col("hb"), col("sh"),
+        col("sz").as("sz1"))
+      .join(shs.select(col("doc_id").as("d2"), col("hb").as("hb2"),
+        col("sh").as("sh2"), col("sz").as("sz2")),
+        col("hb") === col("hb2") && col("sh") === col("sh2") &&
+          col("d1") < col("d2"))
+      .groupBy("d1", "d2", "sz1", "sz2").agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        col("inter").cast(DoubleType) / least(col("sz1"), col("sz2")))
+      .filter(col("containment") >= 0.9)
+      .select(col("d1"), col("d2"), col("inter"), col("containment"))
+      .orderBy("d1", "d2")
   }
 
   /** Connected-components clustering over the near-dup pair graph:
@@ -577,6 +613,28 @@ object DedupQueries extends QSet {
         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_near_ngram" -> ngramPairsSql,
+
+    "q_dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 2),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, inter,
+        |  CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = d1
+        |JOIN sizes sb ON sb.doc_id = d2
+        |WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.9
+        |ORDER BY d1, d2""".stripMargin,
 
     "q_dedup_minhash_jaccard" -> ngramPairsSql,
 

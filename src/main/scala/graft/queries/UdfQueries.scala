@@ -63,6 +63,29 @@ object UdfQueries extends QSet {
           col("it.term").as("term"), col("it.lb_count").as("lb_count"))
         .filter(col("rank") <= 10)
         .orderBy("lang", "rank")
+    }),
+
+    // Count-Min sketch (mergeable-sketch UDAF #2): ONE O(d·w) sketch of
+    // the whole fact's priority stream, point-estimates read back by
+    // pure expression (xxhash64 + element_at — no UDF in the read
+    // path). The 5-key fixture domain is collision-free at d=4, w=256
+    // (deterministic hash layout, asserted in LibrarySpec), so the
+    // estimates ARE the exact counts and the plain GROUP BY oracle
+    // applies; the overestimate/merge guarantees are property-tested on
+    // adversarial streams. The 1-row sketch attach is the q_text_tfidf
+    // broadcast shape (n × 1, lint-allowlisted).
+    "q_agg_countmin" -> ((s, dir) => {
+      import graft.functions.CountMin
+      val d = 4; val w = 256
+      val cm = udaf(CountMin(d, w))
+      val sk = t(s, dir, "orders")
+        .agg(cm(col("o_orderpriority")).as("sk"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority").as("key")).distinct()
+        .join(broadcast(sk))
+        .select(col("key"),
+          CountMin.estimate(col("sk"), col("key"), d, w).as("est"))
+        .orderBy("key")
     })
   )
 
@@ -99,6 +122,10 @@ object UdfQueries extends QSet {
         |    FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
         |          FROM documents)
         |    GROUP BY lang, term))
-        |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
+        |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+
+    "q_agg_countmin" ->
+      """SELECT o_orderpriority AS key, COUNT(*) AS est
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -457,4 +457,89 @@ class LibrarySpec extends AnyFunSuite {
     }
     assert(got.size <= k)
   }
+
+  test("Count-Min sketch: never undercounts, bounds overcount, merges " +
+    "exactly, and the SQL estimate path matches the JVM hash layout") {
+    import graft.functions.CountMin
+    // many distinct keys against a NARROW sketch so collisions actually
+    // happen (the regime the guarantee is about); fixed seed
+    val rnd = new scala.util.Random(7)
+    val stream = (0 until 5000).map(_ => s"k${rnd.nextInt(300)}")
+    val d = 4; val w = 64
+    val cm = CountMin(d, w)
+    // direct Aggregator exercise: two halves reduced separately then
+    // merged must equal the single-pass sketch (merge ≡ concat)
+    val (h1, h2) = stream.splitAt(2500)
+    val one = stream.foldLeft(cm.zero)(cm.reduce)
+    val merged = cm.merge(h1.foldLeft(cm.zero)(cm.reduce),
+      h2.foldLeft(cm.zero)(cm.reduce))
+    assert(one.toSeq == merged.toSeq, "merge != single-pass sketch")
+    val exact = stream.groupBy(identity).map { case (t, xs) =>
+      t -> xs.size.toLong }
+    // point estimates: never below truth; overcount within 2·N/w
+    // (the e/w bound with slack — deterministic here, not probabilistic)
+    exact.foreach { case (key, truth) =>
+      val est = (0 until d).map(i =>
+        one(i * w + CountMin.slot(key, i, w))).min
+      assert(est >= truth, s"$key undercounted: $est < $truth")
+      assert(est - truth <= 2L * stream.size / w,
+        s"$key overcounted by ${est - truth}")
+    }
+    // distributed + expression read path: sketch via udaf, estimates via
+    // the pure-Column xxhash64/element_at locator — must agree with the
+    // JVM-side reduce layout key for key (collision-free at w=4096 for
+    // 300 keys, so estimates are the exact counts)
+    val w2 = 4096
+    val cmu = udaf(CountMin(d, w2))
+    val df = stream.toDF("key").repartition(8)
+    val sk = df.agg(cmu(col("key")).as("sk"))
+    val got = df.select(col("key")).distinct()
+      .join(broadcast(sk))
+      .select(col("key"), CountMin.estimate(col("sk"), col("key"), d, w2)
+        .as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, "SQL estimate path diverges from exact counts")
+  }
+
+  test("containment dedup: finds a doc embedded in a longer one that " +
+    "jaccard misses") {
+    import graft.queries.DedupQueries
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base, "en", "src0", base.length.toLong),
+      (2L, s"intro filler tokens here $base and a very long tail " +
+        "of unrelated words " + (1 to 40).map(i => s"w$i").mkString(" "),
+        "en", "src0", 0L),
+      (3L, "completely different text with no shared trigrams at all " +
+        (1 to 20).map(i => s"x$i").mkString(" "), "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "/tmp/graft_containment_fx"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = DedupQueries.containmentPairs(spark, dir).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)), s"got ${pairs.toSeq}")
+    // the embedded doc's gram set is fully contained
+    assert(pairs.head.getDouble(3) == 1.0)
+    // and symmetric jaccard on the same pair is BELOW the 0.8 dedup
+    // threshold — the case this operator exists for
+    val j = DedupQueries.ngramPairs(spark, dir)
+      .filter(col("d1") === 1L && col("d2") === 2L).collect()
+    assert(j.isEmpty, "jaccard >= 0.8 should miss the embedded pair")
+  }
+
+  test("pagerank: mass conservation and endpoint stability in integer " +
+    "micro-units") {
+    val got = graft.queries.AnalyticsQueries
+      .queries("q_graph_pagerank")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every score ≥ the 0.15 floor; total mass stays within floor-loss
+    // of the node count (each div drops < 1 µ-unit per edge/node)
+    assert(got.values.forall(_ >= 150000L))
+    val n = got.size.toLong
+    val total = got.values.sum
+    assert(total <= n * 1000000L && total > n * 990000L,
+      s"mass $total vs $n nodes")
+    // bipartite degree asymmetry must show: some node above uniform
+    assert(got.values.max > 1000000L)
+  }
 }

@@ -275,7 +275,8 @@ class PlanSpec extends AnyFunSuite {
       "q_quality_lm" -> "broadcast of the 1-row corpus token total",
       "q_quality_constraints" -> "cross of three 1-row audit summaries",
       "q_tpch_q22" -> "broadcast of the 1-row global-average threshold",
-      "q_tpch_q20" -> "broadcast of the 1-row shipped-quantity threshold")
+      "q_tpch_q20" -> "broadcast of the 1-row shipped-quantity threshold",
+      "q_agg_countmin" -> "broadcast of the 1-row global sketch")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val p = fn(spark, sf).queryExecution.executedPlan.toString
