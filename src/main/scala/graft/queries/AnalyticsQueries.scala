@@ -35,6 +35,29 @@ object AnalyticsQueries extends QSet {
     * integer arithmetic at the use site). */
   private val PrIters = 3
 
+  /** EWMA horizon and its exact power-of-two weights (α = 0.5). */
+  private val EwmaLags = 10
+  private val EwmaW: IndexedSeq[Double] =
+    (0 until EwmaLags).map(j => math.pow(0.5, j))
+
+  /** The identical 10-term chain as oracle SQL (left-associated like
+    * reduceLeft, weights printed exactly — powers of two terminate). */
+  private def ewmaSql: String = {
+    def bd(j: Int) = new java.math.BigDecimal(EwmaW(j)).toPlainString
+    val terms = (0 until EwmaLags).map(j =>
+      s"(CASE WHEN lag(value, $j) OVER w IS NOT NULL " +
+        s"THEN ${bd(j)} * lag(value, $j) OVER w ELSE 0.0 END)")
+      .mkString(" + ")
+    val wts = (0 until EwmaLags).map(j =>
+      s"(CASE WHEN lag(value, $j) OVER w IS NOT NULL " +
+        s"THEN ${bd(j)} ELSE 0.0 END)").mkString(" + ")
+    s"""SELECT user_id, event_id, epoch_us(ts) AS tsu, value,
+       | ($terms) / ($wts) AS ewma
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+       |ORDER BY user_id, tsu, event_id""".stripMargin
+  }
+
   /** The bipartite interaction graph from events: user nodes interact
     * with property-key nodes (key node ids offset to 1,000,000+k so the
     * two vertex families share one id space). Undirected = both edge
@@ -121,6 +144,32 @@ object AnalyticsQueries extends QSet {
         .orderBy("user_id", "event_id")
     }),
 
+    // Exponentially-weighted moving average (α = 0.5) over each user's
+    // event series, bounded to a 10-lag horizon so it stays ONE window
+    // pass (the unbounded recurrence is inherently sequential; at lag
+    // 10 the dropped tail weighs < 0.1% — the streaming-metrics
+    // smoothing shape). Exactness: weights are exact powers of two and
+    // both engines evaluate the SAME left-associated 10-term chain on
+    // the same doubles — bit-identical IEEE with no rounding step.
+    "q_ts_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsu"), col("event_id"))
+      def lg(j: Int) = lag(col("value"), j).over(w)
+      val terms = (0 until EwmaLags).map { j =>
+        when(lg(j).isNotNull, lit(EwmaW(j)) * lg(j)).otherwise(lit(0.0))
+      }
+      val wts = (0 until EwmaLags).map { j =>
+        when(lg(j).isNotNull, lit(EwmaW(j))).otherwise(lit(0.0))
+      }
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts_us")).as("tsu"), col("value"))
+        .withColumn("ewma",
+          terms.reduceLeft(_ + _) / wts.reduceLeft(_ + _))
+        .orderBy("user_id", "tsu", "event_id")
+    }),
+
     // Fixed-iteration PageRank over the bipartite user↔property-key
     // interaction graph. Degrees attach to the edge list once; each
     // iteration shuffles only on dst for the contribution sum.
@@ -199,6 +248,8 @@ object AnalyticsQueries extends QSet {
         |FROM events e JOIN st3 s ON e.user_id = s.su
         |WHERE abs(round((e.value - s.mean_v) / s.std_v, 4)) > 2.0
         |ORDER BY e.user_id, e.event_id""".stripMargin,
+
+    "q_ts_ewma" -> ewmaSql,
 
     "q_graph_pagerank" ->
       """WITH ek AS (

@@ -123,6 +123,27 @@ object WindowQueries extends QSet {
         .orderBy("user_id", "tsu", "event_id")
     }),
 
+    // Rolling DISCRETE median over each user's trailing 7 events: the
+    // lower median is an exact element pick from the sorted frame list
+    // — no interpolation, no float math, so no cross-engine rounding
+    // hazard (Spark's percentile-over-frame and DuckDB's quantile_cont
+    // interpolate with different expression shapes). collect_list over
+    // a ROWS frame is O(frame) state per row, same tier as the
+    // rolling-distinct collect_set.
+    "q_win_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsu"), col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts_us")).as("tsu"), col("value"))
+        .withColumn("lst", sort_array(collect_list(col("value")).over(w)))
+        .select(col("user_id"), col("event_id"), col("tsu"), col("value"),
+          element_at(col("lst"), ((size(col("lst")) + 1) / 2).cast("int"))
+            .as("med7"))
+        .orderBy("user_id", "tsu", "event_id")
+    }),
+
     // Gaps-and-islands: longest run of CONSECUTIVE active days per
     // user. The classic constant-anchor trick — day minus row_number
     // is constant exactly within a consecutive run — turns streak
@@ -223,6 +244,17 @@ object WindowQueries extends QSet {
         |  FROM customer)
         |GROUP BY c_mktsegment, quartile
         |ORDER BY c_mktsegment, quartile""".stripMargin,
+
+    "q_win_rolling_median" ->
+      """SELECT user_id, event_id, tsu, value,
+        | l[(len(l) + 1) // 2] AS med7
+        |FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value,
+        |    list_sort(list(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS l
+        |  FROM events)
+        |ORDER BY user_id, tsu, event_id""".stripMargin,
 
     "q_win_rolling_distinct" ->
       """SELECT user_id, event_id, epoch_us(ts) AS tsu,
