@@ -186,7 +186,14 @@ object AnalyticsQueries extends QSet {
       // broadcasts them at fixture scale anyway).
       val edges = prEdges(s, dir)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val ed = edges.join(deg, "src")
+      // persist the degree-annotated edge list: every unrolled
+      // iteration references it; without the cache each level of the
+      // 3-deep plan re-derives the events scan + json extraction +
+      // distinct. (At fixture scale the wall time is stage-scheduling
+      // overhead either way — the cache is for the 100 TB shape, where
+      // re-deriving the edge list per iteration would triple the scan
+      // work.)
+      val ed = edges.join(deg, "src").persist()
       var pr: DataFrame = deg.select(col("src").as("node"),
         lit(1000000L).as("pr"))
       for (_ <- 1 to PrIters) {
