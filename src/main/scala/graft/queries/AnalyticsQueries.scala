@@ -144,6 +144,47 @@ object AnalyticsQueries extends QSet {
         .orderBy("user_id", "event_id")
     }),
 
+    // Last-touch attribution: each purchase attributes to the user's
+    // most recent click at-or-before it — the ignore-nulls running
+    // last_value trick makes this ONE user-partitioned window pass (no
+    // self-join, no as-of machinery); the product-analytics companion
+    // to q_funnel_conversion.
+    "q_attribution_last_touch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsu"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts_us")).as("tsu"), col("event_type"))
+        .withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(w))
+        .withColumn("click_tsu",
+          last(when(col("event_type") === "click", col("tsu")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("tsu"), col("click_id"),
+          (col("tsu") - col("click_tsu")).as("us_since_click"))
+        .orderBy("user_id", "purchase_id")
+    }),
+
+    // Inverted-index build (the search/retrieval index shape): term →
+    // document frequency + sorted posting list. Postings emit as a
+    // comma-joined string for cross-engine grading (A.9: no array
+    // dtypes in outputs); the real library path would keep the array.
+    // One shuffle on term; collect_set bounds state at docs-per-term.
+    "q_text_inverted_index" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"),
+          expr("array_join(transform(sort_array(collect_set(doc_id)), " +
+            "x -> cast(x as string)), ',')").as("postings"))
+        .orderBy("term")
+    }),
+
     // Exponentially-weighted moving average (α = 0.5) over each user's
     // event series, bounded to a 10-lag horizon so it stays ONE window
     // pass (the unbounded recurrence is inherently sequential; at lag
@@ -257,6 +298,28 @@ object AnalyticsQueries extends QSet {
         |ORDER BY e.user_id, e.event_id""".stripMargin,
 
     "q_ts_ewma" -> ewmaSql,
+
+    "q_attribution_last_touch" ->
+      """SELECT user_id, event_id AS purchase_id, tsu, click_id,
+        | tsu - click_tsu AS us_since_click
+        |FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |      IGNORE NULLS) OVER w AS click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+        |      IGNORE NULLS) OVER w AS click_tsu
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, purchase_id""".stripMargin,
+
+    "q_text_inverted_index" ->
+      """SELECT term, COUNT(DISTINCT doc_id) AS df,
+        | array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents)
+        |GROUP BY term ORDER BY term""".stripMargin,
 
     "q_graph_pagerank" ->
       """WITH ek AS (
