@@ -144,6 +144,100 @@ object AnalyticsQueries extends QSet {
         .orderBy("user_id", "event_id")
     }),
 
+    // Daily OHLC bars per user (the financial/metrics downsampling
+    // shape): open/close are argmin/argmax over a collision-free
+    // BIGINT within-day ordering key (µs-offset-in-day × 10⁷ +
+    // event_id — unique while event_id < 10⁷, i.e. through SF ≈ 100 on
+    // this generator; the q_agg_minmax_by recipe), so ties can't
+    // diverge across engines. One hash aggregate, partials fold
+    // map-side.
+    "q_ts_ohlc" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        date_trunc("day", col("ts_us")).cast("date").as("day"),
+        col("event_id"), col("value"), unix_micros(col("ts_us")).as("tsu"))
+        .withColumn("ord",
+          (col("tsu") - unix_micros(col("day").cast("timestamp"))) *
+            10000000L + col("event_id"))
+      ev.groupBy("user_id", "day")
+        .agg(
+          expr("min_by(value, ord)").as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          expr("max_by(value, ord)").as("close"),
+          count(lit(1)).as("n_events"),
+          d4(sum(D(col("value")))).as("vol"))
+        .orderBy("user_id", "day")
+    }),
+
+    // Bigram LM quality scoring: corpus-trained CONDITIONAL logprobs
+    // ln(c(w1 w2)/c(w1 ·)) — the n-gram step up from q_quality_lm's
+    // unigram model (fluency scoring reacts to word ORDER, not just
+    // vocabulary). Same exactness recipe: per-bigram ln rounds 6dp,
+    // decimal-izes BEFORE the per-doc sum. The bigram table is
+    // vocab²-bounded and joins by (w1, w2) hash — no broadcast
+    // assumption, so a 100 TB corpus's model table still flows.
+    "q_quality_lm2" -> ((s, dir) => {
+      val big = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(tk) - 2), " +
+            "i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val lp = c12.join(c1, "w1")
+        .select(col("w1"), col("w2"),
+          round(log(col("c12").cast(DoubleType) / col("c1")), 6)
+            .as("logp"))
+      big.join(lp, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_big"),
+          sum(col("logp").cast(DecimalType(18, 8))).as("sum_lp"))
+        // no final rounding: the exact-decimal sum converts through its
+        // digit string and ONE double division is bit-identical on both
+        // engines — a cosmetic round(.,4) here hit a half-way case at
+        // sf0.1 (sum/count CAN land on the 4dp half grid; cf. pagerank)
+        .select(col("doc_id"), col("n_big"),
+          (col("sum_lp").cast(DecimalType(28, 8)).cast(StringType)
+            .cast(DoubleType) / col("n_big")).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-dimension feature standardization of the embedding corpus
+    // (the ML feature-scaling pass): dimension stats from exact
+    // decimal sums, then each vector's standardized L2 norm via the
+    // round-then-decimal-sum recipe (z² rounds 6dp before the
+    // order-independent sum). posexplode keys the stats shuffle by
+    // dimension position — 64 groups here, dim-bounded at any corpus
+    // size; the stats frame broadcasts back by construction.
+    "q_feat_standardize" -> ((s, dir) => {
+      val x = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("vec_id"), col("pos"),
+          col("xf").cast(DoubleType).as("x"))
+      val xd = col("x").cast(DecimalType(19, 6))
+      val sq = (xd * xd).cast(DecimalType(30, 12))
+      val n = count(lit(1))
+      val sx = sum(col("x").cast(DecimalType(19, 6)))
+        .cast(StringType).cast(DoubleType)
+      val sxx = sum(sq).cast(StringType).cast(DoubleType)
+      val vr = (sxx - sx * sx / n) / (n - lit(1L))
+      val stats = x.groupBy("pos")
+        .agg((sx / n).as("mean_x"), sqrt(vr).as("std_x"))
+      x.join(broadcast(stats), "pos")
+        .withColumn("z", (col("x") - col("mean_x")) / col("std_x"))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("dim"),
+          sum(round(col("z") * col("z"), 6).cast(DecimalType(18, 6)))
+            .as("ssq"))
+        .select(col("vec_id"), col("dim"),
+          round(sqrt(col("ssq").cast(StringType).cast(DoubleType)), 4)
+            .as("z_norm"))
+        .orderBy("vec_id")
+    }),
+
     // Last-touch attribution: each purchase attributes to the user's
     // most recent click at-or-before it — the ignore-nulls running
     // last_value trick makes this ONE user-partitioned window pass (no
@@ -298,6 +392,66 @@ object AnalyticsQueries extends QSet {
         |ORDER BY e.user_id, e.event_id""".stripMargin,
 
     "q_ts_ewma" -> ewmaSql,
+
+    "q_ts_ohlc" ->
+      s"""SELECT user_id, day,
+        | arg_min(value, ord) AS open, MAX(value) AS high,
+        | MIN(value) AS low, arg_max(value, ord) AS close,
+        | COUNT(*) AS n_events,
+        | ${sqlD4("SUM(CAST(value AS DECIMAL(18,4)))")} AS vol
+        |FROM (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    value,
+        |    (epoch_us(ts) - epoch_us(CAST(CAST(date_trunc('day', ts)
+        |      AS DATE) AS TIMESTAMP))) * 10000000 + event_id AS ord
+        |  FROM events)
+        |GROUP BY user_id, day
+        |ORDER BY user_id, day""".stripMargin,
+
+    "q_quality_lm2" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |big AS (
+        |  SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+        |    unnest(tk[2:len(tk)]) AS w2
+        |  FROM toks),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+        |lp AS (
+        |  SELECT c12.w1, c12.w2,
+        |    round(ln(CAST(c12.c12 AS DOUBLE) / c1.c1), 6) AS logp
+        |  FROM c12 JOIN c1 ON c12.w1 = c1.w1)
+        |SELECT b.doc_id, COUNT(*) AS n_big,
+        | CAST(CAST(CAST(SUM(CAST(lp.logp AS DECIMAL(18,8)))
+        |   AS DECIMAL(28,8)) AS VARCHAR) AS DOUBLE) / COUNT(*)
+        |   AS avg_logp
+        |FROM big b JOIN lp ON b.w1 = lp.w1 AND b.w2 = lp.w2
+        |GROUP BY b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q_feat_standardize" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT pos, COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(x AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS sxx
+        |  FROM x GROUP BY pos),
+        |st2 AS (
+        |  SELECT pos, sx / n AS mean_x,
+        |    sqrt((sxx - sx * sx / n) / (n - 1)) AS std_x
+        |  FROM st)
+        |SELECT x.vec_id, COUNT(*) AS dim,
+        | round(sqrt(CAST(CAST(SUM(CAST(round(
+        |   ((x.x - s.mean_x) / s.std_x) * ((x.x - s.mean_x) / s.std_x),
+        |   6) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)), 4) AS z_norm
+        |FROM x JOIN st2 s ON x.pos = s.pos
+        |GROUP BY x.vec_id
+        |ORDER BY x.vec_id""".stripMargin,
 
     "q_attribution_last_touch" ->
       """SELECT user_id, event_id AS purchase_id, tsu, click_id,
