@@ -26,7 +26,8 @@ object SparkEntry {
     AuditQueries,
     PipelineQueries,
     TpchQueries,
-    AnalyticsQueries
+    AnalyticsQueries,
+    ScaleOpsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

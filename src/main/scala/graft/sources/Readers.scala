@@ -88,6 +88,39 @@ object Readers {
   def text(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** Whole-file binary reader (`binaryFile` format): one row per file
+    * with (path, modificationTime, length, content BINARY) — the
+    * multimodal ingest path for image/audio/video blobs that have no
+    * record structure to split on. Files parallelize across tasks by
+    * listing; `pathGlobFilter` keeps a mixed directory from dragging
+    * non-media files into the scan. Pair with
+    * `graft.multimodal.Multimodal` decode stages downstream. */
+  def binaryFiles(spark: SparkSession, path: String,
+      glob: Option[String] = None): DataFrame = {
+    val base = spark.read.format("binaryFile")
+    glob.fold(base)(g => base.option("pathGlobFilter", g)).load(path)
+  }
+
+  /** Range-clustered parquet writer — the layout producer behind
+    * zone-map/file-skipping reads (q_layout_zorder audits the effect;
+    * this writes it). `repartitionByRange` gives disjoint per-file key
+    * ranges, `sortWithinPartitions` tightens row groups within each
+    * file, and `maxRecordsPerFile` bounds file size so one hot range
+    * can't produce a 100 GB straggler file. For multi-dimensional
+    * clustering pass a computed Z-value column as `clusterCols.head`.
+    */
+  def writeClustered(df: DataFrame, path: String,
+      clusterCols: Seq[String], nFiles: Int,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cols = clusterCols.map(col)
+    df.repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
+
   def writeText(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).text(path)
 

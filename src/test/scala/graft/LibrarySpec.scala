@@ -542,4 +542,51 @@ class LibrarySpec extends AnyFunSuite {
     // bipartite degree asymmetry must show: some node above uniform
     assert(got.values.max > 1000000L)
   }
+
+  test("binaryFile reader ingests whole files with glob filtering") {
+    val dir = new java.io.File("/tmp/graft_binfiles")
+    dir.mkdirs()
+    val payload = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0, 1, 2, 3)
+    java.nio.file.Files.write(
+      new java.io.File(dir, "a.png").toPath, payload)
+    java.nio.file.Files.write(
+      new java.io.File(dir, "b.png").toPath, payload ++ payload)
+    java.nio.file.Files.write(
+      new java.io.File(dir, "skip.txt").toPath, "not media".getBytes)
+    val df = Readers.binaryFiles(spark, dir.toString, Some("*.png"))
+    val rows = df.select("path", "length", "content").collect()
+    assert(rows.length == 2, "glob must exclude the .txt")
+    val byName = rows.map(r => (r.getString(0).split('/').last,
+      r.getAs[Array[Byte]]("content"))).toMap
+    assert(byName("a.png").toSeq == payload.toSeq)
+    assert(byName("b.png").length == 16)
+    // length column matches the bytes read
+    assert(rows.forall(r =>
+      r.getLong(1) == r.getAs[Array[Byte]]("content").length.toLong))
+  }
+
+  test("writeClustered produces disjoint per-file key ranges") {
+    val out = "/tmp/graft_clustered"
+    Readers.writeClustered(
+      Tables.t(spark, sf, "orders"), out, Seq("o_custkey"), 4)
+    // ≥2 real part-files, and their per-file [min,max] custkey ranges
+    // must not overlap — the zone-map property scan pruning needs
+    val perFile = spark.read.parquet(out)
+      .select(col("o_custkey"),
+        input_file_name().as("f"))
+      .groupBy("f")
+      .agg(min("o_custkey").as("lo"), max("o_custkey").as("hi"))
+      .collect()
+      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    assert(perFile.length >= 2)
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping file ranges: ${perFile.toSeq}")
+      case _ =>
+    }
+    // row fidelity
+    assert(spark.read.parquet(out).count() ==
+      Tables.t(spark, sf, "orders").count())
+  }
 }

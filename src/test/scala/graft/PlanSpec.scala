@@ -28,6 +28,16 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema.contains("l_orderkey"), readSchema)
   }
 
+  test("rank filter plans a WindowGroupLimit (per-partition top-k prune)") {
+    // row_number() <= k must trigger Spark's WindowGroupLimit pushdown:
+    // each map task keeps only its local top-k per group BEFORE the
+    // window exchange, so the shuffle carries O(groups × k) rows, not
+    // the whole fact — the optimizer-side version of what TopKAgg does
+    // as an aggregate (queries/ScaleOpsQueries.scala).
+    val p = plan("q_win_rownumber_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("declared partitioned-fact query prunes at the partition level") {
     // the month equality must land in PartitionFilters (directory skip),
     // and the files the scan actually lists must ALL be in the matching
@@ -276,7 +286,9 @@ class PlanSpec extends AnyFunSuite {
       "q_quality_constraints" -> "cross of three 1-row audit summaries",
       "q_tpch_q22" -> "broadcast of the 1-row global-average threshold",
       "q_tpch_q20" -> "broadcast of the 1-row shipped-quantity threshold",
-      "q_agg_countmin" -> "broadcast of the 1-row global sketch")
+      "q_agg_countmin" -> "broadcast of the 1-row global sketch",
+      "q_layout_zorder" -> "broadcast of the 1-row max-z frame",
+      "q_stats_equidepth" -> "broadcast of the 1-row decile-bounds frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val p = fn(spark, sf).queryExecution.executedPlan.toString

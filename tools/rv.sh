@@ -6,7 +6,7 @@ set -u
 sf=$1; out=$2; shift 2
 rm -f "$out/oracle_sql.json"
 tmux clear-history -t sbt
-tmux send-keys -t sbt "runMain graft.Verify $sf $out" Enter
+tmux send-keys -t sbt "runMain graft.Verify $sf $out $*" Enter
 for _ in $(seq 1 200); do [ -f "$out/oracle_sql.json" ] && break; sleep 2; done
 if [ ! -f "$out/oracle_sql.json" ]; then
   echo "TIMEOUT or compile error; last pane lines:"
