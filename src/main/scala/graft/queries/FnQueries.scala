@@ -163,10 +163,49 @@ object FnQueries extends QSet {
           levenshtein(col("c_name"), col("next_name")).cast(LongType)
             .as("lev"))
         .orderBy("c_custkey")
+    }),
+
+    // Timezone conversion family: the UTC-instant event stream rendered
+    // in local wall-clock zones (IANA tz database on both engines —
+    // Spark's JVM zone rules vs DuckDB's ICU agree on these zones).
+    // Wall timestamps are emitted as epoch-µs-of-the-naive-value via
+    // unix_micros (A.9: no raw timestamp dtype alignment risk), local
+    // hour/date as the analyst-facing columns. Narrow per-row
+    // projection — codegen'd, no shuffle before the output sort.
+    "q_fn_datetime_tz" -> ((s, dir) => {
+      val ny = from_utc_timestamp(col("ts_us"), "America/New_York")
+      val tokyo = from_utc_timestamp(col("ts_us"), "Asia/Tokyo")
+      events(s, dir)
+        .select(col("event_id"),
+          unix_micros(col("ts_us")).as("utc_us"),
+          hour(ny).cast(LongType).as("ny_hour"),
+          ny.cast(DateType).as("ny_date"),
+          hour(tokyo).cast(LongType).as("tokyo_hour"),
+          tokyo.cast(DateType).as("tokyo_date"),
+          // round-trip proof: NY wall time re-interpreted as NY is the
+          // original instant
+          unix_micros(to_utc_timestamp(ny, "America/New_York"))
+            .as("roundtrip_us"))
+        .orderBy("event_id")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fn_datetime_tz" ->
+      """SELECT event_id, epoch_us(ts) AS utc_us,
+        | CAST(hour(timezone('America/New_York', timezone('UTC', ts)))
+        |   AS BIGINT) AS ny_hour,
+        | CAST(timezone('America/New_York', timezone('UTC', ts)) AS DATE)
+        |   AS ny_date,
+        | CAST(hour(timezone('Asia/Tokyo', timezone('UTC', ts)))
+        |   AS BIGINT) AS tokyo_hour,
+        | CAST(timezone('Asia/Tokyo', timezone('UTC', ts)) AS DATE)
+        |   AS tokyo_date,
+        | epoch_us(timezone('America/New_York',
+        |   timezone('America/New_York', timezone('UTC', ts))))
+        |   AS roundtrip_us
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "q_fn_strdist" ->
       """WITH x AS (
         |  SELECT c_custkey, c_name,
