@@ -339,6 +339,54 @@ object AnalyticsQueries extends QSet {
             (lit(150000L) + expr("(85 * sc) div 100")).as("pr"))
       }
       pr.orderBy("node")
+    }),
+
+    // Market-basket affinity: top-20 co-purchased part pairs by lift.
+    // The pair explode is keyed by l_orderkey and bounded by ORDER SIZE
+    // (≤ 7 lines ⇒ ≤ 21 pairs/order), so pair volume grows LINEARLY
+    // with the fact — the self-join is an equi-join on the order key,
+    // never a cross. Exactness: lift = (c_ab·N)/(c_a·c_b) is one IEEE
+    // division of exact int64 products; ranking rounds do not apply
+    // (ties broken by the pair key in the total-order sort).
+    "q_basket_lift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 2)
+      val cnt = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      val nOrders = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(cnt.select(col("l_partkey").as("p1"), col("c").as("c_a")), "p1")
+        .join(cnt.select(col("l_partkey").as("p2"), col("c").as("c_b")), "p2")
+        .crossJoin(broadcast(nOrders))
+        .select(col("p1"), col("p2"), col("c_ab"), col("c_a"), col("c_b"),
+          ((col("c_ab") * col("n_orders")).cast(DoubleType) /
+            (col("c_a") * col("c_b"))).as("lift"))
+        .orderBy(col("lift").desc, col("p1"), col("p2"))
+        .limit(20)
+    }),
+
+    // New-user growth accounting: users first seen per HOUR + the
+    // cumulative adoption curve (hour granularity because the fixture's
+    // users all appear within the first days — day buckets collapse to
+    // one row). First-seen is a per-user MIN (pure partial-agg); the
+    // cumulative window runs on the HOUR spine (≤ 720 rows for the
+    // month), never the event stream. Hours emit as epoch-µs (A.9).
+    "q_ts_new_users" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val firstHour = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(date_trunc("hour", col("ts_us")))).as("h0"))
+      val w = Window.orderBy(col("h0"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      firstHour.groupBy(col("h0")).agg(count(lit(1)).as("n_new"))
+        .withColumn("cum_users", sum(col("n_new")).over(w))
+        .orderBy("h0")
     })
   )
 
@@ -499,6 +547,34 @@ object AnalyticsQueries extends QSet {
         |  SELECT e.dst AS node, CAST(150000 +
         |    (85 * CAST(SUM(p.pr // e.deg) AS BIGINT)) // 100 AS BIGINT) AS pr
         |  FROM ed e JOIN it2 p ON p.node = e.src GROUP BY e.dst)
-        |SELECT node, pr FROM it3 ORDER BY node""".stripMargin
+        |SELECT node, pr FROM it3 ORDER BY node""".stripMargin,
+
+    "q_basket_lift" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS c_ab
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |cnt AS (SELECT l_partkey, COUNT(*) AS c FROM li GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li)
+        |SELECT p.p1, p.p2, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+        |  CAST(p.c_ab * n.n_orders AS DOUBLE) / (ca.c * cb.c) AS lift
+        |FROM pairs p
+        |JOIN cnt ca ON ca.l_partkey = p.p1
+        |JOIN cnt cb ON cb.l_partkey = p.p2, n
+        |ORDER BY lift DESC, p.p1, p.p2
+        |LIMIT 20""".stripMargin,
+
+    "q_ts_new_users" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(epoch_us(date_trunc('hour', ts))) AS h0
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT h0, COUNT(*) AS n_new FROM f GROUP BY h0)
+        |SELECT h0, n_new,
+        |  SUM(n_new) OVER (ORDER BY h0
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        |FROM d ORDER BY h0""".stripMargin
   )
 }

@@ -288,7 +288,8 @@ class PlanSpec extends AnyFunSuite {
       "q_tpch_q20" -> "broadcast of the 1-row shipped-quantity threshold",
       "q_agg_countmin" -> "broadcast of the 1-row global sketch",
       "q_layout_zorder" -> "broadcast of the 1-row max-z frame",
-      "q_stats_equidepth" -> "broadcast of the 1-row decile-bounds frame")
+      "q_stats_equidepth" -> "broadcast of the 1-row decile-bounds frame",
+      "q_basket_lift" -> "broadcast of the 1-row order-count frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val p = fn(spark, sf).queryExecution.executedPlan.toString
