@@ -387,6 +387,31 @@ object AnalyticsQueries extends QSet {
       firstHour.groupBy(col("h0")).agg(count(lit(1)).as("n_new"))
         .withColumn("cum_users", sum(col("n_new")).over(w))
         .orderBy("h0")
+    }),
+
+    // Right-to-be-forgotten delete propagation (the governance shape):
+    // a deletion roster (here derived: user_id ≡ 0 mod 97) anti-joins
+    // the fact — the roster is SMALL by nature, so the anti/semi joins
+    // broadcast and the 100 TB rewrite touches only partitions holding
+    // roster rows. Output is the audit a compliance job must emit:
+    // per-type surviving/deleted rows + distinct users scrubbed.
+    "q_compliance_delete" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"))
+      val roster = ev.filter(pmod(col("user_id"), lit(97L)) === 0)
+        .select(col("user_id")).distinct()
+      val kept = ev.join(broadcast(roster), Seq("user_id"), "left_anti")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_kept"))
+      val gone = ev.join(broadcast(roster), Seq("user_id"), "left_semi")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_deleted"),
+          countDistinct(col("user_id")).as("users_deleted"))
+      kept.join(gone, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+          coalesce(col("users_deleted"), lit(0L)).as("users_deleted"))
+        .orderBy("event_type")
     })
   )
 
@@ -575,6 +600,26 @@ object AnalyticsQueries extends QSet {
         |SELECT h0, n_new,
         |  SUM(n_new) OVER (ORDER BY h0
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
-        |FROM d ORDER BY h0""".stripMargin
+        |FROM d ORDER BY h0""".stripMargin,
+
+    "q_compliance_delete" ->
+      """WITH r AS (
+        |  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+        |k AS (
+        |  SELECT event_type, COUNT(*) AS n_kept FROM events
+        |  WHERE user_id NOT IN (SELECT user_id FROM r)
+        |  GROUP BY event_type),
+        |g AS (
+        |  SELECT event_type, COUNT(*) AS n_deleted,
+        |    COUNT(DISTINCT user_id) AS users_deleted
+        |  FROM events
+        |  WHERE user_id IN (SELECT user_id FROM r)
+        |  GROUP BY event_type)
+        |SELECT COALESCE(k.event_type, g.event_type) AS event_type,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  COALESCE(g.n_deleted, 0) AS n_deleted,
+        |  COALESCE(g.users_deleted, 0) AS users_deleted
+        |FROM k FULL JOIN g ON k.event_type = g.event_type
+        |ORDER BY event_type""".stripMargin
   )
 }

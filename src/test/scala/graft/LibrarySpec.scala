@@ -565,6 +565,40 @@ class LibrarySpec extends AnyFunSuite {
       r.getLong(1) == r.getAs[Array[Byte]]("content").length.toLong))
   }
 
+  test("binaryFiles → pack → extractFeatures end-to-end ingest chain") {
+    import spark.implicits._
+    val dir = new java.io.File("/tmp/graft_media_chain")
+    dir.mkdirs()
+    (0 until 5).foreach { i =>
+      java.nio.file.Files.write(
+        new java.io.File(dir, f"img_$i%03d.png").toPath,
+        Array.fill[Byte](10 + i)((i + 1).toByte))
+    }
+    val media = Readers.binaryFiles(spark, dir.toString, Some("*.png"))
+      .select(
+        // derive a numeric id from the file name — the ingest-time key
+        regexp_extract(col("path"), "img_(\\d+)\\.png", 1).cast("long")
+          .as("media_id"),
+        col("content"))
+    val packed = Multimodal.pack(media, "media_id", "content", "image",
+      width = 4, height = 4)
+    val feats = Multimodal
+      .extractFeatures(packed.as[Multimodal.MediaRow], batchSize = 2,
+        dim = 8)
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 5)
+    assert(feats.map(_.n_bytes).toSeq == Seq(10L, 11L, 12L, 13L, 14L))
+    assert(feats.forall(_.feature.length == 8))
+    // deterministic stub codec: same payload → same feature
+    val again = Multimodal
+      .extractFeatures(packed.as[Multimodal.MediaRow], batchSize = 3,
+        dim = 8)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.feature.toSeq).toSeq ==
+      again.map(_.feature.toSeq).toSeq,
+      "feature must not depend on batch boundaries")
+  }
+
   test("writeClustered produces disjoint per-file key ranges") {
     val out = "/tmp/graft_clustered"
     Readers.writeClustered(
