@@ -185,7 +185,11 @@ object AnalyticsQueries extends QSet {
             "i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("bg"))
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+      // c(w1 ·) = Σ_w2 c(w1 w2) EXACTLY — rolling the unigram margin up
+      // from the bigram table instead of re-counting saves a full
+      // corpus explode pass (model build is ONE scan, not two; the
+      // rollup input is vocab²-bounded, not corpus-sized)
+      val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
       val lp = c12.join(c1, "w1")
         .select(col("w1"), col("w2"),
           round(log(col("c12").cast(DoubleType) / col("c1")), 6)
