@@ -271,4 +271,47 @@ class EdgeSpec extends AnyFunSuite {
     assert(exact == trueMembers,
       s"rejoin must cancel every false positive: ${exact -- trueMembers}")
   }
+
+  test("bitmap distinct: bit 63 (sign bit) and bucket boundaries count") {
+    // ids on both sides of every 64-boundary, including 63 whose mask
+    // 1L<<63 is Long.MIN_VALUE — bit_or/bit_count must treat the sign
+    // bit as an ordinary bit, and duplicates must not double-count
+    val ids = Seq(0L, 63L, 63L, 64L, 127L, 128L, 191L, 191L)
+    val got = ids.toDF("user_id")
+      .groupBy(expr("user_id div 64").as("bk"))
+      .agg(expr("bit_or(shiftleft(1L, cast(user_id % 64 as int)))").as("bm"))
+      .agg(sum(expr("bit_count(bm)")).cast("long")).as[Long].head()
+    assert(got == 6L, s"expected 6 distinct, got $got")
+  }
+
+  test("TopKAgg: group smaller than k, empty input, all-tied values") {
+    val agg = new graft.functions.TopKAgg(5)
+    import graft.functions.TopKEntry
+    assert(agg.finish(agg.zero).isEmpty)
+    val two = Seq(TopKEntry(1.0, 2L), TopKEntry(3.0, 1L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(two.map(_.id) == Seq(1L, 2L), "undersized group keeps all, sorted")
+    val tied = (1L to 9L).map(TopKEntry(7.0, _))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(tied.map(_.id) == Seq(1L, 2L, 3L, 4L, 5L),
+      "ties resolve by ascending id, buffer stays at k")
+  }
+
+  test("z-interleave: zero, max 21-bit keys, and single-dim monotonicity") {
+    // reuse the exact expression the declared query generates
+    def z(a: Long, b: Long): Long = {
+      val df = Seq((a, b)).toDF("l_partkey", "l_suppkey")
+      val e = (0 until 21).map { i =>
+        val p = 1L << i; val c = 1L << (2 * i)
+        s"(((l_partkey div $p) % 2) * $c + ((l_suppkey div $p) % 2) * ${2 * c})"
+      }.mkString(" + ")
+      df.selectExpr(s"$e as zv").as[Long].head()
+    }
+    assert(z(0, 0) == 0L)
+    val m = (1L << 21) - 1
+    assert(z(m, m) == (1L << 42) - 1, "all 42 bits set at max keys")
+    assert(z(1, 0) == 1L && z(0, 1) == 2L, "bit assignment: a=even, b=odd")
+    // interleave preserves per-dimension order at fixed other key
+    assert(z(5, 9) < z(6, 9) && z(5, 9) < z(5, 10))
+  }
 }
