@@ -27,7 +27,8 @@ object SparkEntry {
     PipelineQueries,
     TpchQueries,
     AnalyticsQueries,
-    ScaleOpsQueries
+    ScaleOpsQueries,
+    CorpusOpsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -289,7 +289,9 @@ class PlanSpec extends AnyFunSuite {
       "q_agg_countmin" -> "broadcast of the 1-row global sketch",
       "q_layout_zorder" -> "broadcast of the 1-row max-z frame",
       "q_stats_equidepth" -> "broadcast of the 1-row decile-bounds frame",
-      "q_basket_lift" -> "broadcast of the 1-row order-count frame")
+      "q_basket_lift" -> "broadcast of the 1-row order-count frame",
+      "q_corpus_mix" -> "broadcast of the 1-row minority-count target",
+      "q_ref_integrity" -> "cross of three 1-row audit count pairs")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val p = fn(spark, sf).queryExecution.executedPlan.toString
