@@ -28,7 +28,8 @@ object SparkEntry {
     TpchQueries,
     AnalyticsQueries,
     ScaleOpsQueries,
-    CorpusOpsQueries
+    CorpusOpsQueries,
+    WarehouseQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

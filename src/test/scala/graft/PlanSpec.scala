@@ -291,7 +291,9 @@ class PlanSpec extends AnyFunSuite {
       "q_stats_equidepth" -> "broadcast of the 1-row decile-bounds frame",
       "q_basket_lift" -> "broadcast of the 1-row order-count frame",
       "q_corpus_mix" -> "broadcast of the 1-row minority-count target",
-      "q_ref_integrity" -> "cross of three 1-row audit count pairs")
+      "q_ref_integrity" -> "cross of three 1-row audit count pairs",
+      "q_text_keyword_extract" -> "broadcast of the 1-row corpus count",
+      "q_orders_rfm" -> "broadcast of 1-row max-date and threshold frames")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val p = fn(spark, sf).queryExecution.executedPlan.toString
