@@ -29,7 +29,8 @@ object SparkEntry {
     AnalyticsQueries,
     ScaleOpsQueries,
     CorpusOpsQueries,
-    WarehouseQueries
+    WarehouseQueries,
+    StatGraphQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
