@@ -101,7 +101,7 @@ object AnalyticsQueries extends QSet {
   /** Graph edge frame: the session's materialized layout when
     * [[ensureEdgeList]] ran, else derived inline (Verify's path —
     * correctness is identical by construction). */
-  private[queries] def prEdges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def prEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     Option(edgesReady.get(s.sparkContext.applicationId + "|" + dir))
       .map(p => s.read.parquet(p))
