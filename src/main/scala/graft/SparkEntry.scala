@@ -30,7 +30,8 @@ object SparkEntry {
     ScaleOpsQueries,
     CorpusOpsQueries,
     WarehouseQueries,
-    StatGraphQueries
+    StatGraphQueries,
+    EntityOpsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
