@@ -123,6 +123,32 @@ object EntityOpsQueries extends QSet {
         .orderBy("event_id")
     }),
 
+    // Interval-overlap join: order pairs of the SAME customer whose
+    // 30-day fulfillment windows [orderdate, orderdate+30d] overlap.
+    // The pairing is an equi-join on the customer key — per-customer
+    // order counts bound the quadratic, so candidate volume stays
+    // Σ n_c² (linear-ish under bounded fan-out) at any table size; the
+    // overlap test and day count are pure date arithmetic inside the
+    // join, and NO time-bucket explode is needed because the entity key
+    // already blocks the pairs.
+    "q_join_interval_overlap" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderkey"), col("o_orderdate").cast(DateType).as("d0"))
+        .withColumn("d1", date_add(col("d0"), 30))
+      val a = o.select(col("o_custkey"), col("o_orderkey").as("k1"),
+        col("d0").as("a0"), col("d1").as("a1"))
+      val b = o.select(col("o_custkey"), col("o_orderkey").as("k2"),
+        col("d0").as("b0"), col("d1").as("b1"))
+      a.join(b, Seq("o_custkey"))
+        .filter(col("k1") < col("k2") &&
+          col("a0") <= col("b1") && col("b0") <= col("a1"))
+        .select(col("o_custkey"), col("k1"), col("k2"),
+          (datediff(least(col("a1"), col("b1")),
+            greatest(col("a0"), col("b0"))) + 1).cast(LongType)
+            .as("overlap_days"))
+        .orderBy("o_custkey", "k1", "k2")
+    }),
+
     // Coverage-gap report per event_type on the hourly grid: each
     // type's own [min, max] hour span vs hours actually present —
     // silent feed outages surface as missing hours. Span bounds are a
@@ -220,6 +246,20 @@ object EntityOpsQueries extends QSet {
         |  CASE WHEN use_back THEN tsu - prev_tsu ELSE next_tsu - tsu END
         |    AS gap_us
         |FROM y ORDER BY event_id""".stripMargin,
+
+    "q_join_interval_overlap" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d0,
+        |    CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS d1
+        |  FROM orders)
+        |SELECT a.o_custkey, a.o_orderkey AS k1, b.o_orderkey AS k2,
+        |  date_diff('day',
+        |    greatest(a.d0, b.d0),
+        |    CAST(least(a.d1, b.d1) AS DATE)) + 1 AS overlap_days
+        |FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+        |  AND a.o_orderkey < b.o_orderkey
+        |  AND a.d0 <= b.d1 AND b.d0 <= a.d1
+        |ORDER BY a.o_custkey, k1, k2""".stripMargin,
 
     "q_ts_gaps" ->
       """WITH hourly AS (

@@ -40,6 +40,25 @@ object ScaleOpsQueries extends QSet {
     }.mkString(" + ")
 
   val queries: Map[String, QFn] = Map(
+    // Rolling top-3 inside a sliding event window via the SAME bounded
+    // TopKAgg used as a WINDOW function: state per frame is ≤ k entries
+    // where collect_list materializes all 10 — the custom-window-
+    // aggregate extension point (public functions.udaf API, no Catalyst
+    // internals), exact against a self-join + rank oracle.
+    "q_win_custom_topk" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAgg(3))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tsu"), col("event_id")).rowsBetween(-9, 0)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts_us")).as("tsu"), col("value"))
+        .withColumn("tk", topk(col("value"), col("event_id")).over(w))
+        .select(col("user_id"), col("event_id"), col("tsu"),
+          array_join(transform(col("tk"), e => e.getField("id")), ",")
+            .as("top3_ids"))
+        .orderBy("user_id", "tsu", "event_id")
+    }),
+
     // Top-3 orders per customer via the bounded-heap TopKAgg Aggregator
     // (functions/TopK.scala): partial buffers carry ≤ 3 entries per
     // group to the exchange, where the window formulation ships and
@@ -251,6 +270,25 @@ object ScaleOpsQueries extends QSet {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_custom_topk" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |j AS (
+        |  SELECT a.user_id, a.event_id AS eid, a.tsu,
+        |    b.event_id AS bid,
+        |    row_number() OVER (PARTITION BY a.user_id, a.event_id
+        |      ORDER BY b.value DESC, b.event_id) AS rk
+        |  FROM e a JOIN e b ON a.user_id = b.user_id
+        |    AND b.rn BETWEEN a.rn - 9 AND a.rn)
+        |SELECT user_id, eid AS event_id, tsu,
+        |  string_agg(bid, ',' ORDER BY rk) AS top3_ids
+        |FROM j WHERE rk <= 3
+        |GROUP BY user_id, eid, tsu
+        |ORDER BY user_id, tsu, event_id""".stripMargin,
+
     "q_topk_group_agg" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
