@@ -94,6 +94,28 @@ object ScaleOpsQueries extends QSet {
         .orderBy("event_type")
     }),
 
+    // Audience-overlap matrix: distinct users active in BOTH of every
+    // event-type pair, via per-(type, bucket) 64-bit bitmaps AND-folded
+    // bucket-by-bucket — the bitmap-index intersection that answers all
+    // 10 pairs from ONE compact structure, where COUNT DISTINCT over an
+    // INTERSECT would re-shuffle the raw stream per pair. The bucket
+    // join keys on bucket id (type² × |buckets| rows total), popcounts
+    // sum map-side; exact by construction, graded against the
+    // distinct-pair self-join oracle.
+    "q_agg_bitmap_overlap" -> ((s, dir) => {
+      val bm = events(s, dir)
+        .groupBy(col("event_type").as("t"), expr("user_id div 64").as("bk"))
+        .agg(expr("bit_or(shiftleft(1L, cast(user_id % 64 as int)))")
+          .as("bm"))
+      val a = bm.select(col("t").as("t1"), col("bk"), col("bm").as("b1"))
+      val b = bm.select(col("t").as("t2"), col("bk"), col("bm").as("b2"))
+      a.join(b, Seq("bk"))
+        .filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2")
+        .agg(sum(expr("bit_count(b1 & b2)")).cast(LongType).as("n_both"))
+        .orderBy("t1", "t2")
+    }),
+
     // Z-order layout audit: interleave (l_partkey, l_suppkey) bits into
     // one clustering key, split its range into 32 equal-width buckets,
     // and report per-bucket min/max of BOTH keys — exactly the
@@ -301,6 +323,15 @@ object ScaleOpsQueries extends QSet {
     "q_agg_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_agg_bitmap_overlap" ->
+      """WITH du AS (
+        |  SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS t1, b.event_type AS t2,
+        |  COUNT(*) AS n_both
+        |FROM du a JOIN du b ON a.user_id = b.user_id
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY t1, t2""".stripMargin,
 
     "q_layout_zorder" ->
       s"""WITH z AS (

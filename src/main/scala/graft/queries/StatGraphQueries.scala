@@ -48,6 +48,19 @@ object StatGraphQueries extends QSet {
       depth.orderBy("node")
     }),
 
+    // Graph degree distribution (the profiling pass before any
+    // traversal): per-vertex degree (one edge-keyed aggregate) folded
+    // into a degree histogram (key space bounded by max degree, not
+    // vertex count) — the power-law check that decides whether a
+    // traversal needs hub mitigation. Both aggregates partial-fold
+    // map-side.
+    "q_graph_degree_dist" -> ((s, dir) => {
+      AnalyticsQueries.prEdges(s, dir)
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("deg")
+    }),
+
     // Snapshot diff (the table-versioning audit): today's snapshot is
     // derived deterministically from orders (keys ≡3 mod 10 deleted,
     // keys ≡0 mod 7 repriced +1), and the diff full-outer-joins the two
@@ -263,6 +276,18 @@ object StatGraphQueries extends QSet {
         |  JOIN edges e ON e.src = b.node WHERE b.depth < ${BfsDepth})
         |SELECT node, MIN(depth) AS depth FROM bfs
         |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_graph_degree_dist" ->
+      """WITH ek AS (
+        |  SELECT DISTINCT user_id, CAST(props->>'$.k' AS BIGINT) AS k
+        |  FROM events WHERE props->>'$.k' IS NOT NULL),
+        |edges AS (
+        |  SELECT user_id AS src, 1000000 + k AS dst FROM ek
+        |  UNION ALL
+        |  SELECT 1000000 + k AS src, user_id AS dst FROM ek),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+        |SELECT deg, COUNT(*) AS n_nodes FROM deg
+        |GROUP BY deg ORDER BY deg""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH prev AS (

@@ -59,6 +59,31 @@ object StreamQueries extends QSet {
         .orderBy("id1", "id2")
     }),
 
+    // Watermark late-data audit as a deterministic batch query: per
+    // source feed (event_type), replay the stream in ARRIVAL order
+    // (event_id) and count rows whose event time lags the running max
+    // by more than the 1-hour watermark — exactly the rows a streaming
+    // aggregation with `withWatermark("ts_us", "1 hour")` would drop.
+    // The running max rides the per-type window (parallel across
+    // feeds); the report is |types| rows. The capacity-planning query
+    // behind choosing a watermark width.
+    "q_stream_late_audit" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts_us")).as("tsu"))
+        .withColumn("hwm", max(col("tsu")).over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("hwm").isNotNull &&
+            col("tsu") < col("hwm") - 3600000000L, 1L).otherwise(0L))
+            .as("n_late"))
+        .orderBy("event_type")
+    }),
+
     "q_cdc_apply" -> ((s, dir) => {
       // CDC apply (last-writer-wins + tombstones): orders act as the
       // changelog — each row upserts its customer's balance unless the
@@ -84,6 +109,19 @@ object StreamQueries extends QSet {
       when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"))
 
   val oracle: Map[String, String] = Map(
+    "q_stream_late_audit" ->
+      """WITH x AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS tsu,
+        |    MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+        |      ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN hwm IS NOT NULL
+        |    AND tsu < hwm - 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_stream_tumbling" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         | COUNT(*) AS cnt,
