@@ -73,6 +73,13 @@ object Plans {
       "q_dedup_minhash_jaccard", // LSH candidates + exact verify, no all-pairs
       "q_dedup_incremental", // cross-set bucket join: incoming vs existing
       "q_source_schema_evolution", // mergeSchema union-of-footers read
+      "q_graph_bfs", // per-hop join + min-agg, vertex-keyed co-partition
+      "q_join_nearest", // one interleaved window, no self-join
+      "q_join_interval_overlap", // entity-key-blocked interval pairs
+      "q_win_custom_topk", // bounded TopKAgg as a window function
+      "q_agg_bitmap_overlap", // bitmap AND-fold bucket join
+      "q_table_checksum", // xor signature: one partial-agg pass
+      "q_dedup_chunks", // array-slice chunking, chunk-keyed equi-join
       "q_topk_group_agg", // bounded-heap partial ObjectHashAggregate
       "q_agg_bitmap_distinct", // two map-side-foldable aggs, no Expand
       "q_layout_zorder", // integer z-interleave + 1-row max attach
