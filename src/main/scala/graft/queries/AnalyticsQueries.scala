@@ -241,6 +241,37 @@ object AnalyticsQueries extends QSet {
         .orderBy("doc_id")
     }),
 
+    // Scalar int8 quantization of the embedding corpus with per-vector
+    // reconstruction error (the vector-index compression step): per-dim
+    // min/max from one partial-agg pass (64-row stats frame, broadcast
+    // back), code = floor((x−mn)·255/(mx−mn)) clamped — floor of an
+    // IEEE-identical expression is engine-exact, no round-half hazard —
+    // and MSE per vector via the round-then-decimal-sum recipe so
+    // accumulation order can't shift the 12th decimal. At 100 TB this
+    // is a map-side pass (stats broadcast) + one vec-keyed aggregate.
+    "q_feat_quantize" -> ((s, dir) => {
+      val x = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("vec_id"), col("pos"),
+          col("xf").cast(DoubleType).as("x"))
+      val stats = x.groupBy("pos")
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      x.join(broadcast(stats), "pos")
+        .withColumn("q", least(
+          floor((col("x") - col("mn")) * 255.0 / (col("mx") - col("mn"))),
+          lit(255.0)))
+        .withColumn("xq",
+          col("mn") + (col("q") + 0.5) * (col("mx") - col("mn")) / 255.0)
+        .withColumn("e2",
+          round((col("x") - col("xq")) * (col("x") - col("xq")), 12))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("dim"),
+          (sum(col("e2").cast(DecimalType(28, 12)))
+            .cast(StringType).cast(DoubleType) / count(lit(1))).as("mse"))
+        .orderBy("vec_id")
+    }),
+
     // Per-dimension feature standardization of the embedding corpus
     // (the ML feature-scaling pass): dimension stats from exact
     // decimal sums, then each vector's standardized L2 norm via the
@@ -562,6 +593,23 @@ object AnalyticsQueries extends QSet {
         |FROM x JOIN st2 s ON x.pos = s.pos
         |GROUP BY x.vec_id
         |ORDER BY x.vec_id""".stripMargin,
+
+    "q_feat_quantize" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |st AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY pos),
+        |r AS (
+        |  SELECT vec_id, x.x,
+        |    mn + (least(floor((x.x - mn) * 255 / (mx - mn)), 255) + 0.5)
+        |      * (mx - mn) / 255 AS xq
+        |  FROM x JOIN st ON x.pos = st.pos)
+        |SELECT vec_id, COUNT(*) AS dim,
+        |  CAST(CAST(SUM(CAST(round((x - xq) * (x - xq), 12)
+        |    AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mse
+        |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "q_attribution_last_touch" ->
       """SELECT user_id, event_id AS purchase_id, tsu, click_id,
