@@ -683,8 +683,9 @@ object AnalyticsQueries extends QSet {
         |  FROM events GROUP BY user_id),
         |d AS (SELECT h0, COUNT(*) AS n_new FROM f GROUP BY h0)
         |SELECT h0, n_new,
-        |  SUM(n_new) OVER (ORDER BY h0
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        |  CAST(SUM(n_new) OVER (ORDER BY h0
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
         |FROM d ORDER BY h0""".stripMargin,
 
     "q_compliance_delete" ->

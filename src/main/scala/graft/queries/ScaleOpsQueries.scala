@@ -149,7 +149,8 @@ object ScaleOpsQueries extends QSet {
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"),
           datediff(col("o_orderdate").cast(DateType),
-            lit(java.sql.Date.valueOf("1995-01-01"))).as("day"))
+            lit(java.sql.Date.valueOf("1995-01-01"))).cast(LongType)
+            .as("day"))
       val daily = o.groupBy(col("day"))
         .agg(max(col("o_totalprice")).as("day_max"))
       val wPrev = Window.orderBy(col("day"))
@@ -246,7 +247,8 @@ object ScaleOpsQueries extends QSet {
           date_trunc("day", col("ts_us")).cast(DateType).as("day"))
         .agg(sum(D(col("value"))).as("x"))
       val dow = daily
-        .groupBy(col("event_type"), expr("weekday(day) + 1").as("dow"))
+        .groupBy(col("event_type"),
+          expr("cast(weekday(day) + 1 as bigint)").as("dow"))
         .agg(count(lit(1)).as("n_days"),
           sum(col("x")).cast(DecimalType(28, 4)).as("sx"))
       val wt = Window.partitionBy(col("event_type"))
