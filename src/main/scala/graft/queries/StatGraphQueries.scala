@@ -128,6 +128,70 @@ object StatGraphQueries extends QSet {
         .orderBy("n1")
     }),
 
+    // Chi-square independence test (market segment × region): observed
+    // counts are exact int64 from one aggregate; row/col/grand totals
+    // ride windows over the 25-CELL contingency frame (bounded by the
+    // category product at any data size); expected counts and per-cell
+    // terms are IEEE ops of exact ints, and the statistic folds via
+    // round-then-decimal-sum so cell order can't shift it. The
+    // categorical-drift sibling of q_stats_ttest.
+    "q_stats_chi2" -> ((s, dir) => {
+      val cells = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("c_mktsegment"), col("r_name"))
+        .agg(count(lit(1)).as("o"))
+      val wr = Window.partitionBy("c_mktsegment")
+      val wc = Window.partitionBy("r_name")
+      val wa = Window.partitionBy()
+      val e = (sum(col("o")).over(wr) * sum(col("o")).over(wc))
+        .cast(DoubleType) / sum(col("o")).over(wa)
+      cells
+        .withColumn("term",
+          round((col("o") - e) * (col("o") - e) / e, 8))
+        .agg(sum(col("o")).as("n"),
+          count(lit(1)).as("n_cells"),
+          sum(col("term").cast(DecimalType(28, 8)))
+            .cast(StringType).cast(DoubleType).as("chi2"))
+        .orderBy("n")
+    }),
+
+    // Kolmogorov-Smirnov two-sample test (click vs error value
+    // distributions) — the training-data drift detector: per distinct
+    // value the two empirical CDFs come from cumulative window sums
+    // over the VALUE spine (bounded by the value domain, not row
+    // count), D = max |F1 − F2| with the argmax value surfaced
+    // (ties to the smallest value). Every CDF step is one division of
+    // exact int64 counts — identical IEEE on both engines.
+    "q_stats_ks" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .filter(col("event_type").isin("click", "error"))
+      val perVal = ev.groupBy(col("value"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("a1"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("a2"))
+      val tot = ev.agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n1"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n2"))
+      val w = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perVal
+        .withColumn("c1", sum(col("a1")).over(w))
+        .withColumn("c2", sum(col("a2")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("d", abs(col("c1").cast(DoubleType) / col("n1") -
+          col("c2").cast(DoubleType) / col("n2")))
+        .orderBy(col("d").desc, col("value"))
+        .limit(1)
+        .select(col("d").as("d_stat"), col("value").as("at_value"),
+          col("n1"), col("n2"))
+    }),
+
     // Winsorized (clipped) aggregation: per-returnflag p05/p95 picked by
     // exact percentile_disc (VALUES from the data — no interpolation, so
     // both engines pick the identical double), carried back as a 3-row
@@ -335,6 +399,55 @@ object StatGraphQueries extends QSet {
         |    ((v1 / n1) * (v1 / n1) / (n1 - 1) +
         |     (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) AS df
         |FROM a, b""".stripMargin,
+
+    "q_stats_chi2" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment, r_name, COUNT(*) AS o
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |x AS (
+        |  SELECT o, round((o - e) * (o - e) / e, 8) AS term
+        |  FROM (
+        |    SELECT o,
+        |      CAST(SUM(o) OVER (PARTITION BY c_mktsegment) *
+        |        SUM(o) OVER (PARTITION BY r_name) AS DOUBLE) /
+        |        SUM(o) OVER () AS e
+        |    FROM cells))
+        |SELECT CAST(SUM(o) AS BIGINT) AS n, COUNT(*) AS n_cells,
+        |  CAST(CAST(SUM(CAST(term AS DECIMAL(28,8))) AS VARCHAR)
+        |    AS DOUBLE) AS chi2
+        |FROM x ORDER BY n""".stripMargin,
+
+    "q_stats_ks" ->
+      """WITH ev AS (
+        |  SELECT value, event_type FROM events
+        |  WHERE event_type IN ('click', 'error')),
+        |pv AS (
+        |  SELECT value,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a1,
+        |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS a2
+        |  FROM ev GROUP BY value),
+        |tot AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2
+        |  FROM ev),
+        |c AS (
+        |  SELECT value,
+        |    SUM(a1) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS c1,
+        |    SUM(a2) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS c2
+        |  FROM pv)
+        |SELECT abs(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+        |    AS d_stat,
+        |  value AS at_value, n1, n2
+        |FROM c, tot
+        |ORDER BY d_stat DESC, at_value LIMIT 1""".stripMargin,
 
     "q_feat_winsorize" ->
       """WITH th AS (
