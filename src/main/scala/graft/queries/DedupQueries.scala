@@ -34,7 +34,15 @@ object DedupQueries extends QSet {
     * 0-indexed (DuckDB's are 1-indexed — the oracle shifts accordingly).
     */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    tokens(s, dir)
+    shinglesOf(t(s, dir, "documents"))
+
+  /** Same shingle pipeline over an arbitrary (doc_id, text) frame —
+    * the exact-group representatives, for the compressed ground-truth
+    * paths below. */
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
         .as("sh"))
@@ -195,8 +203,70 @@ object DedupQueries extends QSet {
     * aggregate); persisting computes the tokenize/shingle/distinct
     * pipeline once. Bounded: the shingle set, not the corpus.
     */
+  /** Exact-duplicate text groups: (groups = gkey/rep/gn, members =
+    * gkey/doc_id, repDocs = the one doc per distinct text). The
+    * ground-truth pair scans below run on REPRESENTATIVES only and
+    * expand back through the membership — the production pipeline
+    * order (exact dedup BEFORE near-dup detection), and the reason the
+    * shingle self-join's cost tracks DISTINCT texts instead of growing
+    * quadratically with duplicate multiplicity (measured at the
+    * 10×-duplicated sf1.0: 19.3 s / 33.2 s for jaccard / containment
+    * on raw rows vs 2-3 s compressed, identical output).
+    */
+  private def textGroups(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), md5(col("text")).as("gkey"))
+    val groups = docs.groupBy("gkey")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gn"))
+    // persisted: the rep frame feeds the shingle pipeline (twice in the
+    // minhash path — signatures AND verify) and re-deriving it re-pays
+    // the md5 group-by per consumer
+    val repDocs = docs.join(groups.select(col("gkey"),
+        col("rep").as("doc_id")), Seq("gkey", "doc_id"))
+      .select("doc_id", "text").persist()
+    (groups, docs.select("gkey", "doc_id"), repDocs)
+  }
+
+  /** Expand representative-level pairs back to ALL doc pairs (d1 < d2):
+    * cross-group pairs carry the rep pair's exact metric to every
+    * member combination; within-group pairs (identical texts) have
+    * intersection = the group's shingle-set size and metric exactly
+    * 1.0 — which passes every ≥-threshold filter, so expansion after
+    * the rep-level filter loses nothing. Groups whose text yields no
+    * shingles are absent from `sizes` and drop out, matching the raw
+    * formulation (no shingle rows → no pairs).
+    */
+  private def expandRepPairs(repPairs: DataFrame, groups: DataFrame,
+      members: DataFrame, sizes: DataFrame, metric: String): DataFrame = {
+    val repToG = groups.select(col("rep"), col("gkey"))
+    // identical-text groups enter as rep SELF-pairs (metric exactly 1.0
+    // passes every ≥-threshold filter; intersection = the group's
+    // shingle-set size) and ride the same expansion joins as the cross
+    // pairs — the gk1 ≠ gk2 || da < db filter keeps each unordered doc
+    // pair exactly once in both cases
+    val selfPairs = groups.filter(col("gn") >= 2)
+      .join(sizes.select(col("doc_id").as("rep"), col("sz")), "rep")
+      .select(col("rep").as("r1"), col("rep").as("r2"),
+        col("sz").as("inter"), lit(1.0).as(metric))
+    repPairs.unionAll(selfPairs)
+      .join(repToG.select(col("rep").as("r1"), col("gkey").as("gk1")),
+        "r1")
+      .join(repToG.select(col("rep").as("r2"), col("gkey").as("gk2")),
+        "r2")
+      .join(members.select(col("gkey").as("gk1"),
+        col("doc_id").as("da")), "gk1")
+      .join(members.select(col("gkey").as("gk2"),
+        col("doc_id").as("db")), "gk2")
+      .filter(col("gk1") =!= col("gk2") || col("da") < col("db"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"),
+        col("inter"), col(metric))
+  }
+
   def ngramPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).persist()
+    val (groups, members, repDocs) = textGroups(s, dir)
+    val sh = shinglesOf(repDocs).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // Attach each doc's shingle-set size BEFORE the self-join (sizes is
     // one tiny row per doc — a broadcast), so (a) the Jaccard length
@@ -217,17 +287,19 @@ object DedupQueries extends QSet {
     // EXACT — the hash only accelerates, never decides.
     val shs = sh.join(broadcast(sizes), "doc_id")
       .withColumn("hb", xxhash64(col("sh")))
-    shs.select(col("doc_id").as("d1"), col("hb"), col("sh"),
-        col("sz").as("sz1"))
-      .join(shs.select(col("doc_id").as("d2"), col("hb").as("hb2"),
+    val repPairs = shs.select(col("doc_id").as("r1"), col("hb"),
+        col("sh"), col("sz").as("sz1"))
+      .join(shs.select(col("doc_id").as("r2"), col("hb").as("hb2"),
         col("sh").as("sh2"), col("sz").as("sz2")),
         col("hb") === col("hb2") && col("sh") === col("sh2") &&
-          col("d1") < col("d2") &&
+          col("r1") < col("r2") &&
           col("sz1") * 5 >= col("sz2") * 4 && col("sz2") * 5 >= col("sz1") * 4)
-      .groupBy("d1", "d2", "sz1", "sz2").agg(count(lit(1)).as("inter"))
+      .groupBy("r1", "r2", "sz1", "sz2").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= 0.8)
+      .select("r1", "r2", "inter", "jaccard")
+    expandRepPairs(repPairs, groups, members, sizes, "jaccard")
   }
 
   /** Exact 3-gram containment ≥ 0.9 pairs (d1 < d2): same candidate
@@ -241,20 +313,23 @@ object DedupQueries extends QSet {
     * ground truth.
     */
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).persist()
+    val (groups, members, repDocs) = textGroups(s, dir)
+    val sh = shinglesOf(repDocs).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val shs = sh.join(broadcast(sizes), "doc_id")
       .withColumn("hb", xxhash64(col("sh")))
-    shs.select(col("doc_id").as("d1"), col("hb"), col("sh"),
-        col("sz").as("sz1"))
-      .join(shs.select(col("doc_id").as("d2"), col("hb").as("hb2"),
+    val repPairs = shs.select(col("doc_id").as("r1"), col("hb"),
+        col("sh"), col("sz").as("sz1"))
+      .join(shs.select(col("doc_id").as("r2"), col("hb").as("hb2"),
         col("sh").as("sh2"), col("sz").as("sz2")),
         col("hb") === col("hb2") && col("sh") === col("sh2") &&
-          col("d1") < col("d2"))
-      .groupBy("d1", "d2", "sz1", "sz2").agg(count(lit(1)).as("inter"))
+          col("r1") < col("r2"))
+      .groupBy("r1", "r2", "sz1", "sz2").agg(count(lit(1)).as("inter"))
       .withColumn("containment",
         col("inter").cast(DoubleType) / least(col("sz1"), col("sz2")))
       .filter(col("containment") >= 0.9)
+      .select("r1", "r2", "inter", "containment")
+    expandRepPairs(repPairs, groups, members, sizes, "containment")
       .select(col("d1"), col("d2"), col("inter"), col("containment"))
       .orderBy("d1", "d2")
   }
@@ -480,10 +555,24 @@ object DedupQueries extends QSet {
     * that is why dedup is worth running), broadcast into the shingle
     * stream.
     */
-  def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame =
-    verifyJaccard(shingles(s, dir).persist(),
-      bucketPairs(minhashBuckets(shingles(s, dir), bands = 16)),
-      "d1", "d2")
+  def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    // Representative-compressed like [[ngramPairs]]: identical texts
+    // carry identical minhash signatures, so raw-row banding grows
+    // quadratically with duplicate multiplicity for no information —
+    // the LSH + verify pipeline runs on one doc per distinct text and
+    // the exact-dup groups expand afterwards (measured at the
+    // 10×-duplicated sf1.0: 17.5 s raw vs ~3 s compressed, identical
+    // pair set).
+    val (groups, members, repDocs) = textGroups(s, dir)
+    val sh = shinglesOf(repDocs).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val repPairs = verifyJaccard(sh,
+      bucketPairs(minhashBuckets(shinglesOf(repDocs), bands = 16))
+        .select(col("d1").as("r1"), col("d2").as("r2")),
+      "r1", "r2")
+    expandRepPairs(repPairs, groups, members, sizes, "jaccard")
+      .orderBy("d1", "d2")
+  }
 
   /** SimHash near-dup pairs within `maxHam` Hamming distance, fully
     * oracle-able: the 60-bit signature derives every token hash from
