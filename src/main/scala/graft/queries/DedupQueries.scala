@@ -358,7 +358,15 @@ object DedupQueries extends QSet {
     // exhaustive baseline grows quadratically with duplicate density
     // (measured at sf1.0: 10.2 s exhaustive vs 6.3 s banded on a
     // 10×-duplicated corpus; the gap widens with scale).
-    val pairs = minhashVerifiedPairs(s, dir).select("d1", "d2")
+    // The iteration runs on the REPRESENTATIVE graph (one vertex per
+    // distinct text): the doc-level cluster of any document is its
+    // group rep's cluster, and since each rep IS its group's min
+    // doc_id, min-rep-reachable equals min-doc-reachable — so labels
+    // expand through the membership afterwards instead of iterating
+    // over duplicate-inflated edges (the expansion pairs would multiply
+    // edge volume by multiplicity² for zero extra information).
+    val (repPairs, groups, members, _) = verifiedRepContext(s, dir)
+    val pairs = repPairs.select(col("r1").as("d1"), col("r2").as("d2"))
     // Iterate ONLY over edge-endpoint vertices: isolated documents are
     // their own singleton cluster by definition and re-labelling them
     // every round would make each iteration corpus-sized instead of
@@ -425,11 +433,15 @@ object DedupQueries extends QSet {
     labels.unpersist(blocking = false)
     edgesR.unpersist(blocking = false)
     pairRdd.unpersist(blocking = false)
-    // Attach singleton documents (never in any pair) as their own reps.
-    val all = t(s, dir, "documents").select(col("doc_id"))
-      .join(labelDf, Seq("doc_id"), "left")
+    // Expand rep labels to every document through the exact-dup
+    // membership; groups whose rep touched no edge (including gn ≥ 2
+    // identical-text cliques) default to their own rep — which is the
+    // group's min doc_id, exactly the label the doc-level iteration
+    // would have produced.
+    val all = members.join(groups.select("gkey", "rep"), "gkey")
+      .join(labelDf.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
       .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("rep_id"))
+        coalesce(col("label"), col("rep")).as("rep_id"))
     val sizes = all.groupBy(col("rep_id"))
       .agg(count(lit(1)).as("cluster_size"))
     all.join(sizes, "rep_id")
@@ -555,14 +567,16 @@ object DedupQueries extends QSet {
     * that is why dedup is worth running), broadcast into the shingle
     * stream.
     */
-  def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    // Representative-compressed like [[ngramPairs]]: identical texts
-    // carry identical minhash signatures, so raw-row banding grows
-    // quadratically with duplicate multiplicity for no information —
-    // the LSH + verify pipeline runs on one doc per distinct text and
-    // the exact-dup groups expand afterwards (measured at the
-    // 10×-duplicated sf1.0: 17.5 s raw vs ~3 s compressed, identical
-    // pair set).
+  /** Shared representative-level LSH + verify context: (verified rep
+    * pairs, groups, members, rep shingle sizes). Identical texts carry
+    * identical minhash signatures, so raw-row banding grows
+    * quadratically with duplicate multiplicity for no information —
+    * the pipeline runs on one doc per distinct text (measured at the
+    * 10×-duplicated sf1.0: 17.5 s raw vs ~5 s compressed, identical
+    * pair set).
+    */
+  private def verifiedRepContext(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (groups, members, repDocs) = textGroups(s, dir)
     val sh = shinglesOf(repDocs).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -570,6 +584,11 @@ object DedupQueries extends QSet {
       bucketPairs(minhashBuckets(shinglesOf(repDocs), bands = 16))
         .select(col("d1").as("r1"), col("d2").as("r2")),
       "r1", "r2")
+    (repPairs, groups, members, sizes)
+  }
+
+  def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val (repPairs, groups, members, sizes) = verifiedRepContext(s, dir)
     expandRepPairs(repPairs, groups, members, sizes, "jaccard")
       .orderBy("d1", "d2")
   }
