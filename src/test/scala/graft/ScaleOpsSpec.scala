@@ -91,7 +91,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     }.map(t => (t._3, t._1)).sortBy(identity).toSeq
     val got = ScaleOpsQueries.queries("q_skyline_pareto")(spark, sf)
       .collect()
-      .map(r => (r.getAs[Int]("day"), r.getAs[Long]("o_orderkey")))
+      .map(r => (r.getAs[Long]("day").toInt, r.getAs[Long]("o_orderkey")))
       .toSeq
     assert(got == naive)
   }
