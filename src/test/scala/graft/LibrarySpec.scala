@@ -501,6 +501,55 @@ class LibrarySpec extends AnyFunSuite {
     assert(got == exact, "SQL estimate path diverges from exact counts")
   }
 
+  test("exact-dup compression: pair expansion matches brute force on a " +
+    "corpus with multiplicities 1-3") {
+    import graft.queries.DedupQueries
+    // three near-dup base texts (A ≈ B at high jaccard, C unrelated),
+    // duplicated with different multiplicities so BOTH expansion paths
+    // fire: within-group (identical texts, metric exactly 1.0) and
+    // cross-group (rep metric carried to every member combination)
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = a + " lambda" // jaccard(a, b) = 8/9 ≥ 0.8
+    val c = "totally different words with no shared trigram content " +
+      (1 to 12).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, a), (4L, a), (6L, a), // multiplicity 3
+      (2L, b), (5L, b), //  multiplicity 2
+      (3L, c)) //              singleton
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "/tmp/graft_dupfx"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.ngramPairs(spark, dir)
+      .select("d1", "d2", "inter", "jaccard")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // brute force over the raw doc pairs
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val byId = Map(1L -> a, 4L -> a, 6L -> a, 2L -> b, 5L -> b, 3L -> c)
+    val want = (for {
+      d1 <- byId.keys; d2 <- byId.keys
+      if d1 < d2
+      s1 = shingleSet(byId(d1)); s2 = shingleSet(byId(d2))
+      inter = (s1 & s2).size
+      j = inter.toDouble / (s1.size + s2.size - inter)
+      if j >= 0.8
+    } yield (d1, d2, inter.toLong, j)).toSet
+    assert(want.exists(p => p._4 == 1.0) && want.exists(p => p._4 < 1.0),
+      "fixture must exercise both within- and cross-group pairs")
+    assert(got == want, s"got ${got.toSeq.sorted} want ${want.toSeq.sorted}")
+    // components over the same fixture: {1,2,4,5,6} cluster to rep 1,
+    // the unrelated doc stays a singleton
+    val comp = DedupQueries.componentReps(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rep_id"), r.getAs[Long]("cluster_size"))).toMap
+    assert(comp == Map(1L -> (1L, 5L), 2L -> (1L, 5L), 4L -> (1L, 5L),
+      5L -> (1L, 5L), 6L -> (1L, 5L), 3L -> (3L, 1L)), comp.toString)
+  }
+
   test("containment dedup: finds a doc embedded in a longer one that " +
     "jaccard misses") {
     import graft.queries.DedupQueries
