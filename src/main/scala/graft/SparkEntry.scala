@@ -31,7 +31,8 @@ object SparkEntry {
     CorpusOpsQueries,
     WarehouseQueries,
     StatGraphQueries,
-    EntityOpsQueries
+    EntityOpsQueries,
+    MlOpsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the MlOpsQueries batch plus the Pca
+  * library — properties the DuckDB hash-compare cannot see.
+  */
+class MlOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("kmeans: bit-exact vs a local Lloyd reimplementation") {
+    import spark.implicits._
+    // independent local model: same micro-unit recipe, plain Scala
+    val vecs = spark.read
+      .parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, e) =>
+        id -> e.map(x => math.floor((x.toDouble + 1.0) * 1000000.0).toLong)
+          .toArray
+      }.sortBy(_._1)
+    val k = 8
+    val seedIds = vecs.map(_._1)
+      .sortBy(id => (md5hex(id.toString), id)).take(k)
+    var centroids: Array[(Long, Array[Long])] =
+      seedIds.zipWithIndex.map { case (id, i) =>
+        (i + 1L, vecs.find(_._1 == id).get._2)
+      }
+    def assign(): Array[(Long, Long, Long)] =
+      vecs.map { case (id, x) =>
+        val best = centroids.map { case (cl, c) =>
+          var d = 0L; var i = 0
+          while (i < x.length) {
+            val df = x(i) - c(i); d += df * df; i += 1
+          }
+          (d, cl)
+        }.min
+        (id, best._2, best._1)
+      }
+    val a1 = assign()
+    centroids = a1.groupBy(_._2).toArray.sortBy(_._1).map {
+      case (cl, members) =>
+        val dim = vecs.head._2.length
+        val sums = Array.ofDim[Long](dim)
+        members.foreach { case (id, _, _) =>
+          val x = vecs.find(_._1 == id).get._2
+          var i = 0; while (i < dim) { sums(i) += x(i); i += 1 }
+        }
+        (cl, sums.map(_ / members.length))
+    }
+    val want = assign().map(t => (t._1, t._2, t._3)).sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q_cluster_kmeans")(spark, sf)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want, "distributed Lloyd diverges from the local model")
+    assert(got.map(_._2).distinct.size > 1, "degenerate single cluster")
+  }
+
+  test("prefix filtering reproduces the exhaustive ground truth exactly") {
+    import spark.implicits._
+    def pairs(q: String) =
+      SparkEntry.queries(q)(spark, sf)
+        .select("d1", "d2", "inter", "jaccard")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val exhaustive = pairs("q_dedup_near_ngram")
+    val prefix = pairs("q_dedup_prefix_filter")
+    assert(exhaustive.nonEmpty)
+    assert(prefix == exhaustive,
+      s"missing=${(exhaustive -- prefix).take(3)} " +
+        s"extra=${(prefix -- exhaustive).take(3)}")
+  }
+
+  test("covariance matrix: symmetric PSD shape and local agreement") {
+    import spark.implicits._
+    val tri = SparkEntry.queries("q_feat_cov")(spark, sf)
+    val rows = tri.select("p1", "p2", "cov")
+      .as[(Long, Long, Double)].collect()
+    val d = rows.map(_._2).max.toInt + 1
+    assert(rows.length == d * (d + 1) / 2, "full upper triangle")
+    // diagonal entries are variances — nonnegative
+    rows.filter(r => r._1 == r._2).foreach { case (i, _, c) =>
+      assert(c >= 0.0, s"negative variance at dim $i")
+    }
+    // local recompute (plain double arithmetic): the decimal-sum query
+    // must agree to ~1e-9 — same moments, different accumulation path
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("embedding")).as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray)
+    val n = vecs.length
+    val mean = Array.tabulate(d)(i => vecs.map(_(i)).sum / n)
+    val want = rows.map { case (i, j, _) =>
+      val c = vecs.map(v => (v(i.toInt) - mean(i.toInt)) *
+        (v(j.toInt) - mean(j.toInt))).sum / (n - 1)
+      (i, j) -> c
+    }.toMap
+    rows.foreach { case (i, j, got) =>
+      assert(math.abs(got - want((i, j))) < 1e-9,
+        s"cov($i,$j): got $got want ${want((i, j))}")
+    }
+  }
+
+  test("pca: orthonormal components, descending eigenvalues, " +
+    "eigen residual, trace conservation") {
+    val (eig, vecs) = graft.functions.Pca.fit(
+      SparkEntry.queries("q_feat_cov")(spark, sf))
+    val d = eig.length
+    assert(d == 64)
+    // descending order, PSD spectrum (covariance matrices)
+    assert(eig.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    assert(eig.forall(_ > -1e-10), "covariance eigenvalues must be >= 0")
+    // orthonormality
+    for (i <- 0 until d; j <- i until d) {
+      val dot = (0 until d).map(k => vecs(i)(k) * vecs(j)(k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"<v$i, v$j> = $dot")
+    }
+    // A v = λ v residual against the original matrix
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_feat_cov")(spark, sf)
+      .select("p1", "p2", "cov").as[(Long, Long, Double)].collect()
+    val a = Array.ofDim[Double](d, d)
+    rows.foreach { case (i, j, c) =>
+      a(i.toInt)(j.toInt) = c; a(j.toInt)(i.toInt) = c
+    }
+    for (e <- 0 until 4) { // the top components are the ones that matter
+      val av = Array.tabulate(d)(r =>
+        (0 until d).map(k => a(r)(k) * vecs(e)(k)).sum)
+      val res = math.sqrt((0 until d)
+        .map(r => math.pow(av(r) - eig(e) * vecs(e)(r), 2)).sum)
+      assert(res < 1e-8, s"eigen residual for component $e: $res")
+    }
+    val trace = (0 until d).map(i => a(i)(i)).sum
+    assert(math.abs(eig.sum - trace) < 1e-8, "eigenvalue sum != trace")
+    // projection is a narrow map producing k columns
+    val proj = graft.functions.Pca.project(
+      spark.read.parquet(s"$sf/embeddings.parquet"),
+      "vec_id", "embedding", vecs, 2)
+    assert(proj.columns.toSeq == Seq("vec_id", "pc1", "pc2"))
+    assert(proj.count() ==
+      spark.read.parquet(s"$sf/embeddings.parquet").count())
+  }
+
+  test("quality calibration: per-language keep floor matches a local " +
+    "percentile recomputation") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_quality_calibrate")(spark, sf)
+      .select("doc_id", "lang", "ttr", "pctl", "keep")
+      .as[(Long, String, Double, Double, Long)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = rows.length
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      sorted.zipWithIndex.foreach { case (r, idx) =>
+        val want = if (n == 1) 0.0 else idx.toDouble / (n - 1)
+        assert(r._4 == want, s"$lang doc ${r._1}: pctl ${r._4} != $want")
+        assert(r._5 == (if (want >= 0.2) 1L else 0L))
+      }
+      val kept = rows.count(_._5 == 1L)
+      assert(kept >= (0.75 * n).toInt && kept <= (0.85 * n).ceil.toInt,
+        s"$lang keeps $kept of $n — not ≈80%")
+    }
+  }
+
+  test("skew report: ordered, cumulative, and mean-calibrated") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_skew_diagnose")(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.length == 10)
+    assert(rows.map(_._2).sliding(2).forall(p => p(0) >= p(1)),
+      "counts must be nonincreasing")
+    assert(rows.map(_._4).sliding(2).forall(p => p(0) < p(1)),
+      "cumulative share must strictly increase")
+    assert(rows.last._4 > 0.0 && rows.last._4 <= 1.0)
+    // ratio_to_mean consistency: ratio / cnt constant across rows
+    val perUnit = rows.map(r => r._3 / r._2)
+    assert(perUnit.forall(u => math.abs(u - perUnit.head) < 1e-12))
+  }
+}
