@@ -72,6 +72,22 @@ object Multimodal {
     }
   }
 
+  /** Batched perceptual hashing through the same codec boundary: one
+    * 64-bit aHash per media row (narrow — no shuffle). Downstream
+    * dedup bands the hash exactly like the simhash text path; swap
+    * [[StubCodecs.phashBatch]] for a real decode+DCT in deployment.
+    */
+  def perceptualHash(ds: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[(Long, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val hashes = StubCodecs.phashBatch(batch)
+        batch.zip(hashes).map { case (row, h) => (row.media_id, h) }
+      }
+    }
+  }
+
   /** Frame sampling for "video" rows: every `everyNth` frame index up to
     * the frame count implied by duration × fps. Pure expression — the
     * generator explodes WITHOUT decoding (decode happens downstream on
@@ -102,6 +118,36 @@ object StubCodecs {
     batch.map { row =>
       val h = row.bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
       Array.tabulate(dim)(i => (((h >>> (i % 8 * 8)) & 0xff) / 255.0f))
+    }
+
+  /** Deterministic "perceptual" hash: the real average-hash (aHash)
+    * algorithm applied to the raw payload as the fake decoded signal —
+    * split the byte stream into 64 equal blocks, bit i = (block mean >
+    * global mean). Unlike a cryptographic fake this is genuinely
+    * LOCALITY-SENSITIVE: a small payload edit moves only the touched
+    * block means, so near-identical media land within a few Hamming
+    * bits — which is the property the banded dedup downstream needs.
+    * A real deployment decodes to luma pixels first and hashes those;
+    * everything after the decode is unchanged.
+    */
+  def phashBatch(batch: Seq[MediaRow]): Seq[Long] =
+    batch.map { row =>
+      val src = row.bytes
+      if (src.isEmpty) 0L
+      else {
+        val n = src.length
+        val means = Array.tabulate(64) { b =>
+          val lo = (b.toLong * n / 64).toInt
+          val hi = math.max(lo + 1, ((b + 1).toLong * n / 64).toInt)
+          var s = 0L; var i = lo
+          while (i < hi) { s += (src(i) & 0xff); i += 1 }
+          s.toDouble / (hi - lo)
+        }
+        val g = means.sum / 64
+        means.zipWithIndex.foldLeft(0L) { case (acc, (m, i)) =>
+          if (m > g) acc | (1L << i) else acc
+        }
+      }
     }
 
   /** Deterministic fake "resize": payload re-sampled to a length

@@ -12,6 +12,22 @@ import graft.engine.Tables._
   */
 object MiscQueries extends QSet {
 
+  /** Two ingest "feeds" of the same assets for perceptual dedup: the
+    * original payloads plus a re-encoded copy whose FIRST byte flips
+    * bit 0x20 (a metadata/header difference; ids offset 10⁷). Both
+    * derivations are narrow expressions — the feed union never
+    * shuffles. */
+  private[graft] def mediaFeeds(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val orig = docs.select(col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"))
+    val reenc = docs.select((col("doc_id") + 10000000L).as("media_id"),
+      encode(concat(
+        expr("char(ascii(substring(text, 1, 1)) ^ 32)"),
+        expr("substring(text, 2)")), "UTF-8").as("payload"))
+    orig.unionAll(reenc)
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_pivot" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -85,6 +101,49 @@ object MiscQueries extends QSet {
         .select(col("media_id"), col("kind"), col("n_bytes"),
           round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
         .orderBy("media_id")
+    }),
+
+    // Non-oracle (the aHash runs through the JVM codec boundary):
+    // IMAGE near-dup via banded perceptual hashing — phash per media
+    // row (narrow batched pass), 4 × 16-bit chunk banding, exact
+    // Hamming verify. The media set is TWO ingest feeds of the same
+    // assets (the second differing by one flipped metadata byte — the
+    // re-encoded/watermarked-duplicate case perceptual dedup exists
+    // for); the operator must recover the cross-feed pairs WITHOUT
+    // knowing the feed structure. Pigeonhole makes the banding
+    // COMPLETE for the declared radius (≤ 3 differing bits cannot
+    // touch all 4 bands), same argument as the simhash text path — so
+    // the output equals brute-force all-pairs Hamming ≤ 3, which
+    // LibrarySpec asserts; the candidate join is equi on (band,
+    // chunk), never all-pairs.
+    "q_multimodal_phash" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.multimodal.Multimodal.pack(
+        mediaFeeds(t(s, dir, "documents")),
+        "media_id", "payload", "image", width = 64, height = 64)
+        .as[graft.multimodal.Multimodal.MediaRow]
+      val hashed = graft.multimodal.Multimodal
+        .perceptualHash(media, batchSize = 64)
+        .toDF("media_id", "phash")
+      val bands = hashed.select(col("media_id"), col("phash"),
+        explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
+          "shiftright(phash, b * 16) & 65535 AS chunk))")).as("bc"))
+        .select(col("media_id"), col("phash"),
+          col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+      val cands = bands.select(col("media_id").as("m1"),
+          col("phash").as("p1"), col("band"), col("chunk"))
+        .join(bands.select(col("media_id").as("m2"),
+          col("phash").as("p2"), col("band").as("band2"),
+          col("chunk").as("chunk2")),
+          col("band") === col("band2") && col("chunk") === col("chunk2") &&
+            col("m1") < col("m2"))
+        .select("m1", "m2", "p1", "p2").distinct()
+      cands
+        .withColumn("hamming", bit_count(col("p1").bitwiseXOR(col("p2"))))
+        .filter(col("hamming") <= 3)
+        .select(col("m1"), col("m2"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("m1", "m2")
     }),
 
     "q_merge_upsert" -> ((s, dir) => {
@@ -267,6 +326,47 @@ object MiscQueries extends QSet {
         .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
         .select(col("o_orderpriority"), d4(col("s")).as("total"),
           col("n").cast("long").as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Incremental JOIN-view maintenance — the bilinear delta rule
+    // (V = L ⋈ R ⟹ ΔV = ΔL⋈R₀ + L₀⋈ΔR + ΔL⋈ΔR), the step up from
+    // q_incremental_agg's single-table refresh. Deltas are INDEPENDENT
+    // per side (orders by order date, lineitems by ship date — a late
+    // shipment against an old order exercises the ΔL⋈R₀ term), each
+    // delta term joins a DELTA-sized side (filter-pushdown on its
+    // partition column at 100 TB), and the merge into the stored
+    // partial-aggregate state is associative decimal sums — so the
+    // refreshed view provably equals the one-shot join aggregate,
+    // which IS the oracle.
+    "q_incremental_join" -> ((s, dir) => {
+      val cutR = lit("2001-01-01").cast("timestamp")
+      val cutL = lit("2001-03-01").cast("timestamp")
+      val rev = (D(col("l_extendedprice")) *
+        (lit(1).cast(Dec) - D(col("l_discount")))).cast(Dec)
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderdate"), col("o_orderpriority"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_shipdate"), rev.as("rev"))
+      val (o0, dO) = (o.filter(col("o_orderdate") < cutR),
+        o.filter(col("o_orderdate") >= cutR))
+      val (l0, dL) = (l.filter(col("l_shipdate") < cutL),
+        l.filter(col("l_shipdate") >= cutL))
+      def part(lf: org.apache.spark.sql.DataFrame,
+          of: org.apache.spark.sql.DataFrame) =
+        lf.join(of, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum(col("rev")).as("s"), count(lit(1)).as("n"))
+      val state = part(l0, o0) // the stored view (derived inline here;
+      // a deployment reads the materialized partial-aggregate table)
+      val delta = part(dL, o0)
+        .unionAll(part(l0, dO))
+        .unionAll(part(dL, dO))
+      state.unionAll(delta)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+        .select(col("o_orderpriority"), d4(col("s")).as("revenue"),
+          col("n").cast("long").as("n_lines"))
         .orderBy("o_orderpriority")
     }),
 
@@ -483,6 +583,18 @@ object MiscQueries extends QSet {
         |    AS DOUBLE) AS total,
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // the one-shot join aggregate the maintained view must equal
+    "q_incremental_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        |    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |    AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin
   )
 }

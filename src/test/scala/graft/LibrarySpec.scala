@@ -79,6 +79,58 @@ class LibrarySpec extends AnyFunSuite {
       x.media_id == y.media_id && x.feature.sameElements(y.feature) })
   }
 
+  test("multimodal phash: locality of the aHash stub and banded-dedup " +
+      "agreement with brute-force hamming") {
+    // locality: a one-character edit moves only the touched block
+    // means, an unrelated payload moves most bits
+    def row(id: Long, text: String) = Multimodal.MediaRow(
+      id, "image", text.getBytes("UTF-8"), 0, 0, 0, 0L)
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val h = StubCodecs.phashBatch(Seq(
+      row(1, base),
+      row(2, base.replace("lazy dog", "hazy dog")),
+      row(3, (1 to 64).map(i => s"tok$i").mkString(" "))))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0), h(1)) <= 6,
+      s"small edit moved ${ham(h(0), h(1))} bits — not locality-sensitive")
+    assert(ham(h(0), h(2)) > 10,
+      s"unrelated payloads only ${ham(h(0), h(2))} bits apart")
+    // declared query == brute-force all-pairs hamming <= 3 (the
+    // pigeonhole banding completeness claim, verified end-to-end on
+    // the same two-feed media set the query declares)
+    val media = Multimodal.pack(
+      graft.queries.MiscQueries.mediaFeeds(
+        Tables.t(spark, sf, "documents")),
+      "media_id", "payload", kind = "image", width = 64, height = 64)
+    val hashes = Multimodal.perceptualHash(
+        media.as[Multimodal.MediaRow], batchSize = 64)
+      .collect().sortBy(_._1)
+    val want = (for {
+      (i1, p1) <- hashes; (i2, p2) <- hashes
+      if i1 < i2 && ham(p1, p2) <= 3
+    } yield (i1, i2, ham(p1, p2).toLong)).toSet
+    val got = SparkEntry.queries("q_multimodal_phash")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture has no near-dup media — vacuous test")
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("incremental join view: the four delta terms partition the join " +
+      "rows exactly") {
+    // state + ΔL⋈R₀ + L₀⋈ΔR + ΔL⋈ΔR must tile the full join with no
+    // overlap and no gap — n_lines in the refreshed view equals the
+    // one-shot join row count (value equality is the DuckDB oracle's
+    // job; this pins the decomposition itself)
+    val got = SparkEntry.queries("q_incremental_join")(spark, sf)
+      .agg(sum(col("n_lines"))).as[Long].head()
+    val full = Tables.t(spark, sf, "lineitem").select(col("l_orderkey"))
+      .join(Tables.t(spark, sf, "orders").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(got == full, s"decomposition lost/duplicated rows: $got vs $full")
+  }
+
   test("multimodal: frame sampling explodes only sampled indices") {
     val one = Seq((1L, "video", Array[Byte](1, 2), 0, 0, 0, 1000L))
       .toDF("media_id", "kind", "bytes", "width", "height", "sample_rate",
