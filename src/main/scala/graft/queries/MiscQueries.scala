@@ -306,6 +306,42 @@ object MiscQueries extends QSet {
         .orderBy("user_id")
     }),
 
+    // DEADLINE funnel (the windowFunnel shape): unlike
+    // q_funnel_conversion's open-ended stages, every later stage must
+    // land within T = 24 h of the STARTING view, and any view can
+    // start a chain — the user's funnel level is the best over all
+    // starts. Greedy-earliest per stage is optimal under a fixed
+    // deadline (taking the earliest qualifying click can only widen
+    // the remaining window), so two chained left equi-joins on
+    // user_id with range predicates compute the exact max chain — no
+    // per-user iteration, candidate pairs bounded by per-user
+    // activity².
+    "q_funnel_window" -> ((s, dir) => {
+      val T = 86400000000L // 24 h in µs
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts_us")).as("t"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("t").as("tv"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("uc"), col("t").as("tc"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("up"), col("t").as("tp"))
+      val s1 = v.join(c, col("user_id") === col("uc") &&
+          col("tc") >= col("tv") && col("tc") <= col("tv") + T, "left")
+        .groupBy(col("user_id"), col("tv")).agg(min(col("tc")).as("tc1"))
+      val s2 = s1.join(p, col("user_id") === col("up") &&
+          col("tp") >= col("tc1") && col("tp") <= col("tv") + T, "left")
+        .groupBy(col("user_id"), col("tv"), col("tc1"))
+        .agg(min(col("tp")).as("tp1"))
+      s2.select(col("user_id"),
+          (lit(1L) + col("tc1").isNotNull.cast("long") +
+            col("tp1").isNotNull.cast("long")).as("lvl"))
+        .groupBy("user_id")
+        .agg(max(col("lvl")).as("funnel_level"),
+          count(lit(1)).as("n_starts"))
+        .orderBy("user_id")
+    }),
+
     // Incremental aggregate maintenance (materialized-view refresh):
     // history before the cutoff is a partial-aggregate STATE table; the
     // new batch re-aggregates only its own slice and MERGES into the
@@ -584,6 +620,29 @@ object MiscQueries extends QSet {
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_funnel_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |v AS (SELECT user_id, t AS tv FROM e WHERE event_type = 'view'),
+        |s1 AS (
+        |  SELECT v.user_id, v.tv, MIN(c.t) AS tc1
+        |  FROM v LEFT JOIN e c ON c.user_id = v.user_id
+        |    AND c.event_type = 'click'
+        |    AND c.t >= v.tv AND c.t <= v.tv + 86400000000
+        |  GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT s1.user_id, s1.tv, s1.tc1, MIN(p.t) AS tp1
+        |  FROM s1 LEFT JOIN e p ON p.user_id = s1.user_id
+        |    AND p.event_type = 'purchase'
+        |    AND p.t >= s1.tc1 AND p.t <= s1.tv + 86400000000
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id,
+        |  CAST(MAX(1 + CASE WHEN tc1 IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN tp1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS funnel_level,
+        |  COUNT(*) AS n_starts
+        |FROM s2 GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // the one-shot join aggregate the maintained view must equal
     "q_incremental_join" ->

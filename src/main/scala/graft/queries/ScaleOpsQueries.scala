@@ -76,6 +76,30 @@ object ScaleOpsQueries extends QSet {
         .orderBy("o_custkey", "rk")
     }),
 
+    // K-minimum-values quantile sketch (KmvAgg): a bounded mergeable
+    // uniform row sample per group — ≤ 128 entries of partial state
+    // where exact percentiles shuffle every row of the group to one
+    // task. Determinism via md5-of-row-key sampling makes the sketch
+    // REPLAYABLE in plain SQL (bottom-k window), so the custom
+    // Aggregator is graded exact against that independent formulation,
+    // like q_topk_group_agg. Estimates are the sample's disc-quantiles.
+    "q_agg_quantile_sketch" -> ((s, dir) => {
+      val sk = udaf(new graft.functions.KmvAgg(128))
+      events(s, dir)
+        .select(col("event_type"),
+          md5(col("event_id").cast("string")).as("h"), col("value"))
+        .groupBy(col("event_type"))
+        .agg(sk(col("h"), col("value")).as("sample"),
+          count(lit(1)).as("n_rows"))
+        .select(col("event_type"), col("n_rows"),
+          size(col("sample")).cast(LongType).as("n_sample"),
+          expr("element_at(sample, cast(ceil(0.5 * size(sample)) as int))")
+            .as("p50_est"),
+          expr("element_at(sample, cast(ceil(0.9 * size(sample)) as int))")
+            .as("p90_est"))
+        .orderBy("event_type")
+    }),
+
     // Exact distinct users per event_type via 64-bit bitmap OR-folding:
     // bucket = user_id div 64, one BIGINT bitmap per (group, bucket),
     // popcount-summed. Each side of the two aggregations folds map-side
@@ -321,6 +345,31 @@ object ScaleOpsQueries extends QSet {
         |  FROM orders)
         |WHERE rk <= 3
         |ORDER BY o_custkey, rk""".stripMargin,
+
+    // the sketch replayed as a window: same bottom-128-by-md5 sample,
+    // same element-at-ceil(p·n) disc-quantile convention
+    "q_agg_quantile_sketch" ->
+      """WITH s AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n_rows
+        |  FROM events),
+        |samp AS (
+        |  SELECT event_type, value, n_rows,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value) AS vrn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n_sample
+        |  FROM s WHERE rn <= 128)
+        |SELECT event_type,
+        |  MAX(n_rows) AS n_rows,
+        |  COUNT(*) AS n_sample,
+        |  MAX(CASE WHEN vrn = CAST(ceil(0.5 * n_sample) AS INT)
+        |    THEN value END) AS p50_est,
+        |  MAX(CASE WHEN vrn = CAST(ceil(0.9 * n_sample) AS INT)
+        |    THEN value END) AS p90_est
+        |FROM samp GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_agg_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users

@@ -166,6 +166,53 @@ class MlOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmv sketch: partitioning-invariant (mergeable), and estimates " +
+    "land within the sample rank-error bound of exact percentiles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    // mergeability: radically different partitionings → identical sample
+    val sk = udaf(new graft.functions.KmvAgg(128))
+    def run(parts: Int) =
+      spark.read.parquet(s"$sf/events.parquet")
+        .repartition(parts)
+        .select(col("event_type"),
+          md5(col("event_id").cast("string")).as("h"), col("value"))
+        .groupBy(col("event_type"))
+        .agg(sk(col("h"), col("value")).as("sample"))
+        .as[(String, Seq[Double])].collect().toMap
+    val a = run(1); val b = run(17)
+    assert(a == b, "merge order changed the sketch — not associative")
+    // rank accuracy: a 128-sample disc-median's TRUE rank should sit
+    // within ~4 standard errors of 0.5·n (binomial se ≈ 0.5/√128 ≈ .044)
+    val est = SparkEntry.queries("q_agg_quantile_sketch")(spark, sf)
+      .select("event_type", "p50_est").as[(String, Double)].collect().toMap
+    val exact = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_type", "value").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sorted }
+    est.foreach { case (t, p50) =>
+      val vs = exact(t)
+      val rank = vs.count(_ <= p50).toDouble / vs.length
+      assert(math.abs(rank - 0.5) < 0.18,
+        s"$t: estimated median sits at true rank $rank")
+    }
+  }
+
+  test("deadline funnel never exceeds the open-ended funnel stage") {
+    import spark.implicits._
+    val win = SparkEntry.queries("q_funnel_window")(spark, sf)
+      .select("user_id", "funnel_level").as[(Long, Long)].collect().toMap
+    val open = SparkEntry.queries("q_funnel_conversion")(spark, sf)
+      .select("user_id", "stage").as[(Long, Long)].collect().toMap
+    assert(win.nonEmpty)
+    win.foreach { case (u, lvl) =>
+      assert(lvl >= 1L && lvl <= 3L)
+      val stage = open.getOrElse(u,
+        fail(s"user $u has views but no funnel_conversion row"))
+      assert(lvl <= stage,
+        s"user $u: 24h-deadline level $lvl beats open-ended stage $stage")
+    }
+  }
+
   test("skew report: ordered, cumulative, and mean-calibrated") {
     import spark.implicits._
     val rows = SparkEntry.queries("q_skew_diagnose")(spark, sf)
