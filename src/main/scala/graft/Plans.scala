@@ -84,7 +84,15 @@ object Plans {
       "q_agg_bitmap_distinct", // two map-side-foldable aggs, no Expand
       "q_layout_zorder", // integer z-interleave + 1-row max attach
       "q_skyline_pareto", // day-spine window, fact never globally sorted
-      "q_stats_equidepth") // 1-row decile bounds broadcast + HOF fold
+      "q_stats_equidepth", // 1-row decile bounds broadcast + HOF fold
+      "q_dedup_prefix_filter", // prefix-token equi-join + exact verify
+      "q_cluster_kmeans", // per-iteration broadcast join + two keyed aggs
+      "q_feat_cov", // in-row pair explode → one (p1,p2)-keyed aggregate
+      "q_skew_diagnose", // agg → TakeOrdered 10 → tiny window
+      "q_incremental_join", // three delta-sized joins + state merge
+      "q_agg_quantile_sketch", // bounded KMV partial ObjectHashAggregate
+      "q_funnel_window", // chained left equi-joins with range predicates
+      "q_multimodal_phash") // batched codec pass + (band,chunk) equi-join
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by graft.Plans)\n"
     sb ++= s"\nInput: `$sfDir`, `local[$cpus]`, shuffle.partitions=$cpus.\n"

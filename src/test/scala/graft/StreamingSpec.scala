@@ -106,6 +106,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(stream) == canon(batch))
   }
 
+  test("mergeable KMV sketch under streaming update mode == batch sketch") {
+    // the sketch's merge() is what streaming aggregation state exercises
+    // on every micro-batch — replaying the corpus in 7 chunks must land
+    // on the SAME bottom-128 sample the one-shot batch aggregate keeps
+    import org.apache.spark.sql.functions.{col, md5, udaf}
+    val sk = udaf(new graft.functions.KmvAgg(128))
+    def sketch(df: DataFrame): DataFrame =
+      df.select(col("event_type"),
+          md5(col("event_id").cast("string")).as("h"), col("value"))
+        .groupBy(col("event_type"))
+        .agg(sk(col("h"), col("value")).as("sample"))
+    // complete mode: the memory sink holds exactly the final state
+    val streamed = runStream("s_kmv", eventRows, 7, "complete")(sketch)
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val batch = sketch(
+      graft.engine.Tables.events(spark, TestSpark.Sf)
+        .select($"event_id", $"event_type", $"value"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (t, s) =>
+      assert(s == batch(t), s"$t: streamed sketch diverges from batch")
+    }
+  }
+
   test("stateful aggregation under the RocksDB state store provider") {
     // the 100 TB posture for long-running stateful streams: HDFS-backed
     // in-memory state grows with key cardinality until executors OOM;
