@@ -16,14 +16,17 @@ class ShuffleMetricsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.Sf
 
-  /** Total shuffle records written while computing `df`. Serializes
-    * through a listener; polls until the async bus quiesces. */
-  private def shuffleRecords(df: => DataFrame): Long = {
+  /** Total shuffle (records, bytes) written while computing `df`.
+    * Serializes through a listener; polls until the async bus
+    * quiesces. */
+  private def shuffleWrite(df: => DataFrame): (Long, Long) = {
     var rec = 0L
+    var bytes = 0L
     val lst = new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         synchronized {
           rec += e.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten
+          bytes += e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
         }
     }
     spark.sparkContext.addSparkListener(lst)
@@ -35,9 +38,11 @@ class ShuffleMetricsSpec extends AnyFunSuite {
       while (last != rec && spins < 50) {
         last = rec; spins += 1; Thread.sleep(100)
       }
-      rec
+      (rec, bytes)
     } finally spark.sparkContext.removeSparkListener(lst)
   }
+
+  private def shuffleRecords(df: => DataFrame): Long = shuffleWrite(df)._1
 
   test("TopKAgg ships fewer shuffle records than the window top-k") {
     val orders = graft.engine.Tables.t(spark, sf, "orders")
@@ -80,5 +85,33 @@ class ShuffleMetricsSpec extends AnyFunSuite {
     assert(bitmap > 0 && exact > 0)
     assert(bitmap < exact,
       s"bitmap buckets must ship fewer records: bitmap=$bitmap exact=$exact")
+  }
+
+  test("KMV sketch ships fewer shuffle records than its window replay") {
+    // the sketch's SQL replay (the oracle formulation) ranks EVERY row
+    // through a per-group window — the aggregate must beat it the same
+    // way TopKAgg beats row_number. (The exact-percentile AGGREGATE is
+    // not the right twin: its partial state is a value→count map, a
+    // different bounded-state trick that this corpus's low-cardinality
+    // values happen to favor.)
+    val ev = graft.engine.Tables.events(spark, sf)
+      .select(col("event_type"),
+        md5(col("event_id").cast("string")).as("h"), col("value"))
+    ev.cache().count()
+    val sk = udaf(new graft.functions.KmvAgg(128))
+    val sketch = shuffleRecords {
+      ev.groupBy(col("event_type"))
+        .agg(sk(col("h"), col("value")).as("sample"))
+    }
+    val window = shuffleRecords {
+      ev.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("h"), col("value"))))
+        .filter(col("rn") <= 128)
+    }
+    ev.unpersist()
+    assert(sketch > 0 && window > 0)
+    assert(sketch < window,
+      s"bounded KMV state must ship fewer records: " +
+        s"kmv=$sketch window=$window")
   }
 }
