@@ -580,7 +580,37 @@ object DedupQueries extends QSet {
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
   }
 
+  /** LSH candidate pairs over the whole corpus (the declared
+    * q_dedup_minhash), computed on ONE doc per distinct text and
+    * expanded through the exact-dup membership. Output is IDENTICAL to
+    * raw-row banding: identical texts carry identical signatures, so
+    * every within-group pair of a shingled group is a raw candidate by
+    * construction (all bands collide), and a rep-level band collision
+    * holds for every member combination. The bucket join then grows
+    * with DISTINCT texts instead of duplicate multiplicity² — raw-row
+    * banding measured 96 s at the 100×-duplicated sf10 (161× the
+    * sf0.1 time: the one superlinear query in the rehearsal) vs 9.4 s
+    * compressed (16× for 100× data); the fixture-scale cost is the
+    * usual ~1.2 s of expansion stages (sf0.1: 0.6 s raw → 1.8 s) —
+    * the Addendum-5 trade applied to the candidate generator itself.
+    */
   def minhashCandidates(s: SparkSession, dir: String,
+      bands: Int = Bands): DataFrame = {
+    val (groups, members, repDocs) = textGroups(s, dir)
+    val sh = shinglesOf(repDocs).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val repPairs = bucketPairs(minhashBuckets(sh, bands))
+      .select(col("d1").as("r1"), col("d2").as("r2"),
+        lit(0L).as("inter"), lit(1.0).as("m"))
+    expandRepPairs(repPairs, groups, members, sizes, "m")
+      .select("d1", "d2").orderBy("d1", "d2")
+  }
+
+  /** The raw-row banding twin, kept ONLY as the equality oracle for
+    * [[minhashCandidates]]'s compression (LibrarySpec pins set
+    * equality) — never declared: it grows multiplicity²-quadratic on
+    * duplicated corpora. */
+  private[graft] def minhashCandidatesRaw(s: SparkSession, dir: String,
       bands: Int = Bands): DataFrame =
     bucketPairs(minhashBuckets(shingles(s, dir), bands))
 

@@ -116,6 +116,18 @@ class LibrarySpec extends AnyFunSuite {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("minhash candidates: rep-compressed banding == raw-row banding") {
+    import graft.queries.DedupQueries
+    val compressed = DedupQueries.minhashCandidates(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    val raw = DedupQueries.minhashCandidatesRaw(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    assert(raw.nonEmpty)
+    assert(compressed == raw,
+      s"missing=${(raw -- compressed).take(3)} " +
+        s"extra=${(compressed -- raw).take(3)}")
+  }
+
   test("incremental join view: the four delta terms partition the join " +
       "rows exactly") {
     // state + ΔL⋈R₀ + L₀⋈ΔR + ΔL⋈ΔR must tile the full join with no
