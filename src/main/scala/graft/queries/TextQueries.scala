@@ -204,6 +204,55 @@ object TextQueries extends QSet {
         .orderBy("doc_id")
     }),
 
+    // BPE tokenizer TRAINING (3 unrolled merge steps) — the missing
+    // piece between token counting and a real tokenizer: count
+    // frequency-weighted adjacent token pairs over the corpus
+    // vocabulary, merge the argmax pair greedily left-to-right,
+    // repeat. State is a space-fenced token string (" a  b  c "), so
+    // the merge is ONE engine-exact string replace: the pattern
+    // " w1  w2 " can only match an exact adjacent token pair (fences
+    // make boundaries unambiguous), and both engines' replace() scans
+    // left-to-right non-overlapping — exactly BPE's greedy merge
+    // order, shared-fence chains included (" a  b  a  b " → " ab  ab ",
+    // verified on both). Deterministic tie-break (cnt DESC, w1, w2);
+    // every count is an exact int64. Scale shape: pair counting is a
+    // vocabulary-sized aggregate (the corpus collapses to distinct
+    // words × freq first — the WordPiece/BPE trainer's standard
+    // compression), each merge a 1-row broadcast onto the vocab.
+    "q_text_bpe_train" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val e0 = words.withColumn("toks",
+        concat(lit(" "), concat_ws("  ", split(col("w"), "")), lit(" ")))
+      def bestPair(e: org.apache.spark.sql.DataFrame) =
+        e.select(col("freq"), expr("split(trim(toks), '  ')").as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(0, size(tk) - 2), " +
+              "i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("p"))
+          .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+      def merge(e: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        e.crossJoin(broadcast(
+            b.select(col("w1").as("bw1"), col("w2").as("bw2"))))
+          .withColumn("toks", expr(
+            "replace(toks, concat(' ', bw1, '  ', bw2, ' '), " +
+              "concat(' ', bw1, bw2, ' '))"))
+          .drop("bw1", "bw2")
+      val b1 = bestPair(e0); val e1 = merge(e0, b1)
+      val b2 = bestPair(e1); val e2 = merge(e1, b2)
+      val b3 = bestPair(e2)
+      def row(step: Long, b: org.apache.spark.sql.DataFrame) =
+        b.select(lit(step).as("step"), col("w1").as("lhs"),
+          col("w2").as("rhs"), col("cnt"))
+      row(1L, b1).unionAll(row(2L, b2)).unionAll(row(3L, b3))
+        .orderBy("step")
+    }),
+
     "q_text_token_count" -> ((s, dir) => {
       // Whitespace tokens vs BPE-ish regex tokens (word / number /
       // single-symbol pieces) — the two standard corpus size estimates.
@@ -300,7 +349,42 @@ object TextQueries extends QSet {
     })
   )
 
+  /** One BPE iteration as SQL CTEs (pair count → argmax → merge). */
+  private def bpeSqlStep(i: Int): String = {
+    val prev = s"e${i - 1}"
+    s"""p$i AS (
+       |  SELECT w1, w2, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, unnest(tk[1:len(tk)-1]) AS w1,
+       |      unnest(tk[2:len(tk)]) AS w2
+       |    FROM (SELECT freq, string_split(trim(toks), '  ') AS tk
+       |          FROM $prev))
+       |  GROUP BY 1, 2),
+       |b$i AS (SELECT w1, w2, cnt FROM p$i
+       |        ORDER BY cnt DESC, w1, w2 LIMIT 1),
+       |e$i AS (SELECT w, freq,
+       |  replace(toks, ' '||b.w1||'  '||b.w2||' ',
+       |    ' '||b.w1||b.w2||' ') AS toks
+       |  FROM $prev, b$i b)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_text_bpe_train" ->
+      s"""WITH words AS (
+         |  SELECT w, COUNT(*) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE len(w) > 0 GROUP BY w),
+         |e0 AS (SELECT w, freq,
+         |  ' ' || array_to_string(regexp_split_to_array(w, ''), '  ')
+         |    || ' ' AS toks
+         |  FROM words),
+         |${bpeSqlStep(1)},
+         |${bpeSqlStep(2)},
+         |${bpeSqlStep(3)}
+         |SELECT CAST(1 AS BIGINT) AS step, w1 AS lhs, w2 AS rhs, cnt FROM b1
+         |UNION ALL SELECT 2, w1, w2, cnt FROM b2
+         |UNION ALL SELECT 3, w1, w2, cnt FROM b3
+         |ORDER BY step""".stripMargin,
+
     "q_text_stats" ->
       """SELECT doc_id, lang, n_chars,
         | CAST(len(tk) AS BIGINT) AS n_tok,

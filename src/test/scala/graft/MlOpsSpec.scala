@@ -213,6 +213,46 @@ class MlOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe training: exact vs a local greedy-merge reimplementation") {
+    import spark.implicits._
+    val freqs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    // independent local model over token LISTS (no string encoding)
+    var state: Map[Vector[String], Long] =
+      freqs.map { case (w, f) => w.split("").toVector -> f }
+    def best: (String, String, Long) = {
+      val counts = collection.mutable.Map[(String, String), Long]()
+      state.foreach { case (tk, f) =>
+        tk.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      val ((w1, w2), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+      (w1, w2, c)
+    }
+    def merge(w1: String, w2: String): Unit =
+      state = state.map { case (tk, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < tk.length) {
+          if (i + 1 < tk.length && tk(i) == w1 && tk(i + 1) == w2) {
+            out += (w1 + w2); i += 2 // greedy left-to-right
+          } else { out += tk(i); i += 1 }
+        }
+        out.result() -> f
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    val want = (1 to 3).map { step =>
+      val (w1, w2, c) = best
+      merge(w1, w2)
+      (step.toLong, w1, w2, c)
+    }
+    val got = SparkEntry.queries("q_text_bpe_train")(spark, sf)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == want, s"got $got want $want")
+  }
+
   test("skew report: ordered, cumulative, and mean-calibrated") {
     import spark.implicits._
     val rows = SparkEntry.queries("q_skew_diagnose")(spark, sf)
