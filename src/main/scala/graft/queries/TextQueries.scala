@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -220,37 +221,34 @@ object TextQueries extends QSet {
     // words × freq first — the WordPiece/BPE trainer's standard
     // compression), each merge a 1-row broadcast onto the vocab.
     "q_text_bpe_train" -> ((s, dir) => {
-      val words = t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-      val e0 = words.withColumn("toks",
-        concat(lit(" "), concat_ws("  ", split(col("w"), "")), lit(" ")))
-      def bestPair(e: org.apache.spark.sql.DataFrame) =
-        e.select(col("freq"), expr("split(trim(toks), '  ')").as("tk"))
-          .filter(size(col("tk")) >= 2)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(0, size(tk) - 2), " +
-              "i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("p"))
-          .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
-      def merge(e: org.apache.spark.sql.DataFrame,
-          b: org.apache.spark.sql.DataFrame) =
-        e.crossJoin(broadcast(
-            b.select(col("w1").as("bw1"), col("w2").as("bw2"))))
-          .withColumn("toks", expr(
-            "replace(toks, concat(' ', bw1, '  ', bw2, ' '), " +
-              "concat(' ', bw1, bw2, ' '))"))
-          .drop("bw1", "bw2")
-      val b1 = bestPair(e0); val e1 = merge(e0, b1)
-      val b2 = bestPair(e1); val e2 = merge(e1, b2)
-      val b3 = bestPair(e2)
+      val (b1, b2, b3, _) = bpePipeline(s, dir)
       def row(step: Long, b: org.apache.spark.sql.DataFrame) =
         b.select(lit(step).as("step"), col("w1").as("lhs"),
           col("w2").as("rhs"), col("cnt"))
       row(1L, b1).unionAll(row(2L, b2)).unionAll(row(3L, b3))
         .orderBy("step")
+    }),
+
+    // BPE ENCODE with the learned merges: the per-word token counts
+    // after 3 merges live in a VOCAB-sized table (the trained
+    // tokenizer), and encoding the corpus is one equi-join of the
+    // document word stream against it — never per-document retraining.
+    // Output: per-document whitespace vs BPE token counts + the
+    // compression ratio (one exact-int IEEE division).
+    "q_text_bpe_encode" -> ((s, dir) => {
+      val (_, _, _, e3) = bpePipeline(s, dir)
+      val vocab = e3.select(col("w"),
+        size(expr("split(trim(toks), '  ')")).cast("long").as("n_tok"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(vocab, "w") // vocab-sized build side; AQE broadcasts it
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("ws_tokens"), sum(col("n_tok")).as("bpe_tokens"))
+        .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+          (col("bpe_tokens").cast(DoubleType) / col("ws_tokens"))
+            .as("compression"))
+        .orderBy("doc_id")
     }),
 
     "q_text_token_count" -> ((s, dir) => {
@@ -349,6 +347,40 @@ object TextQueries extends QSet {
     })
   )
 
+  /** The 3-step BPE training pipeline: returns (best pair per step ×3,
+    * final merged vocabulary state e3 = (w, freq, toks)). Shared by
+    * train (emits the merges) and encode (joins the corpus against the
+    * per-word token counts of e3). */
+  private def bpePipeline(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val words = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val e0 = words.withColumn("toks",
+      concat(lit(" "), concat_ws("  ", split(col("w"), "")), lit(" ")))
+    def bestPair(e: DataFrame) =
+      e.select(col("freq"), expr("split(trim(toks), '  ')").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(tk) - 2), " +
+            "i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+    def merge(e: DataFrame, b: DataFrame) =
+      e.crossJoin(broadcast(
+          b.select(col("w1").as("bw1"), col("w2").as("bw2"))))
+        .withColumn("toks", expr(
+          "replace(toks, concat(' ', bw1, '  ', bw2, ' '), " +
+            "concat(' ', bw1, bw2, ' '))"))
+        .drop("bw1", "bw2")
+    val b1 = bestPair(e0); val e1 = merge(e0, b1)
+    val b2 = bestPair(e1); val e2 = merge(e1, b2)
+    val b3 = bestPair(e2); val e3 = merge(e2, b3)
+    (b1, b2, b3, e3)
+  }
+
   /** One BPE iteration as SQL CTEs (pair count → argmax → merge). */
   private def bpeSqlStep(i: Int): String = {
     val prev = s"e${i - 1}"
@@ -384,6 +416,33 @@ object TextQueries extends QSet {
          |UNION ALL SELECT 2, w1, w2, cnt FROM b2
          |UNION ALL SELECT 3, w1, w2, cnt FROM b3
          |ORDER BY step""".stripMargin,
+
+    "q_text_bpe_encode" ->
+      s"""WITH words AS (
+         |  SELECT w, COUNT(*) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE len(w) > 0 GROUP BY w),
+         |e0 AS (SELECT w, freq,
+         |  ' ' || array_to_string(regexp_split_to_array(w, ''), '  ')
+         |    || ' ' AS toks
+         |  FROM words),
+         |${bpeSqlStep(1)},
+         |${bpeSqlStep(2)},
+         |${bpeSqlStep(3)},
+         |vocab AS (
+         |  SELECT w, CAST(len(string_split(trim(toks), '  ')) AS BIGINT)
+         |    AS n_tok
+         |  FROM e3),
+         |dw AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |dwf AS (SELECT doc_id, w FROM dw WHERE len(w) > 0)
+         |SELECT d.doc_id, COUNT(*) AS ws_tokens,
+         |  CAST(SUM(v.n_tok) AS BIGINT) AS bpe_tokens,
+         |  CAST(SUM(v.n_tok) AS DOUBLE) / COUNT(*) AS compression
+         |FROM dwf d JOIN vocab v ON d.w = v.w
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id, lang, n_chars,

@@ -296,7 +296,8 @@ class PlanSpec extends AnyFunSuite {
       "q_orders_rfm" -> "broadcast of 1-row max-date and threshold frames",
       "q_stats_ks" -> "broadcast of the 1-row group-totals frame",
       "q_skew_diagnose" -> "broadcast of the 1-row totals frame",
-      "q_text_bpe_train" -> "broadcast of the 1-row best-pair frame (×3 merge steps)")
+      "q_text_bpe_train" -> "broadcast of the 1-row best-pair frame (×3 merge steps)",
+      "q_text_bpe_encode" -> "broadcast of the 1-row best-pair frame (×3 merge steps)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val p = fn(spark, sf).queryExecution.executedPlan.toString
