@@ -92,7 +92,9 @@ object Plans {
       "q_incremental_join", // three delta-sized joins + state merge
       "q_agg_quantile_sketch", // bounded KMV partial ObjectHashAggregate
       "q_funnel_window", // chained left equi-joins with range predicates
-      "q_multimodal_phash") // batched codec pass + (band,chunk) equi-join
+      "q_multimodal_phash", // batched codec pass + (band,chunk) equi-join
+      "q_text_bpe_train", // vocab-sized pair aggregate + 1-row merge broadcasts
+      "q_text_bpe_encode") // learned-vocab equi-join over the word stream
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by graft.Plans)\n"
     sb ++= s"\nInput: `$sfDir`, `local[$cpus]`, shuffle.partitions=$cpus.\n"
