@@ -57,3 +57,42 @@ class KmvAgg(k: Int)
   override def outputEncoder: Encoder[Seq[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }
+
+/** K-minimum-values DISTINCT sketch: the k smallest DISTINCT hash keys
+  * of a set — the theta-sketch building block. Supports SET ALGEBRA
+  * downstream: for two sketches with threshold θ = min of their kth
+  * minima, each sketch holds ALL of its set's hashes below θ, so the
+  * intersection of the samples below θ is exact there and |A∩B| ≈
+  * |common < θ| / θ (exact whenever both sets are smaller than k).
+  * Mergeable (union, dedupe, keep k smallest) and deterministic — the
+  * same bottom-k-distinct sample is a plain SQL window, which is how
+  * the oracle replays it.
+  */
+class KmvDistinctAgg(k: Int)
+    extends Aggregator[String, Seq[String], Seq[String]] {
+
+  override def zero: Seq[String] = Vector.empty
+
+  override def reduce(b: Seq[String], h: String): Seq[String] = {
+    if (b.length == k && h >= b.last) b
+    else {
+      val i = b.indexWhere(e => h < e) match {
+        case -1 => b.length
+        case n  => n
+      }
+      if (i > 0 && b(i - 1) == h) b // already sampled
+      else ((b.take(i) :+ h) ++ b.drop(i)).take(k)
+    }
+  }
+
+  override def merge(b1: Seq[String], b2: Seq[String]): Seq[String] =
+    b2.foldLeft(b1)(reduce)
+
+  override def finish(r: Seq[String]): Seq[String] = r
+
+  override def bufferEncoder: Encoder[Seq[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+
+  override def outputEncoder: Encoder[Seq[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+}

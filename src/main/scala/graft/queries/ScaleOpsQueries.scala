@@ -100,6 +100,48 @@ object ScaleOpsQueries extends QSet {
         .orderBy("event_type")
     }),
 
+    // Theta-sketch distinct INTERSECTION (KmvDistinctAgg): the
+    // approximate twin of q_agg_bitmap_overlap's exact bitmap AND —
+    // audience-overlap matrices when the audiences no longer fit a
+    // bitmap. Per type, a bounded sketch of the k=256 smallest
+    // DISTINCT user hashes; per pair, θ = min of the two kth minima
+    // and |A∩B| ≈ |common hashes < θ| / θ — EXACT whenever both
+    // audiences are under k (the graded sf0.001/0.01 regime; sf0.1
+    // exercises the estimating regime deterministically). Every step
+    // is replayable SQL (bottom-k-distinct window + the same IEEE
+    // arithmetic), so even the approximate regime is DuckDB-graded
+    // bit-for-bit.
+    "q_agg_theta_intersect" -> ((s, dir) => {
+      val K = 256
+      val sk = udaf(new graft.functions.KmvDistinctAgg(K))
+      val samples = events(s, dir)
+        .select(col("event_type"),
+          md5(col("user_id").cast("string")).as("h"))
+        .groupBy("event_type").agg(sk(col("h")).as("smp"))
+        .select(col("event_type"), col("smp"),
+          when(size(col("smp")) < K, lit(1.0)).otherwise(
+            expr(s"cast(conv(substr(element_at(smp, $K), 1, 15), 16, 10) " +
+              "as bigint)").cast(DoubleType) / 1152921504606846976.0d)
+            .as("theta"))
+      val a = samples.select(col("event_type").as("t1"),
+        col("smp").as("sa"), col("theta").as("tha"))
+      val b = samples.select(col("event_type").as("t2"),
+        col("smp").as("sb"), col("theta").as("thb"))
+      a.crossJoin(broadcast(b)).filter(col("t1") < col("t2"))
+        .withColumn("theta", least(col("tha"), col("thb")))
+        .withColumn("common", expr(
+          "cast(size(filter(array_intersect(sa, sb), x -> " +
+            "cast(conv(substr(x, 1, 15), 16, 10) as bigint) / " +
+            "1152921504606846976.0d < theta)) as bigint)"))
+        .select(col("t1"), col("t2"),
+          size(col("sa")).cast(LongType).as("n_a"),
+          size(col("sb")).cast(LongType).as("n_b"),
+          col("common"),
+          (col("common").cast(DoubleType) / col("theta"))
+            .as("est_intersect"))
+        .orderBy("t1", "t2")
+    }),
+
     // Exact distinct users per event_type via 64-bit bitmap OR-folding:
     // bucket = user_id div 64, one BIGINT bitmap per (group, bucket),
     // popcount-summed. Each side of the two aggregations folds map-side
@@ -345,6 +387,46 @@ object ScaleOpsQueries extends QSet {
         |  FROM orders)
         |WHERE rk <= 3
         |ORDER BY o_custkey, rk""".stripMargin,
+
+    // the theta sketch replayed as a bottom-k-distinct window + the
+    // identical IEEE threshold/ratio arithmetic
+    "q_agg_theta_intersect" ->
+      """WITH du AS (
+        |  SELECT DISTINCT event_type,
+        |    md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM events),
+        |rk AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM du),
+        |smp AS (SELECT event_type, h, rn, nd FROM rk WHERE rn <= 256),
+        |th AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CASE WHEN MAX(nd) < 256 THEN 1.0
+        |      ELSE MAX(CASE WHEN rn = 256 THEN
+        |        CAST(CAST(concat('0x', substr(h, 1, 15)) AS BIGINT)
+        |          AS DOUBLE) / 1152921504606846976.0 END) END AS theta
+        |  FROM smp GROUP BY event_type),
+        |pairs AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2,
+        |    a.n AS n_a, b.n AS n_b,
+        |    least(a.theta, b.theta) AS theta
+        |  FROM th a JOIN th b ON a.event_type < b.event_type),
+        |cm AS (
+        |  SELECT p.t1, p.t2, COUNT(*) AS common
+        |  FROM pairs p
+        |  JOIN smp sa ON sa.event_type = p.t1
+        |  JOIN smp sb ON sb.event_type = p.t2 AND sb.h = sa.h
+        |  WHERE CAST(CAST(concat('0x', substr(sa.h, 1, 15)) AS BIGINT)
+        |      AS DOUBLE) / 1152921504606846976.0 < p.theta
+        |  GROUP BY 1, 2)
+        |SELECT p.t1, p.t2, p.n_a, p.n_b,
+        |  CAST(COALESCE(c.common, 0) AS BIGINT) AS common,
+        |  CAST(COALESCE(c.common, 0) AS DOUBLE) / p.theta
+        |    AS est_intersect
+        |FROM pairs p LEFT JOIN cm c ON c.t1 = p.t1 AND c.t2 = p.t2
+        |ORDER BY p.t1, p.t2""".stripMargin,
 
     // the sketch replayed as a window: same bottom-128-by-md5 sample,
     // same element-at-ceil(p·n) disc-quantile convention

@@ -253,6 +253,41 @@ class MlOpsSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
   }
 
+  test("theta intersect: exact when audiences fit the sketch; within " +
+    "the KMV error bound in the estimating regime") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    // exact regime (every sf0.001 audience < k): the estimate must
+    // EQUAL the true intersection
+    val est = SparkEntry.queries("q_agg_theta_intersect")(spark, sf)
+      .select("t1", "t2", "est_intersect")
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    val du = graft.engine.Tables.events(spark, sf)
+      .select("event_type", "user_id").distinct()
+      .as[(String, Long)].collect()
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).toSet }
+    for (((t1, t2), e) <- est) {
+      val exact = (du(t1) & du(t2)).size
+      assert(e == exact.toDouble,
+        s"($t1,$t2): est $e != exact $exact in the complete regime")
+    }
+    // estimating regime: two synthetic 4000-element sets, 2000 shared
+    val sk = udaf(new graft.functions.KmvDistinctAgg(256))
+    val rows = ((0L until 4000L).map(("A", _)) ++
+      (2000L until 6000L).map(("B", _))).toDF("grp", "v")
+    val smp = rows.select(col("grp"), md5(col("v").cast("string")).as("h"))
+      .groupBy("grp").agg(sk(col("h")).as("smp"))
+      .as[(String, Seq[String])].collect().toMap
+    def frac(h: String): Double =
+      java.lang.Long.parseLong(h.take(15), 16).toDouble / math.pow(16, 15)
+    val theta = math.min(frac(smp("A")(255)), frac(smp("B")(255)))
+    val common = (smp("A").toSet & smp("B").toSet).count(frac(_) < theta)
+    val estSyn = common / theta
+    assert(math.abs(estSyn - 2000.0) / 2000.0 < 0.25,
+      s"synthetic overlap estimate $estSyn vs true 2000")
+  }
+
   test("skew report: ordered, cumulative, and mean-calibrated") {
     import spark.implicits._
     val rows = SparkEntry.queries("q_skew_diagnose")(spark, sf)

@@ -297,7 +297,8 @@ class PlanSpec extends AnyFunSuite {
       "q_stats_ks" -> "broadcast of the 1-row group-totals frame",
       "q_skew_diagnose" -> "broadcast of the 1-row totals frame",
       "q_text_bpe_train" -> "broadcast of the 1-row best-pair frame (×3 merge steps)",
-      "q_text_bpe_encode" -> "broadcast of the 1-row best-pair frame (×3 merge steps)")
+      "q_text_bpe_encode" -> "broadcast of the 1-row best-pair frame (×3 merge steps)",
+      "q_agg_theta_intersect" -> "cross of the 5-row per-type sketch frames")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val p = fn(spark, sf).queryExecution.executedPlan.toString
