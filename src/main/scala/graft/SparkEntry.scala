@@ -32,7 +32,8 @@ object SparkEntry {
     WarehouseQueries,
     StatGraphQueries,
     EntityOpsQueries,
-    MlOpsQueries
+    MlOpsQueries,
+    GraphMediaQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

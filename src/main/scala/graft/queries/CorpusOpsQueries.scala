@@ -91,6 +91,62 @@ object CorpusOpsQueries extends QSet {
         .orderBy("doc_id")
     }),
 
+    // Collocation mining by ASSOCIATION STRENGTH (the PMI ranking,
+    // kept libm-free): lift(w1,w2) = c_ab·N / (c_a·c_b) — PMI is its
+    // log, a monotone map that cannot change the ranking, so omitting
+    // it keeps the compare off engine libm. Unigram counts are a
+    // vocab-bounded aggregate whose corpus total rides a window over
+    // the VOCAB frame (never a 1-row broadcast); bigram support ≥ 10
+    // prunes the noise floor before the two vocab-keyed joins; top-30
+    // is a TakeOrdered over the bounded aggregate. Every count is
+    // exact int64; lift is one IEEE expression over exact bases.
+    "q_text_collocation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tk = toks(s, dir)
+      val uni = tk.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+        .withColumn("nn", sum(col("cw")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      val big = tk.filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(tk) - 2), " +
+            "i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 10)
+      big
+        .join(uni.select(col("w").as("w1"), col("cw").as("c_a"),
+          col("nn")), "w1")
+        .join(uni.select(col("w").as("w2"), col("cw").as("c_b")), "w2")
+        .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+          ((col("c_ab").cast(DoubleType) * col("nn").cast(DoubleType)) /
+            (col("c_a").cast(DoubleType) * col("c_b").cast(DoubleType)))
+            .as("lift"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(30)
+    }),
+
+    // Class-balanced EXACT-CAP sampling (the other half of
+    // q_sample_stratified's rate-based rebalancing): every language
+    // contributes min(n_lang, 100) documents, chosen by md5 rank — the
+    // deterministic "cap the majority classes" selection a balanced
+    // training mix needs when rates can't express an exact budget.
+    // row_number ≤ k triggers WindowGroupLimit (each map task keeps
+    // its local top-k per language BEFORE the exchange), so the
+    // shuffle carries O(languages × k) rows at any corpus size.
+    "q_sample_balanced" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string")).as("hk"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))))
+        .filter(col("rn") <= 100)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-wide top-50 bigrams by occurrence (with document
     // frequency): the collocation-mining shape. The explode is linear
     // in corpus tokens; the aggregate key space is vocab²-bounded, so
@@ -241,6 +297,33 @@ object CorpusOpsQueries extends QSet {
         |WHERE r.n = r.t
         |   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thr
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_text_collocation" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |uni AS (SELECT w, COUNT(*) cw FROM
+        |  (SELECT unnest(tk) w FROM toks) GROUP BY w),
+        |unn AS (SELECT w, cw, CAST(SUM(cw) OVER () AS BIGINT) nn
+        |        FROM uni),
+        |big AS (SELECT unnest(tk[1:len(tk)-1]) w1,
+        |               unnest(tk[2:len(tk)]) w2
+        |        FROM toks WHERE len(tk) >= 2),
+        |bc AS (SELECT w1, w2, COUNT(*) c_ab FROM big
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 10)
+        |SELECT b.w1, b.w2, b.c_ab, ua.cw AS c_a, ub.cw AS c_b,
+        |  (CAST(b.c_ab AS DOUBLE) * CAST(ua.nn AS DOUBLE)) /
+        |    (CAST(ua.cw AS DOUBLE) * CAST(ub.cw AS DOUBLE)) AS lift
+        |FROM bc b
+        |JOIN unn ua ON ua.w = b.w1
+        |JOIN unn ub ON ub.w = b.w2
+        |ORDER BY lift DESC, w1, w2 LIMIT 30""".stripMargin,
+
+    "q_sample_balanced" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 100 ORDER BY doc_id""".stripMargin,
 
     "q_text_ngram_topk" ->
       """WITH toks AS (

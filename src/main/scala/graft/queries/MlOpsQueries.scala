@@ -73,6 +73,36 @@ object MlOpsQueries extends QSet {
       .agg(expr("sum(xq) div count(1)").as("cq"))
 
   val queries: Map[String, QFn] = Map(
+    // Smoothed TARGET ENCODING of a categorical feature (the leakage-
+    // safe mean-encoding every tabular-ML pipeline ships): per market
+    // segment, the order-price mean shrunk toward the global mean with
+    // pseudo-count m=100 — encode = (Σy + m·ȳ)/(n + m). The fact⋈dim
+    // join is a keyed shuffle; per-category moments are exact decimal
+    // partial-folds; the global mean rides a WINDOW over the 5-row
+    // category frame (category-bounded at any scale — never a 1-row
+    // broadcast, never a second scan); the final arithmetic is one
+    // identical IEEE shape over string-hopped doubles (A.8).
+    "q_feat_target_encode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val j = t(s, dir, "orders")
+        .select(col("o_custkey"), D(col("o_totalprice")).as("p"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+      val per = j.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val gm = d4(col("ts")) / col("tn").cast(DoubleType)
+      per.withColumn("tn", sum(col("n")).over(wAll))
+        .withColumn("ts", sum(col("sp")).over(wAll))
+        .select(col("c_mktsegment"), col("n"),
+          (d4(col("sp")) / col("n").cast(DoubleType)).as("mean_price"),
+          ((d4(col("sp")) + lit(100.0d) * gm) /
+            (col("n").cast(DoubleType) + lit(100.0d))).as("smoothed"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Distributed k-means (k = 8, 2 unrolled Lloyd iterations — fixed
     // so the oracle is a plain chained-CTE query, like pagerank's 3
     // iterations): deterministic seeding (the k vec_ids ranked first
@@ -184,6 +214,26 @@ object MlOpsQueries extends QSet {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_feat_target_encode" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment,
+        |    CAST(o_totalprice AS DECIMAL(18,4)) AS p
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |per AS (SELECT c_mktsegment, COUNT(*) n, SUM(p) sp
+        |        FROM j GROUP BY 1),
+        |tot AS (SELECT c_mktsegment, n, sp,
+        |  CAST(SUM(n) OVER () AS BIGINT) tn, SUM(sp) OVER () ts
+        |  FROM per)
+        |SELECT c_mktsegment, n,
+        |  CAST(CAST(CAST(sp AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE)
+        |    / CAST(n AS DOUBLE) AS mean_price,
+        |  (CAST(CAST(CAST(sp AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE)
+        |     + 100.0 *
+        |       (CAST(CAST(CAST(ts AS DECIMAL(18,4)) AS VARCHAR)
+        |          AS DOUBLE) / CAST(tn AS DOUBLE)))
+        |    / (CAST(n AS DOUBLE) + 100.0) AS smoothed
+        |FROM tot ORDER BY c_mktsegment""".stripMargin,
+
     "q_cluster_kmeans" ->
       """WITH x AS (
         |  SELECT vec_id,

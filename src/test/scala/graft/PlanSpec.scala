@@ -298,7 +298,8 @@ class PlanSpec extends AnyFunSuite {
       "q_skew_diagnose" -> "broadcast of the 1-row totals frame",
       "q_text_bpe_train" -> "broadcast of the 1-row best-pair frame (×3 merge steps)",
       "q_text_bpe_encode" -> "broadcast of the 1-row best-pair frame (×3 merge steps)",
-      "q_agg_theta_intersect" -> "cross of the 5-row per-type sketch frames")
+      "q_agg_theta_intersect" -> "cross of the 5-row per-type sketch frames",
+      "q_revenue_concentration" -> "broadcast of the 1-row percentile-cuts frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val p = fn(spark, sf).queryExecution.executedPlan.toString
