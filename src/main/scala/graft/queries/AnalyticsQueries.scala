@@ -149,6 +149,45 @@ object AnalyticsQueries extends QSet {
         .orderBy("col_name")
     }),
 
+    // CUSUM mean-shift CHANGEPOINT per event type (the monitoring
+    // question q_ts_anomaly's pointwise z-score can't answer: WHEN did
+    // the level move?): argmax_i |S_i − (n_i/N)·S_N| over the daily
+    // cumulative sum. Deliberately DAY-granular — the raw-event CUSUM
+    // is a per-type sequential scan that cannot partition, so the
+    // partial-foldable daily aggregate runs first and the cumulative
+    // window rides the DAY spine (≤ a few thousand rows per type at
+    // ANY fact size — the skyline/new-users spine discipline). Sums
+    // are exact decimals; the statistic is one identical IEEE shape;
+    // the argmax is a per-type rank window, ties to the earliest day.
+    "q_ts_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .select(col("event_type"),
+          unix_micros(date_trunc("day", col("ts_us"))).as("day"),
+          D(col("value")).as("v"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n_d"), sum(col("v")).as("s_d"))
+      val wCum = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      val stat = abs(d4(col("cum_s")) -
+        (col("cum_n").cast(DoubleType) / col("tot_n").cast(DoubleType)) *
+          d4(col("tot_s")))
+      daily
+        .withColumn("cum_n", sum(col("n_d")).over(wCum))
+        .withColumn("cum_s", sum(col("s_d")).over(wCum))
+        .withColumn("tot_n", sum(col("n_d")).over(wAll))
+        .withColumn("tot_s", sum(col("s_d")).over(wAll))
+        .withColumn("stat", stat)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(col("stat").desc, col("day"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("change_day_us"),
+          col("cum_n").as("n_before"), col("stat"))
+        .orderBy("event_type")
+    }),
+
     // Per-user metric outliers: mean/stddev from EXACT decimal sums
     // (the q_agg_stats recipe — identical IEEE expression shape on
     // both engines), events flagged where |z| > 2. The stats frame is
@@ -514,6 +553,36 @@ object AnalyticsQueries extends QSet {
         |UNION ALL SELECT 'c_name', n_rows, nm_nulls, nm_nd, nm_min, nm_max FROM a
         |UNION ALL SELECT 'c_nationkey', n_rows, nk_nulls, nk_nd, nk_min, nk_max FROM a
         |ORDER BY col_name""".stripMargin,
+
+    "q_ts_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('day', ts)) AS day,
+        |    COUNT(*) AS n_d,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS s_d
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, day,
+        |    CAST(SUM(n_d) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS cum_n,
+        |    SUM(s_d) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS cum_s,
+        |    CAST(SUM(n_d) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS tot_n,
+        |    SUM(s_d) OVER (PARTITION BY event_type) AS tot_s
+        |  FROM daily),
+        |st AS (
+        |  SELECT event_type, day, cum_n,
+        |    ABS(CAST(CAST(CAST(cum_s AS DECIMAL(18,4)) AS VARCHAR)
+        |          AS DOUBLE)
+        |      - (CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE))
+        |        * CAST(CAST(CAST(tot_s AS DECIMAL(18,4)) AS VARCHAR)
+        |            AS DOUBLE)) AS stat
+        |  FROM cum)
+        |SELECT event_type, day AS change_day_us, cum_n AS n_before, stat
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY stat DESC, day) AS rk FROM st)
+        |WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     "q_ts_anomaly" ->
       """WITH st AS (

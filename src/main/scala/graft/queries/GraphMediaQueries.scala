@@ -201,6 +201,48 @@ object GraphMediaQueries extends QSet {
         .orderBy("m")
     }),
 
+    // MODULARITY of the nation partition on the affinity graph
+    // (Newman's Q, per-community terms): does geography explain the
+    // co-occurrence structure? q_c = e_c/m − (d_c/2m)² from exact int64
+    // bases — intra-community edge counts (two dim-keyed community
+    // joins, then an equi filter), community degree masses, and
+    // 2m = Σd_c recovered as a WINDOW over the community-bounded frame
+    // (25 nations — never a global count of the edge frame). The
+    // community assignment rides the supplier dim: a broadcast at any
+    // scale, because communities label VERTICES, not edges.
+    "q_graph_modularity" -> ((s, dir) => {
+      val e = affinityEdges(s, dir).persist()
+      val com = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("v"),
+          col("s_nationkey").cast(LongType).as("c"))
+      val deg = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val dC = deg.join(broadcast(com), "v")
+        .groupBy("c").agg(count(lit(1)).as("n_vertices"),
+          sum(col("deg")).as("d_c"))
+      val eC = e
+        .join(broadcast(com.select(col("v").as("a"), col("c").as("ca"))),
+          "a")
+        .join(broadcast(com.select(col("v").as("b"), col("c").as("cb"))),
+          "b")
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e_c"))
+      val sd = col("sd").cast(DoubleType)
+      val qc = (col("e_c").cast(DoubleType) / (sd / lit(2.0d))) -
+        (col("d_c").cast(DoubleType) / sd) *
+          (col("d_c").cast(DoubleType) / sd)
+      dC.join(eC, Seq("c"), "left")
+        .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+        .withColumn("sd", sum(col("d_c")).over(
+          org.apache.spark.sql.expressions.Window.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+        .select(col("c"), col("n_vertices"), col("e_c"), col("d_c"),
+          qc.as("q_c"))
+        .orderBy("c")
+    }),
+
     // Benford first-digit audit of order totals — the fraud/quality
     // screen over any money column. The digit extracts through exact
     // integer ops only (floor → integral double → string head), never
@@ -353,6 +395,27 @@ object GraphMediaQueries extends QSet {
         |       * (CAST(s1 AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))))
         |  AS assortativity
         |FROM s ORDER BY m""".stripMargin,
+
+    "q_graph_modularity" ->
+      s"""WITH $edgesSql,
+        |com AS (SELECT s_suppkey v, CAST(s_nationkey AS BIGINT) c
+        |        FROM supplier),
+        |deg AS (SELECT v, COUNT(*) deg FROM
+        |  (SELECT a v FROM e UNION ALL SELECT b v FROM e) GROUP BY v),
+        |dc AS (SELECT c, COUNT(*) n_vertices,
+        |         CAST(SUM(deg) AS BIGINT) d_c
+        |       FROM deg JOIN com USING (v) GROUP BY c),
+        |ec AS (SELECT ca.c, COUNT(*) e_c FROM e
+        |  JOIN com ca ON ca.v = e.a JOIN com cb ON cb.v = e.b
+        |  WHERE ca.c = cb.c GROUP BY ca.c),
+        |fr AS (SELECT dc.c, dc.n_vertices, COALESCE(ec.e_c, 0) e_c,
+        |         dc.d_c, CAST(SUM(dc.d_c) OVER () AS BIGINT) sd
+        |       FROM dc LEFT JOIN ec ON ec.c = dc.c)
+        |SELECT c, n_vertices, e_c, d_c,
+        |  (CAST(e_c AS DOUBLE) / (CAST(sd AS DOUBLE) / 2.0))
+        |    - (CAST(d_c AS DOUBLE) / CAST(sd AS DOUBLE))
+        |      * (CAST(d_c AS DOUBLE) / CAST(sd AS DOUBLE)) AS q_c
+        |FROM fr ORDER BY c""".stripMargin,
 
     "q_stats_benford" ->
       """WITH counts AS (

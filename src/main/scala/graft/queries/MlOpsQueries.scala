@@ -103,6 +103,39 @@ object MlOpsQueries extends QSet {
         .orderBy("c_mktsegment")
     }),
 
+    // LEAKAGE-FREE cross-fold target encoding (the deployment form of
+    // q_feat_target_encode): each deterministic fold (o_orderkey % 5)
+    // is encoded from the OTHER folds' statistics — leave-fold-out
+    // sums by exact decimal subtraction from per-segment totals (one
+    // aggregate pass; never 5 re-scans), the shrinkage prior is the
+    // all-data global mean. Both totals ride windows over the
+    // 25-row (segment × fold) frame — category-bounded at any scale.
+    "q_feat_target_encode_cv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val j = t(s, dir, "orders")
+        .select(col("o_custkey"), (col("o_orderkey") % 5).as("fold"),
+          D(col("o_totalprice")).as("p"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+      val per = j.groupBy(col("c_mktsegment"), col("fold"))
+        .agg(count(lit(1)).as("n_f"), sum(col("p")).as("s_f"))
+      val wSeg = Window.partitionBy("c_mktsegment")
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val gm = d4(col("gs")) / col("gn").cast(DoubleType)
+      per
+        .withColumn("tn", sum(col("n_f")).over(wSeg))
+        .withColumn("ts", sum(col("s_f")).over(wSeg))
+        .withColumn("gn", sum(col("n_f")).over(wAll))
+        .withColumn("gs", sum(col("s_f")).over(wAll))
+        .select(col("c_mktsegment"), col("fold"), col("n_f"),
+          ((d4(col("ts") - col("s_f")) + lit(100.0d) * gm) /
+            ((col("tn") - col("n_f")).cast(DoubleType) + lit(100.0d)))
+            .as("encode"))
+        .orderBy("c_mktsegment", "fold")
+    }),
+
     // Distributed k-means (k = 8, 2 unrolled Lloyd iterations — fixed
     // so the oracle is a plain chained-CTE query, like pagerank's 3
     // iterations): deterministic seeding (the k vec_ids ranked first
@@ -233,6 +266,28 @@ object MlOpsQueries extends QSet {
         |          AS DOUBLE) / CAST(tn AS DOUBLE)))
         |    / (CAST(n AS DOUBLE) + 100.0) AS smoothed
         |FROM tot ORDER BY c_mktsegment""".stripMargin,
+
+    "q_feat_target_encode_cv" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment, o_orderkey % 5 AS fold,
+        |    CAST(o_totalprice AS DECIMAL(18,4)) AS p
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |per AS (SELECT c_mktsegment, fold, COUNT(*) n_f, SUM(p) s_f
+        |        FROM j GROUP BY 1, 2),
+        |tot AS (SELECT c_mktsegment, fold, n_f, s_f,
+        |  CAST(SUM(n_f) OVER (PARTITION BY c_mktsegment) AS BIGINT) tn,
+        |  SUM(s_f) OVER (PARTITION BY c_mktsegment) ts,
+        |  CAST(SUM(n_f) OVER () AS BIGINT) gn,
+        |  SUM(s_f) OVER () gs
+        |  FROM per)
+        |SELECT c_mktsegment, fold, n_f,
+        |  (CAST(CAST(CAST(ts - s_f AS DECIMAL(18,4)) AS VARCHAR)
+        |     AS DOUBLE)
+        |   + 100.0 *
+        |     (CAST(CAST(CAST(gs AS DECIMAL(18,4)) AS VARCHAR)
+        |        AS DOUBLE) / CAST(gn AS DOUBLE)))
+        |  / (CAST(tn - n_f AS DOUBLE) + 100.0) AS encode
+        |FROM tot ORDER BY c_mktsegment, fold""".stripMargin,
 
     "q_cluster_kmeans" ->
       """WITH x AS (

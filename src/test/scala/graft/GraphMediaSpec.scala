@@ -69,6 +69,39 @@ class GraphMediaSpec extends AnyFunSuite {
     assert(s1 > 0.0 && s10 < 1.0)
   }
 
+  test("modularity: degree masses sum to 2m, intra edges bound by m, " +
+    "and Q is within [-1, 1]") {
+    import graft.queries.GraphMediaQueries
+    val m = GraphMediaQueries.affinityEdges(spark, sf).count()
+    val rows = q("q_graph_modularity").collect()
+    assert(rows.map(_.getLong(3)).sum === 2 * m)
+    assert(rows.map(_.getLong(2)).sum <= m)
+    val qTot = rows.map(_.getDouble(4)).sum
+    assert(qTot >= -1.0 && qTot <= 1.0, s"Q = $qTot out of range")
+  }
+
+  test("changepoint: one row per event type, stat non-negative, split " +
+    "is a proper prefix") {
+    val types = graft.engine.Tables.events(spark, sf)
+      .select("event_type").distinct().count()
+    val rows = q("q_ts_changepoint").collect()
+    assert(rows.length.toLong === types)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0)
+      assert(r.getLong(2) >= 1L)
+    }
+  }
+
+  test("cross-fold target encode: leave-fold-out encodes bracket " +
+    "sanity (positive, finite) and cover all segment-fold cells") {
+    val rows = q("q_feat_target_encode_cv").collect()
+    assert(rows.length === 25, s"expected 5 segments x 5 folds")
+    rows.foreach { r =>
+      val e = r.getDouble(3)
+      assert(e > 0.0 && !e.isInfinite && !e.isNaN, s"bad encode: $r")
+    }
+  }
+
   test("frame sampling: one output row per document, counts match the " +
     "closed form") {
     val docs = graft.engine.Tables.t(spark, sf, "documents")
