@@ -33,7 +33,8 @@ object SparkEntry {
     StatGraphQueries,
     EntityOpsQueries,
     MlOpsQueries,
-    GraphMediaQueries
+    GraphMediaQueries,
+    SearchStatsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

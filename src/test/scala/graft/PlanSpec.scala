@@ -299,7 +299,10 @@ class PlanSpec extends AnyFunSuite {
       "q_text_bpe_train" -> "broadcast of the 1-row best-pair frame (×3 merge steps)",
       "q_text_bpe_encode" -> "broadcast of the 1-row best-pair frame (×3 merge steps)",
       "q_agg_theta_intersect" -> "cross of the 5-row per-type sketch frames",
-      "q_revenue_concentration" -> "broadcast of the 1-row percentile-cuts frame")
+      "q_revenue_concentration" -> "broadcast of the 1-row percentile-cuts frame",
+      "q_text_bm25" -> "broadcast of the 1-row corpus-stats frame",
+      "q_stats_psi" -> "broadcast of the 1-row decile-cuts frame",
+      "q_ml_naive_bayes" -> "broadcast of the 5-row class-model frame (×2: class grid + priors attach)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val p = fn(spark, sf).queryExecution.executedPlan.toString
