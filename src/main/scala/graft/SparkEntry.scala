@@ -34,7 +34,8 @@ object SparkEntry {
     EntityOpsQueries,
     MlOpsQueries,
     GraphMediaQueries,
-    SearchStatsQueries
+    SearchStatsQueries,
+    ExperimentQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
