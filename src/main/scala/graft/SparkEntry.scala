@@ -35,7 +35,8 @@ object SparkEntry {
     MlOpsQueries,
     GraphMediaQueries,
     SearchStatsQueries,
-    ExperimentQueries
+    ExperimentQueries,
+    MlEvalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
