@@ -36,7 +36,8 @@ object SparkEntry {
     GraphMediaQueries,
     SearchStatsQueries,
     ExperimentQueries,
-    MlEvalQueries
+    MlEvalQueries,
+    RecEvalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
