@@ -37,7 +37,8 @@ object SparkEntry {
     SearchStatsQueries,
     ExperimentQueries,
     MlEvalQueries,
-    RecEvalQueries
+    RecEvalQueries,
+    PatternQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
