@@ -94,7 +94,14 @@ object Plans {
       "q_funnel_window", // chained left equi-joins with range predicates
       "q_multimodal_phash", // batched codec pass + (band,chunk) equi-join
       "q_text_bpe_train", // vocab-sized pair aggregate + 1-row merge broadcasts
-      "q_text_bpe_encode") // learned-vocab equi-join over the word stream
+      "q_text_bpe_encode", // learned-vocab equi-join over the word stream
+      "q_rec_item_neighbors", // single-subtree basket pairs + map-side symmetrize
+      "q_ml_auc", // distinct-bucket agg + ordered window on the bucket frame
+      "q_ts_hazard", // per-user agg → interval deltas → hour-spine windows
+      "q_stats_bootstrap", // ×32 explode + 32-key partial agg + 1-row attach
+      "q_stream_topk", // tumbling agg + day-partitioned WindowGroupLimit
+      "q_dedup_substring", // stride-compressed gram explode + gram-key agg
+      "q_ml_ndcg") // user-partitioned rank window + literal-discount ledger
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by graft.Plans)\n"
     sb ++= s"\nInput: `$sfDir`, `local[$cpus]`, shuffle.partitions=$cpus.\n"

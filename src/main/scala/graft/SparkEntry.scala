@@ -38,7 +38,8 @@ object SparkEntry {
     ExperimentQueries,
     MlEvalQueries,
     RecEvalQueries,
-    PatternQueries
+    PatternQueries,
+    GovernanceQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

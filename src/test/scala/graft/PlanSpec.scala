@@ -302,7 +302,11 @@ class PlanSpec extends AnyFunSuite {
       "q_revenue_concentration" -> "broadcast of the 1-row percentile-cuts frame",
       "q_text_bm25" -> "broadcast of the 1-row corpus-stats frame",
       "q_stats_psi" -> "broadcast of the 1-row decile-cuts frame",
-      "q_ml_naive_bayes" -> "broadcast of the 5-row class-model frame (×2: class grid + priors attach)")
+      "q_ml_naive_bayes" -> "broadcast of the 5-row class-model frame (×2: class grid + priors attach)",
+      "q_stats_bootstrap" -> "broadcast of the 1-row point-estimate frame",
+      "q_ml_pr_curve" -> "broadcast of the 9-row decile-threshold frame",
+      "q_ml_confusion" -> "broadcast of the 1-row median-threshold frame",
+      "q_ml_lift_curve" -> "broadcast of the 1-row decile-cuts frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val p = fn(spark, sf).queryExecution.executedPlan.toString
