@@ -39,7 +39,8 @@ object SparkEntry {
     MlEvalQueries,
     RecEvalQueries,
     PatternQueries,
-    GovernanceQueries
+    GovernanceQueries,
+    FeatureQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
