@@ -40,7 +40,8 @@ object SparkEntry {
     RecEvalQueries,
     PatternQueries,
     GovernanceQueries,
-    FeatureQueries
+    FeatureQueries,
+    AuditOpsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
