@@ -41,7 +41,8 @@ object SparkEntry {
     PatternQueries,
     GovernanceQueries,
     FeatureQueries,
-    AuditOpsQueries
+    AuditOpsQueries,
+    EmbAuditQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
