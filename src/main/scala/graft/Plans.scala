@@ -101,7 +101,10 @@ object Plans {
       "q_stats_bootstrap", // ×32 explode + 32-key partial agg + 1-row attach
       "q_stream_topk", // tumbling agg + day-partitioned WindowGroupLimit
       "q_dedup_substring", // stride-compressed gram explode + gram-key agg
-      "q_ml_ndcg") // user-partitioned rank window + literal-discount ledger
+      "q_ml_ndcg", // user-partitioned rank window + literal-discount ledger
+      "q_stats_spearman", // value-level rank margins, no per-row sort
+      "q_sample_weighted", // bounded TopKAgg + tiny winners broadcast rejoin
+      "q_graph_kcore3") // iterated degree-filter equi-joins, vertex-bounded
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by graft.Plans)\n"
     sb ++= s"\nInput: `$sfDir`, `local[$cpus]`, shuffle.partitions=$cpus.\n"

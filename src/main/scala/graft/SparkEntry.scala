@@ -42,7 +42,8 @@ object SparkEntry {
     GovernanceQueries,
     FeatureQueries,
     AuditOpsQueries,
-    EmbAuditQueries
+    EmbAuditQueries,
+    RankStatsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
