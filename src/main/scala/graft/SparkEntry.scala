@@ -43,7 +43,8 @@ object SparkEntry {
     FeatureQueries,
     AuditOpsQueries,
     EmbAuditQueries,
-    RankStatsQueries
+    RankStatsQueries,
+    AssocStatsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
