@@ -44,7 +44,8 @@ object SparkEntry {
     AuditOpsQueries,
     EmbAuditQueries,
     RankStatsQueries,
-    AssocStatsQueries
+    AssocStatsQueries,
+    RobustStatsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

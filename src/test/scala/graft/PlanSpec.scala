@@ -307,7 +307,8 @@ class PlanSpec extends AnyFunSuite {
       "q_ml_pr_curve" -> "broadcast of the 9-row decile-threshold frame",
       "q_ml_confusion" -> "broadcast of the 1-row median-threshold frame",
       "q_ml_lift_curve" -> "broadcast of the 1-row decile-cuts frame",
-      "q_emb_norm_hist" -> "broadcast of the 1-row max-norm frame")
+      "q_emb_norm_hist" -> "broadcast of the 1-row max-norm frame",
+      "q_stats_cohens_d" -> "broadcast of the 1-row low-priority moment frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val p = fn(spark, sf).queryExecution.executedPlan.toString
