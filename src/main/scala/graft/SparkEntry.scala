@@ -45,7 +45,8 @@ object SparkEntry {
     EmbAuditQueries,
     RankStatsQueries,
     AssocStatsQueries,
-    RobustStatsQueries
+    RobustStatsQueries,
+    DecompQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
