@@ -126,6 +126,7 @@ object DecompQueries extends QSet {
         round(col("hx"), 6).as("h_flag"),
         round(col("hy"), 6).as("h_bin"),
         round(col("mi") / least(col("hx"), col("hy")), 6).as("nmi"))
+        .orderBy("n")
     }),
 
     // Two-proportion power analysis: per-arm sample size to detect an
@@ -231,7 +232,7 @@ object DecompQueries extends QSet {
         |  FROM p GROUP BY n)
         |SELECT n, round(mi, 6) mi_nats, round(hx, 6) h_flag,
         |  round(hy, 6) h_bin, round(mi / least(hx, hy), 6) nmi
-        |FROM g""".stripMargin,
+        |FROM g ORDER BY n""".stripMargin,
 
     "q_stats_power_analysis" ->
       """WITH b AS (SELECT CAST(COUNT(*) AS BIGINT) n,

@@ -103,6 +103,7 @@ object RankStatsQueries extends QSet {
           round(sqrt(col("chi2") / (col("n").cast(DoubleType)
             * (least(col("r"), col("c")) - 1).cast(DoubleType))), 6)
             .as("cramers_v"))
+        .orderBy("n")
     }),
 
     // 7-day rolling Pearson correlation between daily revenue and
@@ -252,7 +253,7 @@ object RankStatsQueries extends QSet {
         |  round(sqrt(chi2 / (CAST(n AS DOUBLE)
         |    * CAST(least(n_rows_dim, n_cols_dim) - 1 AS DOUBLE))), 6)
         |    cramers_v
-        |FROM s""".stripMargin,
+        |FROM s ORDER BY n""".stripMargin,
 
     "q_ts_rolling_corr" ->
       """WITH daily AS (SELECT

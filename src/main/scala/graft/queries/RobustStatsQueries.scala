@@ -93,6 +93,7 @@ object RobustStatsQueries extends QSet {
                   ((col("nr") + col("na")).cast(DoubleType) *
                     (col("nr") + col("na") - 1).cast(DoubleType)))), 6)
           .as("z"))
+        .orderBy("n_r")
     }),
 
     // Zipf-law fit per language: OLS of ln(freq) on ln(rank) over the
@@ -190,6 +191,7 @@ object RobustStatsQueries extends QSet {
           round(col("mean_low"), 4).as("mean_low"),
           round((col("mean_urgent") - col("mean_low")) / col("sp"), 6)
             .as("cohens_d"))
+        .orderBy("n_urgent")
     })
   )
 
@@ -242,7 +244,7 @@ object RobustStatsQueries extends QSet {
         |      * (CAST(nr + na + 1 AS DOUBLE) - CAST(tsum AS DOUBLE)
         |        / (CAST(nr + na AS DOUBLE)
         |          * CAST(nr + na - 1 AS DOUBLE)))), 6) z
-        |FROM g""".stripMargin,
+        |FROM g ORDER BY n_r""".stripMargin,
 
     "q_text_zipf_fit" ->
       """WITH tok AS (SELECT lang,
@@ -313,6 +315,6 @@ object RobustStatsQueries extends QSet {
         |  round(mean_low, 4) mean_low,
         |  round((mean_urgent - mean_low) / sqrt((ss1 + ss0)
         |    / CAST(n_urgent + n_low - 2 AS DOUBLE)), 6) cohens_d
-        |FROM u, l""".stripMargin
+        |FROM u, l ORDER BY n_urgent""".stripMargin
   )
 }
