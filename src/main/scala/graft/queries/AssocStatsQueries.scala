@@ -51,11 +51,13 @@ object AssocStatsQueries extends QSet {
         .agg(sum(col("cnt")).as("ck"))
         .groupBy("rf")
         .agg(sum(col("ck")).as("n"),
-          sum(col("ck") * (col("ck") - 1) / 2).as(s"t_$k"))
+          // `div`, not `/`: Spark's `/` is double division even for
+          // integer operands, and the tie ledgers must stay int64-exact.
+          sum(expr("ck * (ck - 1) div 2")).as(s"t_$k"))
       val tx = ties("xq").select(col("rf"), col("n"), col("t_xq"))
       val ty = ties("yd").select(col("rf"), col("t_yd"))
       cd.join(broadcast(tx), Seq("rf")).join(broadcast(ty), Seq("rf"))
-        .withColumn("n0", col("n") * (col("n") - 1) / 2)
+        .withColumn("n0", expr("n * (n - 1) div 2"))
         .select(col("rf").as("l_returnflag"), col("n"),
           col("conc"), col("disc"),
           ((col("conc") - col("disc")).cast(DoubleType) /

