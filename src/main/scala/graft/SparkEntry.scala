@@ -46,7 +46,8 @@ object SparkEntry {
     RankStatsQueries,
     AssocStatsQueries,
     RobustStatsQueries,
-    DecompQueries
+    DecompQueries,
+    DivergenceQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

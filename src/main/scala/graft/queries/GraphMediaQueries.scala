@@ -92,8 +92,9 @@ object GraphMediaQueries extends QSet {
       .distinct()
   }
 
-  /** SQL twin of [[affinityEdges]] for the oracle strings. */
-  private val edgesSql: String =
+  /** SQL twin of [[affinityEdges]] for the oracle strings (shared with
+    * the other graph batches that analyze the same affinity graph). */
+  private[graft] val edgesSql: String =
     s"""ps AS (SELECT DISTINCT l_partkey p, l_suppkey sv FROM lineitem),
       |w AS (SELECT a.sv s1, b.sv s2, COUNT(*) c FROM ps a
       |      JOIN ps b ON a.p = b.p AND a.sv < b.sv GROUP BY 1, 2),
