@@ -47,7 +47,8 @@ object SparkEntry {
     AssocStatsQueries,
     RobustStatsQueries,
     DecompQueries,
-    DivergenceQueries
+    DivergenceQueries,
+    ControlQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
