@@ -48,7 +48,8 @@ object SparkEntry {
     RobustStatsQueries,
     DecompQueries,
     DivergenceQueries,
-    ControlQueries
+    ControlQueries,
+    EvalGraphQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,326 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables._
+
+/** Round-7 third-pass batch: HITS centrality, Kaplan–Meier survival,
+  * mean-average-precision retrieval evaluation, Cohen's kappa
+  * agreement, and cross-source vocabulary overlap — filling the
+  * centrality / survival-curve / rank-quality gaps beside the round-6
+  * pagerank / hazard / nDCG trio.
+  *
+  * Determinism posture (SURVEY.md Appendix A): HITS iterations are pure
+  * int64 sums on the bounded affinity graph (no normalization inside
+  * the loop — scores are compared, not scaled); AP@10 is an exact
+  * integer ledger via the LCM(1..10)=2520 trick; kappa is one shared
+  * IEEE expression over exact confusion counts; the KM log-survival
+  * cumulates 10-dp-rounded ln terms in decimal along the ordered hour
+  * spine; vocabulary overlap is exact distinct counts up to one shared
+  * IEEE Jaccard division.
+  */
+object EvalGraphQueries extends QSet {
+
+  val queries: Map[String, QFn] = Map(
+    // Two unrolled HITS iterations on the supplier affinity graph —
+    // hub/authority centrality beside q_graph_pagerank (HITS rewards
+    // being close to other well-connected vertices, not just being
+    // picked). On the symmetric graph the iterations are powers of the
+    // adjacency operator: a1 = in-degree, h1 = A·a1, a2 = A·h1 — all
+    // exact int64 (degrees are bounded by the top-k construction, so
+    // a2 ≤ deg³ never overflows). No per-round normalization — ranks
+    // are scale-free, and the reported share divides by the exact
+    // total once at the end. Each round is one edge-keyed equi-join +
+    // partial aggregate; output is the top-20 authorities.
+    "q_graph_hits" -> ((s, dir) => {
+      val e = GraphMediaQueries.affinityEdges(s, dir)
+      val ed = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      val a1 = ed.groupBy(col("dst").as("v"))
+        .agg(count(lit(1)).as("a1"))
+      val h1 = ed.join(a1.withColumnRenamed("v", "dst"), Seq("dst"))
+        .groupBy(col("src").as("v")).agg(sum(col("a1")).as("h1"))
+      val a2 = ed.join(h1.withColumnRenamed("v", "src"), Seq("src"))
+        .groupBy(col("dst").as("v")).agg(sum(col("h1")).as("a2"))
+      val all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      a2.join(h1, Seq("v"))
+        .withColumn("tot", sum(col("a2")).over(all))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("a2").desc, col("v"))))
+        .filter(col("rn") <= 20)
+        .select(col("v").as("node"), col("h1").as("hub1"),
+          col("a2").as("auth2"),
+          (col("a2").cast(DoubleType) / col("tot").cast(DoubleType))
+            .as("auth_share"))
+        .orderBy(col("auth2").desc, col("node"))
+    }),
+
+    // Kaplan–Meier survival curve of time-to-first-purchase — the
+    // cumulative twin of q_ts_hazard (same per-user exit/death ledger,
+    // same ±1 interval-delta at-risk counting): log S(h) cumulates
+    // ln(1 − d/r) terms (rounded to 10 dp, decimal-summed along the
+    // ordered ~720-row hour spine — order-fixed, so deterministic).
+    // Hours where d = r (absorption, S → 0) contribute NULL; both
+    // engines' window SUM skips NULLs identically, and the row keeps
+    // at_risk/deaths so the absorption point stays visible.
+    "q_ts_kaplan_meier" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts_us")).as("tu"))
+      val u = ev.groupBy("user_id").agg(
+          min(col("tu")).as("t0"),
+          max(col("tu")).as("t1"),
+          min(when(col("event_type") === "purchase", col("tu"))).as("tp"))
+        .select(col("user_id"),
+          coalesce(expr("(tp - t0) div 3600000000"),
+            expr("(t1 - t0) div 3600000000")).as("exit_h"),
+          when(col("tp").isNotNull, 1L).otherwise(0L).as("death"))
+      val deltas = u.select(lit(0L).as("h"), lit(1L).as("d"))
+        .unionAll(u.select((col("exit_h") + 1).as("h"), lit(-1L).as("d")))
+        .groupBy("h").agg(sum(col("d")).as("delta"))
+      val deaths = u.filter(col("death") === 1)
+        .groupBy(col("exit_h").as("h")).agg(count(lit(1)).as("deaths"))
+      val spine = u.agg(max(col("exit_h")).as("maxh"))
+        .select(explode(sequence(lit(0L), col("maxh"))).as("h"))
+      val byH = Window.orderBy("h")
+      spine
+        .join(deltas, Seq("h"), "left")
+        .join(deaths, Seq("h"), "left")
+        .withColumn("at_risk",
+          sum(coalesce(col("delta"), lit(0L))).over(byH))
+        .filter(col("at_risk") > 0)
+        .withColumn("dth", coalesce(col("deaths"), lit(0L)))
+        .withColumn("term", when(col("dth") < col("at_risk"),
+          round(log((col("at_risk") - col("dth")).cast(DoubleType) /
+            col("at_risk").cast(DoubleType)), 10)
+            .cast(DecimalType(28, 10))))
+        .withColumn("km_log_survival",
+          sum(col("term")).over(byH).cast(StringType).cast(DoubleType))
+        .select(col("h"), col("at_risk"), col("dth").as("deaths"),
+          col("km_log_survival"))
+        .orderBy("h")
+    }),
+
+    // Mean-average-precision@10 of `value` as a per-user retrieval
+    // score (relevant = purchase) — the order-sensitive companion of
+    // q_ml_ndcg on the same ranking substrate. AP@10 is made an EXACT
+    // integer ledger with the LCM trick: Σ cumrel(k)·(2520/k) over
+    // relevant hits at rank k ≤ 10, divided once by 2520·min(n_rel,10)
+    // — both engines integer-divide 2520 by the same ranks, so the
+    // only float is the final shared division. Ranks are per-user
+    // windows (hash-partitioned, never global).
+    "q_ml_map_at_k" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        col("value"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("rel"))
+      val wu = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      val ranked = ev
+        .withColumn("rnk", row_number().over(wu))
+        .withColumn("cumrel", sum(col("rel")).over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ap = ranked.filter(col("rnk") <= 10 && col("rel") === 1)
+        .groupBy("user_id")
+        .agg(sum(expr("cumrel * (2520 div rnk)")).as("ap_scaled"))
+      val npos = ev.groupBy("user_id").agg(sum(col("rel")).as("n_rel"))
+        .filter(col("n_rel") >= 1)
+      npos.join(ap, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_rel"),
+          coalesce(col("ap_scaled"), lit(0L)).as("ap_scaled"),
+          (coalesce(col("ap_scaled"), lit(0L)).cast(DoubleType) /
+            (lit(2520L) * least(col("n_rel"), lit(10L)))
+              .cast(DoubleType)).as("ap"))
+        .orderBy("user_id")
+    }),
+
+    // Cohen's kappa of the median-threshold classifier vs the actual
+    // purchase flag — chance-corrected agreement beside
+    // q_ml_confusion's accuracy/F1/MCC (kappa is what a labeling
+    // pipeline reports when classes are imbalanced). Same exact
+    // conditional-count aggregate; po/pe/kappa are one shared IEEE
+    // expression over the four int64 cells.
+    "q_ml_cohen_kappa" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("value"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      val thr = ev.agg(expr(
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("t"))
+      val cells = ev.crossJoin(broadcast(thr)).agg(
+        sum(when(col("value") >= col("t") && col("pos") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("value") >= col("t") && col("pos") === 0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("value") < col("t") && col("pos") === 1, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("value") < col("t") && col("pos") === 0, 1L)
+          .otherwise(0L)).as("tn"))
+      val nd = (col("tp") + col("fp") + col("fn") + col("tn"))
+        .cast(DoubleType)
+      val po = (col("tp") + col("tn")).cast(DoubleType) / nd
+      val pe = ((col("tp") + col("fp")).cast(DoubleType) *
+        (col("tp") + col("fn")).cast(DoubleType) +
+        (col("fn") + col("tn")).cast(DoubleType) *
+          (col("fp") + col("tn")).cast(DoubleType)) / (nd * nd)
+      cells.select(col("tp"), col("fp"), col("fn"), col("tn"),
+          po.as("po"), pe.as("pe"),
+          ((po - pe) / (lit(1.0) - pe)).as("kappa"))
+        .orderBy("tp")
+    }),
+
+    // Pairwise vocabulary Jaccard between the 20 document sources —
+    // the corpus-composition audit behind q_dedup_cross_source (two
+    // sources with near-identical vocabularies are near-certainly the
+    // same upstream crawl). Word sets are distinct (source, word)
+    // pairs; the intersection generator is a word-keyed self-join
+    // whose fan-out per word is the number of sources carrying it
+    // (≤ 20, a catalog bound); Jaccard is exact int64 counts up to one
+    // shared IEEE division.
+    "q_source_vocab_overlap" -> ((s, dir) => {
+      val sw = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val sizes = sw.groupBy("source").agg(count(lit(1)).as("nv"))
+      val inter = sw.select(col("source").as("sa"), col("w"))
+        .join(sw.select(col("source").as("sb"), col("w")), Seq("w"))
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("sa"),
+          col("nv").as("na"))), Seq("sa"))
+        .join(broadcast(sizes.select(col("source").as("sb"),
+          col("nv").as("nb"))), Seq("sb"))
+        .select(col("sa"), col("sb"), col("na"), col("nb"), col("inter"),
+          (col("inter").cast(DoubleType) /
+            (col("na") + col("nb") - col("inter")).cast(DoubleType))
+            .as("jaccard"))
+        .orderBy("sa", "sb")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_graph_hits" ->
+      s"""WITH ${GraphMediaQueries.edgesSql},
+        |ed AS (SELECT a src, b dst FROM e
+        |  UNION ALL SELECT b src, a dst FROM e),
+        |a1 AS (SELECT dst v, CAST(COUNT(*) AS BIGINT) a1
+        |  FROM ed GROUP BY 1),
+        |h1 AS (SELECT ed.src v, CAST(SUM(a1.a1) AS BIGINT) h1
+        |  FROM ed JOIN a1 ON ed.dst = a1.v GROUP BY 1),
+        |a2 AS (SELECT ed.dst v, CAST(SUM(h1.h1) AS BIGINT) a2
+        |  FROM ed JOIN h1 ON ed.src = h1.v GROUP BY 1),
+        |r AS (SELECT a2.v, h1.h1 hub1, a2.a2 auth2,
+        |    SUM(a2.a2) OVER () tot,
+        |    row_number() OVER (ORDER BY a2.a2 DESC, a2.v) rn
+        |  FROM a2 JOIN h1 ON a2.v = h1.v)
+        |SELECT v node, hub1, auth2,
+        |  CAST(auth2 AS DOUBLE) / CAST(tot AS DOUBLE) auth_share
+        |FROM r WHERE rn <= 20 ORDER BY auth2 DESC, node""".stripMargin,
+
+    "q_ts_kaplan_meier" ->
+      """WITH u0 AS (SELECT user_id,
+        |    MIN(epoch_us(ts)) t0, MAX(epoch_us(ts)) t1,
+        |    MIN(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') tp
+        |  FROM events GROUP BY 1),
+        |u AS (SELECT user_id,
+        |    COALESCE((tp - t0) // 3600000000,
+        |             (t1 - t0) // 3600000000) exit_h,
+        |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END death FROM u0),
+        |deltas AS (SELECT h, CAST(SUM(d) AS BIGINT) delta FROM (
+        |    SELECT 0 h, 1 d FROM u
+        |    UNION ALL SELECT exit_h + 1, -1 FROM u) GROUP BY h),
+        |deaths AS (SELECT exit_h h, CAST(COUNT(*) AS BIGINT) deaths
+        |  FROM u WHERE death = 1 GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series(0, MAX(exit_h))) h
+        |  FROM u),
+        |r AS (SELECT s.h,
+        |    CAST(SUM(COALESCE(dl.delta, 0)) OVER (ORDER BY s.h)
+        |      AS BIGINT) at_risk,
+        |    CAST(COALESCE(d.deaths, 0) AS BIGINT) deaths
+        |  FROM spine s LEFT JOIN deltas dl ON dl.h = s.h
+        |  LEFT JOIN deaths d ON d.h = s.h),
+        |tm AS (SELECT h, at_risk, deaths,
+        |    CASE WHEN deaths < at_risk THEN
+        |      CAST(round(ln(CAST(at_risk - deaths AS DOUBLE)
+        |        / CAST(at_risk AS DOUBLE)), 10) AS DECIMAL(28,10))
+        |    ELSE NULL END term
+        |  FROM r WHERE at_risk > 0)
+        |SELECT h, at_risk, deaths,
+        |  CAST(CAST(SUM(term) OVER (ORDER BY h) AS VARCHAR) AS DOUBLE)
+        |    km_log_survival
+        |FROM tm ORDER BY h""".stripMargin,
+
+    "q_ml_map_at_k" ->
+      """WITH ev AS (SELECT user_id, event_id, value,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END rel
+        |  FROM events),
+        |ranked AS (SELECT *,
+        |    row_number() OVER w rnk,
+        |    SUM(rel) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) cumrel
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY value DESC, event_id)),
+        |ap AS (SELECT user_id,
+        |    CAST(SUM(cumrel * (2520 // rnk)) AS BIGINT) ap_scaled
+        |  FROM ranked WHERE rnk <= 10 AND rel = 1 GROUP BY 1),
+        |npos AS (SELECT user_id, CAST(SUM(rel) AS BIGINT) n_rel
+        |  FROM ev GROUP BY 1 HAVING SUM(rel) >= 1)
+        |SELECT n.user_id, n.n_rel,
+        |  CAST(COALESCE(a.ap_scaled, 0) AS BIGINT) ap_scaled,
+        |  CAST(COALESCE(a.ap_scaled, 0) AS DOUBLE)
+        |    / CAST(2520 * least(n.n_rel, 10) AS DOUBLE) ap
+        |FROM npos n LEFT JOIN ap a ON n.user_id = a.user_id
+        |ORDER BY n.user_id""".stripMargin,
+
+    "q_ml_cohen_kappa" ->
+      """WITH ev AS (SELECT value,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END pos
+        |  FROM events),
+        |thr AS (SELECT percentile_disc(0.5)
+        |    WITHIN GROUP (ORDER BY value) t FROM ev),
+        |cells AS (SELECT
+        |    CAST(SUM(CASE WHEN value >= t AND pos = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) tp,
+        |    CAST(SUM(CASE WHEN value >= t AND pos = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) fp,
+        |    CAST(SUM(CASE WHEN value < t AND pos = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) fn,
+        |    CAST(SUM(CASE WHEN value < t AND pos = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) tn
+        |  FROM ev, thr)
+        |SELECT tp, fp, fn, tn,
+        |  CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) po,
+        |  (CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+        |    + CAST(fn + tn AS DOUBLE) * CAST(fp + tn AS DOUBLE))
+        |    / (CAST(tp + fp + fn + tn AS DOUBLE)
+        |       * CAST(tp + fp + fn + tn AS DOUBLE)) pe,
+        |  ((CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE))
+        |    - ((CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+        |        + CAST(fn + tn AS DOUBLE) * CAST(fp + tn AS DOUBLE))
+        |       / (CAST(tp + fp + fn + tn AS DOUBLE)
+        |          * CAST(tp + fp + fn + tn AS DOUBLE))))
+        |  / (1.0e0
+        |    - ((CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+        |        + CAST(fn + tn AS DOUBLE) * CAST(fp + tn AS DOUBLE))
+        |       / (CAST(tp + fp + fn + tn AS DOUBLE)
+        |          * CAST(tp + fp + fn + tn AS DOUBLE)))) kappa
+        |FROM cells ORDER BY tp""".stripMargin,
+
+    "q_source_vocab_overlap" ->
+      """WITH sw AS (SELECT DISTINCT source,
+        |    unnest(string_split(text, ' ')) w FROM documents),
+        |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) nv
+        |  FROM sw GROUP BY 1),
+        |inter AS (SELECT a.source sa, b.source sb,
+        |    CAST(COUNT(*) AS BIGINT) "inter"
+        |  FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.sa, i.sb, x.nv na, y.nv nb, i."inter",
+        |  CAST(i."inter" AS DOUBLE)
+        |    / CAST(x.nv + y.nv - i."inter" AS DOUBLE) jaccard
+        |FROM inter i JOIN sizes x ON i.sa = x.source
+        |JOIN sizes y ON i.sb = y.source
+        |ORDER BY i.sa, i.sb""".stripMargin
+  )
+}
