@@ -49,7 +49,8 @@ object SparkEntry {
     DecompQueries,
     DivergenceQueries,
     ControlQueries,
-    EvalGraphQueries
+    EvalGraphQueries,
+    VarianceSeqQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
