@@ -50,7 +50,8 @@ object SparkEntry {
     DivergenceQueries,
     ControlQueries,
     EvalGraphQueries,
-    VarianceSeqQueries
+    VarianceSeqQueries,
+    KnnOpsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

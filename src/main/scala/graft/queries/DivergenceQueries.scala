@@ -77,6 +77,7 @@ object DivergenceQueries extends QSet {
         ssb.as("ss_between"), ssw.as("ss_within"),
         ((ssb / lit(4.0)) /
           (ssw / (col("n_all") - 5L).cast(DoubleType))).as("f_stat"))
+        .orderBy("k")
     }),
 
     // Jensen–Shannon divergence of the event-type mix between the first
@@ -247,7 +248,7 @@ object DivergenceQueries extends QSet {
       |  $ssb AS ss_between,
       |  $ssw AS ss_within,
       |  (($ssb) / 4.0e0) / (($ssw) / CAST(n_all - 5 AS DOUBLE)) f_stat
-      |FROM m""".stripMargin
+      |FROM m ORDER BY k""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(

@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables._
+
+/** Round-7 fifth-pass batch: kNN classification accuracy, feed
+  * freshness auditing, TOST equivalence testing, and suppression-impact
+  * accounting — operational shapes on top of existing substrates (the
+  * embedding space, the event feed, the experiment arms, the k-anon QI
+  * groups).
+  *
+  * Determinism posture (SURVEY.md Appendix A): kNN reuses the proven
+  * cosine recipe (codegen'd array-order dot product, round-to-4dp
+  * scores, id tie-breaks, majority vote with (count DESC, label ASC))
+  * — every ranking decision is identical on both engines; freshness is
+  * pure integer µs arithmetic; TOST moments are exact decimal through
+  * the (38,8) hop with one shared IEEE tail; suppression is exact
+  * int64 counting.
+  */
+object KnnOpsQueries extends QSet {
+
+  private def hop38(c: Column) =
+    c.cast(DecimalType(38, 8)).cast(StringType).cast(DoubleType)
+  private def sqlHop38(e: String) =
+    s"CAST(CAST(CAST($e AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE)"
+
+  val queries: Map[String, QFn] = Map(
+    // Leave-one-out 5-NN classification accuracy of the embedding
+    // labels — the standard "is this embedding space any good" probe
+    // (q_emb_centroid_dist measures class geometry; this measures what
+    // a classifier actually gets). Exact brute-force neighbor search,
+    // row-count-guarded like the other all-pairs baselines (the banded
+    // swap is Ann.approxNeighbors feeding the same vote); the dot
+    // product is the codegen'd array-order fold, scores round to 4 dp,
+    // ranks and votes tie-break deterministically.
+    "q_ml_knn_accuracy" -> ((s, dir) => {
+      val vn = DedupQueries.guardAllPairs(
+        t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+          col("embedding"),
+          graft.functions.Native.l2NormF(col("embedding")).as("nrm")),
+        "knnAccuracy", DedupQueries.AllPairsMaxRows)
+      // score canonical pairs once (cosine is symmetric — half the
+      // dots and half the wide array-carrying pair rows), PERSIST the
+      // compact (id, id, cos) frame, then mirror it cheaply; the probe
+      // side hash-repartitions on the id because the fixture is a
+      // single parquet file (without it the scoring loop runs in one
+      // task — the generic cure at any scale)
+      val half = vn
+        .select(col("vec_id").as("id1"), col("label").as("la"),
+          col("embedding").as("e1"), col("nrm").as("n1"))
+        .join(vn.select(col("vec_id").as("id2"),
+          col("label").as("lb"), col("embedding").as("e2"),
+          col("nrm").as("n2")), col("id1") < col("id2"))
+        .select(col("id1"), col("la"), col("id2"), col("lb"),
+          round(graft.functions.Native.dotF(col("e1"), col("e2")) /
+            (col("n1") * col("n2")), 4).as("cos"))
+        .persist()
+      val pairs = half.select(col("id1"), col("la"), col("id2"),
+          col("cos"))
+        .unionAll(half.select(col("id2").as("id1"), col("lb").as("la"),
+          col("id1").as("id2"), col("cos")))
+      // top-5 per vector via row_number ≤ k: Spark's WindowGroupLimit
+      // pushdown (PlanSpec-pinned) keeps ≤ 5 rows per vector map-side
+      // BEFORE the exchange, so the shuffle carries 5·|vectors| rows
+      // (codegen'd — measured 3× faster here than the TopKAgg udaf,
+      // whose per-row Aggregator state update is the bottleneck at
+      // n² pair volume)
+      val top = pairs.withColumn("rnk", row_number().over(
+          Window.partitionBy("id1")
+            .orderBy(col("cos").desc, col("id2"))))
+        .filter(col("rnk") <= 5)
+        .join(broadcast(vn.select(col("vec_id").as("id2"),
+          col("label").as("lb"))), Seq("id2"))
+      val vote = top.groupBy("id1", "la", "lb")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("vr", row_number().over(Window.partitionBy("id1")
+          .orderBy(col("c").desc, col("lb"))))
+        .filter(col("vr") === 1)
+        .select(col("id1"), col("la"),
+          (col("lb") === col("la")).cast(LongType).as("correct"))
+      vote.groupBy(col("la").as("label"))
+        .agg(count(lit(1)).as("n"), sum(col("correct")).as("n_correct"))
+        .select(col("label"), col("n"), col("n_correct"),
+          (col("n_correct").cast(DoubleType) / col("n").cast(DoubleType))
+            .as("accuracy"))
+        .orderBy("label")
+    }),
+
+    // Feed-freshness audit: per event type, last-seen timestamp and
+    // staleness vs the feed head — the first panel of every ingest
+    // dashboard (a type that stops arriving is a broken producer).
+    // One exact aggregate; staleness is integer µs arithmetic against
+    // the broadcast 1-row feed head; flag threshold 24 h.
+    "q_ts_freshness" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type").as("et"),
+        unix_micros(col("ts_us")).as("tu"))
+      val per = ev.groupBy("et").agg(count(lit(1)).as("n"),
+        max(col("tu")).as("last_tu"))
+      val head = ev.agg(max(col("tu")).as("head_tu"))
+      per.crossJoin(broadcast(head))
+        .select(col("et").as("event_type"), col("n"),
+          col("last_tu"),
+          expr("(head_tu - last_tu) div 3600000000").as("hours_stale"))
+        .withColumn("stale_flag",
+          when(col("hours_stale") >= 24, 1).otherwise(0))
+        .orderBy("event_type")
+    }),
+
+    // TOST equivalence test of event value between the two experiment
+    // arms — the test a platform runs to claim "no harm" (rejecting
+    // BOTH one-sided tests at margin δ=5 proves the means differ by
+    // LESS than δ; q_stats_prop_test can only fail to find harm).
+    // Moments are exact decimal through the (38,8) hop; z statistics
+    // and the verdict are one shared IEEE expression.
+    "q_stats_tost" -> ((s, dir) => {
+      val delta = 5.0
+      val ev = events(s, dir).select((col("user_id") % 2).as("arm"),
+        D(col("value")).as("x"))
+      val m = ev.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("x")).otherwise(D(lit(0.0))))
+          .as("sx_a"),
+        sum(when(col("arm") === 0, (col("x") * col("x"))
+          .cast(DecimalType(38, 8)))
+          .otherwise(lit(0).cast(DecimalType(38, 8)))).as("sq_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("x")).otherwise(D(lit(0.0))))
+          .as("sx_b"),
+        sum(when(col("arm") === 1, (col("x") * col("x"))
+          .cast(DecimalType(38, 8)))
+          .otherwise(lit(0).cast(DecimalType(38, 8)))).as("sq_b"))
+      val na = col("n_a").cast(DoubleType)
+      val nb = col("n_b").cast(DoubleType)
+      val ma = hop38(col("sx_a")) / na
+      val mb = hop38(col("sx_b")) / nb
+      val va = hop38(col("sq_a")) / na - ma * ma
+      val vb = hop38(col("sq_b")) / nb - mb * mb
+      val se = sqrt(va / na + vb / nb)
+      val d = ma - mb
+      val zLo = (d + lit(delta)) / se
+      val zHi = (lit(delta) - d) / se
+      m.select(col("n_a"), col("n_b"), ma.as("mean_a"), mb.as("mean_b"),
+          d.as("diff"), se.as("se"), zLo.as("z_lower"), zHi.as("z_upper"),
+          when(least(zLo, zHi) > lit(1.644854), 1).otherwise(0)
+            .as("equivalent"))
+        .orderBy("n_a")
+    }),
+
+    // Suppression-impact accounting: if k-anonymity (k ≥ 5 on the
+    // q_privacy_kanon QI) were ENFORCED by suppression, how many
+    // customer rows per nation disappear — the privacy/utility
+    // trade-off number a data-release review asks for (q_privacy_kanon
+    // lists the failing groups; this prices the fix). Two exact
+    // aggregates, group sizes rejoined map-side on the QI key.
+    "q_privacy_suppress" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).cast(LongType).as("bal_bucket"),
+          col("c_mktsegment"))
+      val sizes = cust
+        .groupBy("c_nationkey", "bal_bucket", "c_mktsegment")
+        .agg(count(lit(1)).as("k"))
+      cust.join(sizes, Seq("c_nationkey", "bal_bucket", "c_mktsegment"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("k") < 5, 1L).otherwise(0L)).as("n_suppressed"))
+        .select(col("c_nationkey"), col("n_rows"), col("n_suppressed"),
+          (col("n_suppressed").cast(DoubleType) /
+            col("n_rows").cast(DoubleType)).as("suppression_rate"))
+        .orderBy("c_nationkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_ml_knn_accuracy" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) nrm FROM v),
+        |pairs AS (SELECT a.vec_id id1, a.label la, b.vec_id id2,
+        |    b.label lb,
+        |    round(list_sum(list_transform(generate_series(1, len(a.e)),
+        |      i -> a.e[i] * b.e[i])) / (na.nrm * nb.nrm), 4) cos
+        |  FROM v a JOIN v b ON a.vec_id != b.vec_id
+        |  JOIN n na ON na.vec_id = a.vec_id
+        |  JOIN n nb ON nb.vec_id = b.vec_id),
+        |top AS (SELECT id1, la, lb FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY id1
+        |      ORDER BY cos DESC, id2) rnk FROM pairs)
+        |  WHERE rnk <= 5),
+        |vote AS (SELECT id1, la, lb, CAST(COUNT(*) AS BIGINT) c
+        |  FROM top GROUP BY 1, 2, 3),
+        |pred AS (SELECT id1, la,
+        |    CAST(lb = la AS BIGINT) correct
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY id1
+        |      ORDER BY c DESC, lb) vr FROM vote)
+        |  WHERE vr = 1)
+        |SELECT la AS "label", CAST(COUNT(*) AS BIGINT) n,
+        |  CAST(SUM(correct) AS BIGINT) n_correct,
+        |  CAST(SUM(correct) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    accuracy
+        |FROM pred GROUP BY la ORDER BY label""".stripMargin,
+
+    "q_ts_freshness" ->
+      """WITH ev AS (SELECT event_type et, epoch_us(ts) tu FROM events),
+        |per AS (SELECT et, CAST(COUNT(*) AS BIGINT) n,
+        |    MAX(tu) last_tu FROM ev GROUP BY 1),
+        |head AS (SELECT MAX(tu) head_tu FROM ev)
+        |SELECT et event_type, n, last_tu,
+        |  (head_tu - last_tu) // 3600000000 hours_stale,
+        |  CASE WHEN (head_tu - last_tu) // 3600000000 >= 24
+        |    THEN 1 ELSE 0 END stale_flag
+        |FROM per, head ORDER BY event_type""".stripMargin,
+
+    "q_stats_tost" ->
+      s"""WITH ev AS (SELECT user_id % 2 arm,
+        |    CAST(value AS DECIMAL(18,4)) x FROM events),
+        |m AS (SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) n_a,
+        |    SUM(CASE WHEN arm = 0 THEN x
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) sx_a,
+        |    SUM(CASE WHEN arm = 0 THEN CAST(CAST(x AS DECIMAL(19,4)) * x
+        |      AS DECIMAL(38,8)) ELSE CAST(0 AS DECIMAL(38,8)) END) sq_a,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) n_b,
+        |    SUM(CASE WHEN arm = 1 THEN x
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) sx_b,
+        |    SUM(CASE WHEN arm = 1 THEN CAST(CAST(x AS DECIMAL(19,4)) * x
+        |      AS DECIMAL(38,8)) ELSE CAST(0 AS DECIMAL(38,8)) END) sq_b
+        |  FROM ev),
+        |c AS (SELECT n_a, n_b,
+        |    ${sqlHop38("sx_a")} / CAST(n_a AS DOUBLE) ma,
+        |    ${sqlHop38("sx_b")} / CAST(n_b AS DOUBLE) mb,
+        |    ${sqlHop38("sq_a")} / CAST(n_a AS DOUBLE)
+        |      - (${sqlHop38("sx_a")} / CAST(n_a AS DOUBLE))
+        |      * (${sqlHop38("sx_a")} / CAST(n_a AS DOUBLE)) va,
+        |    ${sqlHop38("sq_b")} / CAST(n_b AS DOUBLE)
+        |      - (${sqlHop38("sx_b")} / CAST(n_b AS DOUBLE))
+        |      * (${sqlHop38("sx_b")} / CAST(n_b AS DOUBLE)) vb
+        |  FROM m),
+        |z AS (SELECT n_a, n_b, ma, mb, ma - mb diff,
+        |    sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)) se
+        |  FROM c)
+        |SELECT n_a, n_b, ma mean_a, mb mean_b, diff, se,
+        |  (diff + 5.0e0) / se z_lower,
+        |  (5.0e0 - diff) / se z_upper,
+        |  CASE WHEN least((diff + 5.0e0) / se, (5.0e0 - diff) / se)
+        |    > 1.644854e0 THEN 1 ELSE 0 END equivalent
+        |FROM z ORDER BY n_a""".stripMargin,
+
+    "q_privacy_suppress" ->
+      """WITH cust AS (SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) bal_bucket,
+        |    c_mktsegment FROM customer),
+        |sizes AS (SELECT c_nationkey, bal_bucket, c_mktsegment,
+        |    CAST(COUNT(*) AS BIGINT) k
+        |  FROM cust GROUP BY 1, 2, 3)
+        |SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) n_rows,
+        |  CAST(SUM(CASE WHEN s.k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    n_suppressed,
+        |  CAST(SUM(CASE WHEN s.k < 5 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) suppression_rate
+        |FROM cust c JOIN sizes s
+        |  ON c.c_nationkey = s.c_nationkey
+        |  AND c.bal_bucket = s.bal_bucket
+        |  AND c.c_mktsegment = s.c_mktsegment
+        |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin
+  )
+}

@@ -69,6 +69,7 @@ object VarianceSeqQueries extends QSet {
         ssb.as("ss_between"), ssw.as("ss_within"),
         ((ssb / lit(4.0)) /
           (ssw / (col("n_all") - 5L).cast(DoubleType))).as("w_stat"))
+        .orderBy("k")
     }),
 
     // Quantile–quantile table of urgent vs low-priority order values —
@@ -195,7 +196,7 @@ object VarianceSeqQueries extends QSet {
       |  $ssb AS ss_between,
       |  $ssw AS ss_within,
       |  (($ssb) / 4.0e0) / (($ssw) / CAST(n_all - 5 AS DOUBLE)) w_stat
-      |FROM m""".stripMargin
+      |FROM m ORDER BY k""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the KnnOpsQueries batch (round-7 fifth
+  * pass): full local kNN-vote replay, freshness recomputation, TOST
+  * recomputation, suppression-count agreement.
+  */
+class KnnOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf
+
+  test("knn accuracy: local brute-force vote replay matches") {
+    val rows = SparkEntry.queries("q_ml_knn_accuracy")(spark, sf)
+      .collect().map(r => (r.getAs[Int]("label"),
+        (r.getAs[Long]("n"), r.getAs[Long]("n_correct")))).toMap
+    val em = graft.engine.Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val nrm = em.map(v => (v._1,
+      math.sqrt(v._3.map(x => x * x).sum))).toMap
+    val local = em.map { case (id, la, e) =>
+      val scored = em.filter(_._1 != id).map { case (id2, lb, e2) =>
+        val dot = (0 until 64).map(i => e(i) * e2(i)).sum
+        (BigDecimal(dot / (nrm(id) * nrm(id2)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          id2, lb)
+      }
+      val top5 = scored.sortBy(s => (-s._1, s._2)).take(5)
+      val vote = top5.groupBy(_._3).map { case (l, v) => (l, v.length) }
+      val best = vote.values.max
+      val pred = vote.filter(_._2 == best).keys.min
+      (la, pred == la)
+    }
+    val perLabel = local.groupBy(_._1).map { case (l, v) =>
+      (l, (v.length.toLong, v.count(_._2).toLong)) }
+    assert(rows == perLabel)
+  }
+
+  test("freshness: last-seen per type recomputes; ALL types present") {
+    val rows = SparkEntry.queries("q_ts_freshness")(spark, sf).collect()
+    val ev = graft.engine.Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts_us) tu").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val head = ev.map(_._2).max
+    val byType = ev.groupBy(_._1)
+    assert(rows.map(_.getAs[String]("event_type")).toSet ==
+      byType.keySet)
+    rows.foreach { r =>
+      val g = byType(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") == g.length)
+      val last = g.map(_._2).max
+      assert(r.getAs[Long]("last_tu") == last)
+      assert(r.getAs[Long]("hours_stale") == (head - last) / 3600000000L)
+    }
+  }
+
+  test("tost: z statistics recompute from exact moments") {
+    val r = SparkEntry.queries("q_stats_tost")(spark, sf).collect().head
+    val ev = graft.engine.Tables.events(spark, sf)
+      .selectExpr("user_id % 2 arm", "value").collect()
+      .map(x => (x.getLong(0), BigDecimal(x.getDouble(1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+    def stats(arm: Long) = {
+      val g = ev.filter(_._1 == arm).map(_._2)
+      val n = g.length
+      val m = g.sum.toDouble / n
+      (n, m, g.map(v => (v * v).toDouble).sum / n - m * m)
+    }
+    val (na, ma, va) = stats(0)
+    val (nb, mb, vb) = stats(1)
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(math.abs(r.getAs[Double]("mean_a") - ma) < 1e-9)
+    val se = math.sqrt(va / na + vb / nb)
+    val zl = (ma - mb + 5.0) / se
+    val zu = (5.0 - (ma - mb)) / se
+    assert(math.abs(r.getAs[Double]("z_lower") - zl) < 1e-6)
+    assert(math.abs(r.getAs[Double]("z_upper") - zu) < 1e-6)
+    assert(r.getAs[Int]("equivalent") ==
+      (if (math.min(zl, zu) > 1.644854) 1 else 0))
+  }
+
+  test("suppression: per-nation counts recompute") {
+    val rows = SparkEntry.queries("q_privacy_suppress")(spark, sf)
+      .collect()
+    val cust = graft.engine.Tables.t(spark, sf, "customer")
+      .selectExpr("c_nationkey",
+        "CAST(floor(c_acctbal / 1000) AS LONG) bb", "c_mktsegment")
+      .collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getString(2)))
+    val sizes = cust.groupBy(identity).map { case (k, v) =>
+      (k, v.length) }
+    // regroup by QI (nation, bucket, segment)
+    val byNation = cust.groupBy(_._1)
+    rows.foreach { r =>
+      val nk = r.getAs[Int]("c_nationkey")
+      val members = byNation(nk)
+      assert(r.getAs[Long]("n_rows") == members.length)
+      val supp = members.count(m => sizes(m) < 5).toLong
+      assert(r.getAs[Long]("n_suppressed") == supp, s"nation $nk")
+    }
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == cust.length)
+  }
+}

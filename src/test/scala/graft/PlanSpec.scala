@@ -308,7 +308,14 @@ class PlanSpec extends AnyFunSuite {
       "q_ml_confusion" -> "broadcast of the 1-row median-threshold frame",
       "q_ml_lift_curve" -> "broadcast of the 1-row decile-cuts frame",
       "q_emb_norm_hist" -> "broadcast of the 1-row max-norm frame",
-      "q_stats_cohens_d" -> "broadcast of the 1-row low-priority moment frame")
+      "q_stats_cohens_d" -> "broadcast of the 1-row low-priority moment frame",
+      "q_stats_js_divergence" -> "broadcast of the 1-row timeline-midpoint frame",
+      "q_ts_drawdown" -> "broadcast of the 1-row trough/peak frames",
+      "q_ts_spc" -> "broadcast of the 1-row moment frame",
+      "q_privacy_tcloseness" -> "broadcast of the 1-row corpus-total frame",
+      "q_ml_cohen_kappa" -> "broadcast of the 1-row median-threshold frame",
+      "q_ml_knn_accuracy" -> "exact brute-force baseline (guarded; banded swap = Ann.approxNeighbors)",
+      "q_ts_freshness" -> "broadcast of the 1-row feed-head frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val p = fn(spark, sf).queryExecution.executedPlan.toString
