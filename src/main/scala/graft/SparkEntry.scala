@@ -51,7 +51,8 @@ object SparkEntry {
     ControlQueries,
     EvalGraphQueries,
     VarianceSeqQueries,
-    KnnOpsQueries
+    KnnOpsQueries,
+    SignalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -315,7 +315,9 @@ class PlanSpec extends AnyFunSuite {
       "q_privacy_tcloseness" -> "broadcast of the 1-row corpus-total frame",
       "q_ml_cohen_kappa" -> "broadcast of the 1-row median-threshold frame",
       "q_ml_knn_accuracy" -> "exact brute-force baseline (guarded; banded swap = Ann.approxNeighbors)",
-      "q_ts_freshness" -> "broadcast of the 1-row feed-head frame")
+      "q_ts_freshness" -> "broadcast of the 1-row feed-head frame",
+      "q_ts_pacf" -> "cross of two 1-row lag-moment frames",
+      "q_text_term_burstiness" -> "broadcast of the 1-row source-count frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val p = fn(spark, sf).queryExecution.executedPlan.toString
