@@ -52,7 +52,8 @@ object SparkEntry {
     EvalGraphQueries,
     VarianceSeqQueries,
     KnnOpsQueries,
-    SignalQueries
+    SignalQueries,
+    MonitorQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -317,7 +317,9 @@ class PlanSpec extends AnyFunSuite {
       "q_ml_knn_accuracy" -> "exact brute-force baseline (guarded; banded swap = Ann.approxNeighbors)",
       "q_ts_freshness" -> "broadcast of the 1-row feed-head frame",
       "q_ts_pacf" -> "cross of two 1-row lag-moment frames",
-      "q_text_term_burstiness" -> "broadcast of the 1-row source-count frame")
+      "q_text_term_burstiness" -> "broadcast of the 1-row source-count frame",
+      "q_stats_runs_test" -> "broadcast of the 1-row median frame",
+      "q_ml_fairness_dpr" -> "broadcast of the 1-row threshold frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val p = fn(spark, sf).queryExecution.executedPlan.toString
