@@ -53,7 +53,8 @@ object SparkEntry {
     VarianceSeqQueries,
     KnnOpsQueries,
     SignalQueries,
-    MonitorQueries
+    MonitorQueries,
+    RetentionEvalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
