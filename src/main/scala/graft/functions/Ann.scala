@@ -139,7 +139,10 @@ object Ann {
     * Determinism (SURVEY.md A.6): the coarse quantizer is NOT k-means
     * (iterative, init-sensitive) but a fixed data-driven sample —
     * centroids are the `nCentroids` vectors with the smallest
-    * byteswap64(id) mix, reproducible on any run/partitioning. The pick
+    * xxhash64(id) mix, reproducible on any run/partitioning (swapped
+    * from a byteswap64 UDF in round 8: xxhash64 is a codegen'd builtin
+    * with the same deterministic-mix property, removing the only
+    * per-row JVM UDF on a declared query's path). The pick
     * is a distributed TakeOrdered over the mix column; only the
     * nCentroids centroid rows themselves reach the driver (they must —
     * every executor needs all of them — and they are few by
@@ -152,9 +155,8 @@ object Ann {
     val vn = withNorm(df, idCol, vecCol).persist()
     // nCentroids <= 0 = auto: √n cells keeps candidate work ~n^1.5
     val nC = if (nCentroids > 0) nCentroids else autoCentroids(vn.count())
-    val mixUdf = udf((id: Long) => scala.util.hashing.byteswap64(id))
     val centroids = vn
-      .withColumn("mix", mixUdf(col("id")))
+      .withColumn("mix", xxhash64(col("id")))
       .orderBy("mix")
       .limit(nC)
       .select("id", "e", "nrm")

@@ -218,15 +218,15 @@ object AssocStatsQueries extends QSet {
         |  GROUP BY a.rf),
         |mx AS (SELECT rf, xq, SUM(cnt) ck FROM cells GROUP BY 1, 2),
         |tx AS (SELECT rf, CAST(SUM(ck) AS BIGINT) n,
-        |    CAST(SUM(ck * (ck - 1) / 2) AS BIGINT) t_xq
+        |    CAST(SUM(ck * (ck - 1) // 2) AS BIGINT) t_xq
         |  FROM mx GROUP BY rf),
         |my AS (SELECT rf, yd, SUM(cnt) ck FROM cells GROUP BY 1, 2),
-        |ty AS (SELECT rf, CAST(SUM(ck * (ck - 1) / 2) AS BIGINT) t_yd
+        |ty AS (SELECT rf, CAST(SUM(ck * (ck - 1) // 2) AS BIGINT) t_yd
         |  FROM my GROUP BY rf)
         |SELECT cd.rf l_returnflag, tx.n, cd.conc, cd.disc,
         |  CAST(cd.conc - cd.disc AS DOUBLE) /
-        |    sqrt(CAST(tx.n * (tx.n - 1) / 2 - tx.t_xq AS DOUBLE)
-        |      * CAST(tx.n * (tx.n - 1) / 2 - ty.t_yd AS DOUBLE))
+        |    sqrt(CAST(tx.n * (tx.n - 1) // 2 - tx.t_xq AS DOUBLE)
+        |      * CAST(tx.n * (tx.n - 1) // 2 - ty.t_yd AS DOUBLE))
         |    kendall_tau_b
         |FROM cd JOIN tx ON cd.rf = tx.rf JOIN ty ON cd.rf = ty.rf
         |ORDER BY l_returnflag""".stripMargin,

@@ -128,7 +128,7 @@ object MonitorQueries extends QSet {
         |      AS "day",
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
         |      AS DECIMAL(18,4)) r
-        |  FROM daily_src GROUP BY 1),
+        |  FROM orders GROUP BY 1),
         |x AS (SELECT "day", r,
         |    lag(r, 1) OVER w pv, lead(r, 1) OVER w nx,
         |    COUNT(*) OVER w7 m7,
@@ -144,8 +144,7 @@ object MonitorQueries extends QSet {
         |  AND r > pv AND r > nx
         |  AND CAST(CAST(r AS VARCHAR) AS DOUBLE) / (s7 / 7.0e0)
         |    > 1.15e0
-        |ORDER BY "day"""".stripMargin
-        .replace("FROM daily_src", "FROM orders"),
+        |ORDER BY "day"""".stripMargin,
 
     "q_stats_runs_test" ->
       """WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000
