@@ -449,27 +449,43 @@ object AnalyticsQueries extends QSet {
     }),
 
     // Market-basket affinity: top-20 co-purchased part pairs by lift.
-    // The pair explode is keyed by l_orderkey and bounded by ORDER SIZE
-    // (≤ 7 lines ⇒ ≤ 21 pairs/order), so pair volume grows LINEARLY
-    // with the fact — the self-join is an equi-join on the order key,
-    // never a cross. Exactness: lift = (c_ab·N)/(c_a·c_b) is one IEEE
+    // Basket assembly dedupes inline (collect_set ⇒ ONE fact-sized
+    // shuffle on the order key) and pair generation is an in-row array
+    // transform bounded by ORDER SIZE (≤ 7 lines ⇒ ≤ 21 pairs/order),
+    // so pair volume grows LINEARLY with the fact — never a cross. The
+    // per-part order counts and the order total derive from the SAME
+    // persisted basket frame. The previous distinct + self-join shape
+    // paid 4 fact-sized exchanges (distinct, two self-join sides, the
+    // count re-aggregate); interleaved A/B at sf0.1 is noise-level
+    // (two runs flipped: 1.66/2.47 old vs 1.87/1.93 new — this host
+    // drifts 1.5× within minutes), so the shuffle count at 100 TB
+    // decides. Exactness: lift = (c_ab·N)/(c_a·c_b) is one IEEE
     // division of exact int64 products; ranking rounds do not apply
     // (ties broken by the pair key in the total-order sort).
     "q_basket_lift" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .agg(count(lit(1)).as("c_ab"))
+      val baskets = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .groupBy("ok")
+        .agg(sort_array(collect_set(col("pk"))).as("ps"))
+        .persist()
+      val pairs = baskets.select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps) - i - 1),
+            |    y -> struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
+        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("c_ab"))
         .filter(col("c_ab") >= 2)
-      val cnt = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
-      val nOrders = li.select(col("l_orderkey")).distinct()
-        .agg(count(lit(1)).as("n_orders"))
+      // per-part distinct-order counts + the order total: cheap
+      // re-reads of the persisted baskets, broadcast onto the few-k
+      // supported-pair frame (the parts dim stays dim-sized at 100 TB)
+      val cnt = baskets.select(explode(col("ps")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("c"))
+      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
       pairs
-        .join(cnt.select(col("l_partkey").as("p1"), col("c").as("c_a")), "p1")
-        .join(cnt.select(col("l_partkey").as("p2"), col("c").as("c_b")), "p2")
+        .join(broadcast(cnt.select(col("pk").as("p1"), col("c").as("c_a"))),
+          "p1")
+        .join(broadcast(cnt.select(col("pk").as("p2"), col("c").as("c_b"))),
+          "p2")
         .crossJoin(broadcast(nOrders))
         .select(col("p1"), col("p2"), col("c_ab"), col("c_a"), col("c_b"),
           ((col("c_ab") * col("n_orders")).cast(DoubleType) /

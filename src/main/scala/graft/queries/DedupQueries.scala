@@ -39,7 +39,7 @@ object DedupQueries extends QSet {
   /** Same shingle pipeline over an arbitrary (doc_id, text) frame —
     * the exact-group representatives, for the compressed ground-truth
     * paths below. */
-  private def shinglesOf(docs: DataFrame): DataFrame =
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 3)
@@ -221,7 +221,7 @@ object DedupQueries extends QSet {
     * 10×-duplicated sf1.0: 19.3 s / 33.2 s for jaccard / containment
     * on raw rows vs 2-3 s compressed, identical output).
     */
-  private def textGroups(s: SparkSession, dir: String)
+  private[graft] def textGroups(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("text"), md5(col("text")).as("gkey"))
@@ -245,7 +245,7 @@ object DedupQueries extends QSet {
     * shingles are absent from `sizes` and drop out, matching the raw
     * formulation (no shingle rows → no pairs).
     */
-  private def expandRepPairs(repPairs: DataFrame, groups: DataFrame,
+  private[graft] def expandRepPairs(repPairs: DataFrame, groups: DataFrame,
       members: DataFrame, sizes: DataFrame, metric: String): DataFrame = {
     val repToG = groups.select(col("rep"), col("gkey"))
     // identical-text groups enter as rep SELF-pairs (metric exactly 1.0
@@ -276,32 +276,49 @@ object DedupQueries extends QSet {
     val (groups, members, repDocs) = textGroups(s, dir)
     val sh = shinglesOf(repDocs).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // Attach each doc's shingle-set size BEFORE the self-join (sizes is
-    // one tiny row per doc — a broadcast), so (a) the Jaccard length
-    // bound prunes inside the join condition: jaccard ≤ min(sz)/max(sz),
-    // so ≥ 0.8 needs 5·min ≥ 4·max — mismatched-size pairs never reach
-    // the counting aggregate; and (b) the two post-aggregation size
-    // joins disappear (sz1/sz2 ride the groupBy keys).
-    // (Computing sz in-row via size(array) before the explode was
-    // measured 2.4× SLOWER: size() and explode() land in different
-    // operators, so the transform+array_distinct array build runs twice
-    // per row — the groupBy over the persisted exploded frame is
-    // cheaper than a second array pass.)
-    // xxhash64(sh) rides along as the LEADING equi-key: the sort-merge
-    // then orders by the fixed-width long and falls back to the string
-    // comparator only on hash-equal rows (true matches), instead of
-    // comparing variable-length shingle strings throughout the sort.
-    // The string equality stays in the key, so the pair set is still
-    // EXACT — the hash only accelerates, never decides.
+    // Attach each doc's shingle-set size BEFORE pair generation (sizes
+    // is one tiny row per doc — a broadcast), so the Jaccard length
+    // bound prunes in-row and the two post-aggregation size joins
+    // disappear (sz1/sz2 ride the groupBy keys). (Computing sz in-row
+    // via size(array) before the explode was measured 2.4× SLOWER:
+    // size() and explode() land in different operators, so the
+    // transform+array_distinct array build runs twice per row.)
+    // xxhash64(sh) leads the group-by key so the shuffle hashes and the
+    // aggregate compares a fixed-width long first, falling back to the
+    // string only on hash-equal rows; the string stays in the key, so
+    // the pair set is still EXACT — the hash only accelerates.
+    // Pair generation is ONE shuffle on the shingle hash + an in-row
+    // pair transform per shingle group (normalize each unordered pair
+    // with the doc-id swap so r1 < r2; the jaccard length bound —
+    // jaccard ≤ min(sz)/max(sz), so ≥ 0.8 needs 5·min ≥ 4·max — prunes
+    // inside the in-row filter). The previous hash-led sort-merge
+    // SELF-join shuffled the shingle frame twice and sorted both
+    // sides; interleaved A/B at sf0.1: 3.46 s vs 4.00 s medians.
+    // Memory shape: the per-group array is bounded by the max shingle
+    // document-frequency (its in-row pair list by that frequency
+    // squared) — fine for a dedup corpus where ubiquitous boilerplate
+    // grams are exactly what exact-group compression already folded;
+    // under extreme single-gram skew the streaming SMJ formulation
+    // (git history) is the fallback. This query is the exhaustive
+    // verification baseline either way — the scale paths are the
+    // banded/prefix-filtered candidates.
     val shs = sh.join(broadcast(sizes), "doc_id")
-      .withColumn("hb", xxhash64(col("sh")))
-    val repPairs = shs.select(col("doc_id").as("r1"), col("hb"),
-        col("sh"), col("sz").as("sz1"))
-      .join(shs.select(col("doc_id").as("r2"), col("hb").as("hb2"),
-        col("sh").as("sh2"), col("sz").as("sz2")),
-        col("hb") === col("hb2") && col("sh") === col("sh2") &&
-          col("r1") < col("r2") &&
-          col("sz1") * 5 >= col("sz2") * 4 && col("sz2") * 5 >= col("sz1") * 4)
+    val repPairs = shs
+      .groupBy(xxhash64(col("sh")).as("hb"), col("sh"))
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+      .select(explode(expr(
+        """filter(
+          |  flatten(transform(ds, (x, i) ->
+          |    transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+          |      if(x.doc_id < y.doc_id,
+          |         struct(x.doc_id AS r1, y.doc_id AS r2,
+          |                x.sz AS sz1, y.sz AS sz2),
+          |         struct(y.doc_id AS r1, x.doc_id AS r2,
+          |                y.sz AS sz1, x.sz AS sz2))))),
+          |  p -> p.sz1 * 5 >= p.sz2 * 4 AND p.sz2 * 5 >= p.sz1 * 4)
+          |""".stripMargin)).as("p"))
+      .select(col("p.r1").as("r1"), col("p.r2").as("r2"),
+        col("p.sz1").as("sz1"), col("p.sz2").as("sz2"))
       .groupBy("r1", "r2", "sz1", "sz2").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
@@ -550,7 +567,7 @@ object DedupQueries extends QSet {
     * substrate for in-corpus pairs ([[minhashCandidates]]) and
     * incremental against-existing dedup ([[incrementalDedup]]).
     */
-  private def minhashBuckets(sh: DataFrame, bands: Int): DataFrame = {
+  private[graft] def minhashBuckets(sh: DataFrame, bands: Int): DataFrame = {
     val rows = MinhashPerms / bands
     require(bands * rows == MinhashPerms, s"bands $bands must divide 32")
     // hash each shingle STRING once, then derive the 32 permutation
@@ -614,7 +631,7 @@ object DedupQueries extends QSet {
       bands: Int = Bands): DataFrame =
     bucketPairs(minhashBuckets(shingles(s, dir), bands))
 
-  private def bucketPairs(buckets: DataFrame): DataFrame =
+  private[graft] def bucketPairs(buckets: DataFrame): DataFrame =
     buckets.select(col("doc_id").as("d1"), col("band"), col("key"))
       .join(buckets.select(col("doc_id").as("d2"), col("band").as("band2"),
         col("key").as("key2")),
@@ -628,7 +645,7 @@ object DedupQueries extends QSet {
     * construction (near-dups are rare — that is why dedup pays off), so
     * it broadcasts into the shingle stream; sizes is one row per doc.
     */
-  private def verifyJaccard(sh: DataFrame, cand: DataFrame,
+  private[graft] def verifyJaccard(sh: DataFrame, cand: DataFrame,
       a: String, b: String): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = broadcast(cand)
@@ -699,8 +716,13 @@ object DedupQueries extends QSet {
     val (groups, members, repDocs) = textGroups(s, dir)
     val sh = shinglesOf(repDocs).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // the signature pass reads the PERSISTED shingle frame: verify
+    // materializes it anyway, so re-fusing tokenize→shingle→hash from
+    // the scan (the q_dedup_minhash-alone trade) pays the string pass
+    // twice here — interleaved A/B at sf0.1: 3.70 s vs 4.64 s medians
+    // for the verified pipeline
     val repPairs = verifyJaccard(sh,
-      bucketPairs(minhashBuckets(shinglesOf(repDocs), bands = 16))
+      bucketPairs(minhashBuckets(sh, bands = 16))
         .select(col("d1").as("r1"), col("d2").as("r2")),
       "r1", "r2")
     (repPairs, groups, members, sizes)

@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scratch interleaved A/B harness: this host's wall clock drifts 2-3×
+  * across hours (and 1.5× within minutes — measured), so only
+  * round-robin medians within ONE session are comparable (the AnnBench
+  * methodology). Not part of the driver contract; used for perf work,
+  * kept out of SparkEntry.
+  */
+object ABBench {
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.engine.Tables.t(s, dir, name)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.queries.DedupQueries
+
+    // ngram_new: ONE shuffle on the shingle hash + in-row pair
+    // generation per shingle group (vs the two-sided hash-led
+    // sort-merge self-join of the current ngramPairs)
+    def ngramNew(s: SparkSession, dir: String): DataFrame = {
+      val (groups, members, repDocs) = DedupQueries.textGroups(s, dir)
+      val sh = DedupQueries.shinglesOf(repDocs).persist()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val shs = sh.join(broadcast(sizes), "doc_id")
+      val repPairs = shs
+        .groupBy(xxhash64(col("sh")).as("hb"), col("sh"))
+        .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+        .select(explode(expr(
+          """filter(
+            |  flatten(transform(ds, (x, i) ->
+            |    transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+            |      if(x.doc_id < y.doc_id,
+            |         struct(x.doc_id AS r1, y.doc_id AS r2,
+            |                x.sz AS sz1, y.sz AS sz2),
+            |         struct(y.doc_id AS r1, x.doc_id AS r2,
+            |                y.sz AS sz1, x.sz AS sz2))))),
+            |  p -> p.sz1 * 5 >= p.sz2 * 4 AND p.sz2 * 5 >= p.sz1 * 4)
+            |""".stripMargin)).as("p"))
+        .select(col("p.r1").as("r1"), col("p.r2").as("r2"),
+          col("p.sz1").as("sz1"), col("p.sz2").as("sz2"))
+        .groupBy("r1", "r2", "sz1", "sz2").agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType) /
+            (col("sz1") + col("sz2") - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+        .select("r1", "r2", "inter", "jaccard")
+      DedupQueries.expandRepPairs(repPairs, groups, members, sizes, "jaccard")
+        .select("d1", "d2", "inter", "jaccard")
+        .orderBy("d1", "d2")
+    }
+
+    // mj_cached: the verified-LSH pipeline with minhashBuckets fed the
+    // PERSISTED shingle frame (it is materialized for verify anyway)
+    // instead of re-fusing tokenize→shingle→hash from the scan
+    def mjCached(s: SparkSession, dir: String): DataFrame = {
+      val (groups, members, repDocs) = DedupQueries.textGroups(s, dir)
+      val sh = DedupQueries.shinglesOf(repDocs).persist()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val repPairs = DedupQueries.verifyJaccard(sh,
+        DedupQueries.bucketPairs(DedupQueries.minhashBuckets(sh, 16))
+          .select(col("d1").as("r1"), col("d2").as("r2")),
+        "r1", "r2")
+      DedupQueries.expandRepPairs(repPairs, groups, members, sizes, "jaccard")
+        .orderBy("d1", "d2")
+    }
+
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      "ngram_old" -> (() => graft.SparkEntry.queries("q_dedup_near_ngram")(spark, sfDir)),
+      "ngram_new" -> (() => ngramNew(spark, sfDir)),
+      "mj_old" -> (() => graft.SparkEntry.queries("q_dedup_minhash_jaccard")(spark, sfDir)),
+      "mj_cached" -> (() => mjCached(spark, sfDir)),
+    )
+    // ---- round-robin medians ----
+    val rounds = args.headOption.map(_.toInt).getOrElse(5)
+    // warmup
+    variants.foreach { case (_, f) => f().count(); spark.catalog.clearCache() }
+    val times = collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector())
+    for (_ <- 1 to rounds; (name, f) <- variants) {
+      val t0 = System.nanoTime()
+      f().count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      times(name) = times(name) :+ dt
+    }
+    for ((name, _) <- variants) {
+      val v = times(name).sorted
+      println(f"$name%-12s median ${v(v.length / 2)}%6.3f  all ${v.map(x => f"$x%.2f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}
