@@ -643,22 +643,33 @@ object DedupQueries extends QSet {
   /** Exact 3-gram Jaccard over an (a, b) candidate id-pair list: shared
     * verify stage of the LSH pipelines. The pair list is tiny by
     * construction (near-dups are rare — that is why dedup pays off), so
-    * it broadcasts into the shingle stream; sizes is one row per doc.
+    * it broadcasts onto the per-doc shingle arrays. One grouped pass
+    * folds each doc's (distinct) shingles into a sorted array; the
+    * intersection is an in-row array_intersect over the two candidates'
+    * arrays — STRING arrays, so exactness is by equality, never by
+    * hash. The former shape joined the candidate list back into the
+    * exploded shingle stream twice, which shuffled the full shingle
+    * frame by (doc, sh) for the second equi-join; the array frame is
+    * doc-count-sized (one row per doc, array bounded by doc length) and
+    * replaces both shuffles (interleaved A/B at sf0.1 on the verified
+    * minhash pipeline: 3.03 s vs 3.60 s medians). sz = size of the
+    * collected array (shinglesOf emits distinct shingles per doc), so
+    * the separate sizes aggregate and its two joins fold away too.
+    * Pairs with empty intersection surface as jaccard 0 here (the old
+    * count join dropped them); both fall to the ≥ 0.8 filter — output
+    * identical, DuckDB-oracle-proven at sf0.001/0.01/0.1.
     */
   private[graft] def verifyJaccard(sh: DataFrame, cand: DataFrame,
       a: String, b: String): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = broadcast(cand)
-      .join(sh.select(col("doc_id").as(a), col("sh")), Seq(a))
-      .join(sh.select(col("doc_id").as(b), col("sh")), Seq(b, "sh"))
-      .groupBy(a, b).agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.select(col("doc_id").as(a),
-        col("sz").as("sz1"))), Seq(a))
-      .join(broadcast(sizes.select(col("doc_id").as(b),
-        col("sz").as("sz2"))), Seq(b))
+    val docArr = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("arr"))
+    broadcast(cand)
+      .join(docArr.select(col("doc_id").as(a), col("arr").as("a1")), Seq(a))
+      .join(docArr.select(col("doc_id").as(b), col("arr").as("a2")), Seq(b))
+      .withColumn("inter",
+        size(array_intersect(col("a1"), col("a2"))).cast(LongType))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
-        (col("sz1") + col("sz2") - col("inter")))
+        (size(col("a1")) + size(col("a2")) - col("inter")))
       .filter(col("jaccard") >= 0.8)
       .select(col(a), col(b), col("inter"), col("jaccard"))
       .orderBy(a, b)

@@ -78,11 +78,139 @@ object ABBench {
         .orderBy("d1", "d2")
     }
 
+    // prefix_new: in-row candidate pair generation per prefix token
+    // (prefix tokens are the RAREST grams of each doc by construction,
+    // so groups are small) instead of the prefix-prefix self-join
+    def prefixNew(s: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val (groups, members, repDocs) = DedupQueries.textGroups(s, dir)
+      val sh = DedupQueries.shinglesOf(repDocs).persist()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("dfq"))
+      val ranked = sh.join(dfreq, "sh")
+        .join(broadcast(sizes), "doc_id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("dfq"), col("sh"))))
+      val prefix = ranked
+        .filter(col("rk") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
+        .select("doc_id", "sh", "sz")
+      val cands = prefix
+        .groupBy(xxhash64(col("sh")).as("hb"), col("sh"))
+        .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+        .select(explode(expr(
+          """filter(
+            |  flatten(transform(ds, (x, i) ->
+            |    transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+            |      if(x.doc_id < y.doc_id,
+            |         struct(x.doc_id AS r1, y.doc_id AS r2,
+            |                x.sz AS sz1, y.sz AS sz2),
+            |         struct(y.doc_id AS r1, x.doc_id AS r2,
+            |                y.sz AS sz1, x.sz AS sz2))))),
+            |  p -> p.sz1 * 5 >= p.sz2 * 4 AND p.sz2 * 5 >= p.sz1 * 4)
+            |""".stripMargin)).as("p"))
+        .select(col("p.r1").as("r1"), col("p.r2").as("r2"),
+          col("p.sz1").as("sz1"), col("p.sz2").as("sz2"))
+        .distinct()
+      val shh = sh.withColumn("hb", xxhash64(col("sh")))
+      val repPairs = cands
+        .join(shh.select(col("doc_id").as("r1"), col("hb"), col("sh")), "r1")
+        .join(shh.select(col("doc_id").as("rb"), col("hb").as("hb2"),
+          col("sh").as("sh2")),
+          col("r2") === col("rb") && col("hb") === col("hb2") &&
+            col("sh") === col("sh2"))
+        .groupBy("r1", "r2", "sz1", "sz2").agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType) /
+            (col("sz1") + col("sz2") - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+        .select("r1", "r2", "inter", "jaccard")
+      DedupQueries.expandRepPairs(repPairs, groups, members, sizes, "jaccard")
+        .select("d1", "d2", "inter", "jaccard")
+        .orderBy("d1", "d2")
+    }
+
+    // prefix_v2: hash-led dfreq join + docArr verify (per-doc sorted
+    // shingle arrays, in-row array_intersect) — replaces the two
+    // full-frame verify shuffles with one grouped shuffle + two joins
+    // against the doc-sized array frame
+    def prefixV2(s: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val (groups, members, repDocs) = DedupQueries.textGroups(s, dir)
+      val sh = DedupQueries.shinglesOf(repDocs).persist()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val shh = sh.withColumn("hb", xxhash64(col("sh")))
+      val dfreq = shh.groupBy("hb", "sh").agg(count(lit(1)).as("dfq"))
+      val ranked = shh.join(dfreq, Seq("hb", "sh"))
+        .join(broadcast(sizes), "doc_id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("dfq"), col("sh"))))
+      val prefix = ranked
+        .filter(col("rk") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
+        .select("doc_id", "hb", "sh", "sz")
+        .persist()
+      val cands = prefix.select(col("doc_id").as("r1"), col("hb"),
+          col("sh"), col("sz").as("sz1"))
+        .join(prefix.select(col("doc_id").as("r2"), col("hb").as("hb2"),
+          col("sh").as("sh2"), col("sz").as("sz2")),
+          col("hb") === col("hb2") && col("sh") === col("sh2") &&
+            col("r1") < col("r2") &&
+            col("sz1") * 5 >= col("sz2") * 4 &&
+            col("sz2") * 5 >= col("sz1") * 4)
+        .select("r1", "r2", "sz1", "sz2").distinct()
+      val docArr = sh.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("sh"))).as("arr"))
+      val repPairs = cands
+        .join(docArr.select(col("doc_id").as("r1"), col("arr").as("a1")),
+          "r1")
+        .join(docArr.select(col("doc_id").as("r2"), col("arr").as("a2")),
+          "r2")
+        .withColumn("inter",
+          size(array_intersect(col("a1"), col("a2"))).cast(LongType))
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType) /
+            (col("sz1") + col("sz2") - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+        .select("r1", "r2", "inter", "jaccard")
+      DedupQueries.expandRepPairs(repPairs, groups, members, sizes, "jaccard")
+        .select("d1", "d2", "inter", "jaccard")
+        .orderBy("d1", "d2")
+    }
+
+    // mj_v2: verified-LSH pipeline with the docArr verify stage
+    def mjV2(s: SparkSession, dir: String): DataFrame = {
+      val (groups, members, repDocs) = DedupQueries.textGroups(s, dir)
+      val sh = DedupQueries.shinglesOf(repDocs).persist()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val cand = DedupQueries.bucketPairs(
+        DedupQueries.minhashBuckets(sh, 16))
+        .select(col("d1").as("r1"), col("d2").as("r2"))
+      val docArr = sh.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("sh"))).as("arr"))
+      val repPairs = broadcast(cand)
+        .join(docArr.select(col("doc_id").as("r1"), col("arr").as("a1")),
+          "r1")
+        .join(docArr.select(col("doc_id").as("r2"), col("arr").as("a2")),
+          "r2")
+        .join(broadcast(sizes.select(col("doc_id").as("r1"),
+          col("sz").as("sz1"))), "r1")
+        .join(broadcast(sizes.select(col("doc_id").as("r2"),
+          col("sz").as("sz2"))), "r2")
+        .withColumn("inter",
+          size(array_intersect(col("a1"), col("a2"))).cast(LongType))
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType) /
+            (col("sz1") + col("sz2") - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("r1"), col("r2"), col("inter"), col("jaccard"))
+      DedupQueries.expandRepPairs(repPairs, groups, members, sizes, "jaccard")
+        .orderBy("d1", "d2")
+    }
+
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "ngram_old" -> (() => graft.SparkEntry.queries("q_dedup_near_ngram")(spark, sfDir)),
-      "ngram_new" -> (() => ngramNew(spark, sfDir)),
-      "mj_old" -> (() => graft.SparkEntry.queries("q_dedup_minhash_jaccard")(spark, sfDir)),
-      "mj_cached" -> (() => mjCached(spark, sfDir)),
+      "prefix_old" -> (() => graft.SparkEntry.queries("q_dedup_prefix_filter")(spark, sfDir)),
+      "prefix_v2" -> (() => prefixV2(spark, sfDir)),
+      "mj_now" -> (() => graft.SparkEntry.queries("q_dedup_minhash_jaccard")(spark, sfDir)),
+      "mj_v2" -> (() => mjV2(spark, sfDir)),
     )
     // ---- round-robin medians ----
     val rounds = args.headOption.map(_.toInt).getOrElse(5)
