@@ -38,14 +38,25 @@ object Multimodal {
   /** Batched per-partition decode + feature extraction. `batchSize`
     * bounds peak decoded memory per task exactly like a mapInPandas
     * batch; partitioning is preserved (narrow transformation).
+    *
+    * `codec` is the injection seam a deployment swaps a real decoder
+    * into (it must be serializable — it ships inside the task
+    * closure); the default is the deterministic [[StubCodecs]] fake.
+    * LibrarySpec's seam test injects a tracking codec through it and
+    * pins the batching/schema/partition-preservation invariants
+    * independently of any codec's behavior.
     */
   def extractFeatures(ds: Dataset[MediaRow], batchSize: Int = 64,
-      dim: Int = 16): Dataset[MediaFeatures] = {
+      dim: Int = 16,
+      codec: (Seq[MediaRow], Int) => Seq[Array[Float]] =
+        StubCodecs.decodeBatch): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // one decode call per BATCH — the codec boundary
-        val decoded = StubCodecs.decodeBatch(batch, dim)
+        val decoded = codec(batch, dim)
+        require(decoded.length == batch.length,
+          s"codec returned ${decoded.length} features for ${batch.length} rows")
         batch.zip(decoded).map { case (row, feat) =>
           MediaFeatures(row.media_id, row.kind, row.bytes.length.toLong, feat)
         }

@@ -17,7 +17,7 @@ class SqlParitySpec extends AnyFunSuite {
 
   private def registerViews(): Unit =
     for (t <- Seq("lineitem", "orders", "customer", "nation", "region",
-        "part", "supplier"))
+        "part", "supplier", "embeddings", "documents"))
       graft.engine.Tables.t(spark, sf, t).createOrReplaceTempView(t)
 
   private def assertSame(sql: String,
@@ -58,6 +58,88 @@ class SqlParitySpec extends AnyFunSuite {
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy("n_name"))
+  }
+
+  // --- registered-function surface (GraftExtensions): the engine's
+  // public SQL API beyond the builtins. Each test drives the SAME
+  // session through spark.sql and the DataFrame/Column API and demands
+  // row-identical results.
+
+  test("array_dot_f registered function agrees with Native.dotF") {
+    assertSame(
+      """SELECT vec_id,
+        |  array_dot_f(embedding, embedding) AS sq_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+      graft.engine.Tables.t(spark, sf, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.Native.dotF(col("embedding"), col("embedding"))
+            .as("sq_norm"))
+        .orderBy("vec_id"))
+  }
+
+  test("nfc_normalize registered function agrees with Native.nfc") {
+    assertSame(
+      """SELECT doc_id, nfc_normalize(text) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      graft.engine.Tables.t(spark, sf, "documents")
+        .select(col("doc_id"),
+          graft.functions.Native.nfc(col("text")).as("norm"))
+        .orderBy("doc_id"))
+  }
+
+  test("graft_bloom_agg + graft_might_contain prefilter equals the exact semi join") {
+    // the bloom sketch admits false positives; the exact verify removes
+    // them, so the SQL bloom-prefilter pipeline must equal the plain
+    // DataFrame semi join + aggregate exactly
+    assertSame(
+      """WITH pre AS (
+        |  SELECT l_orderkey, l_returnflag
+        |  FROM lineitem
+        |  WHERE graft_might_contain(
+        |    (SELECT graft_bloom_agg(xxhash64(o_orderkey), 100000L, 1048576L)
+        |     FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |    xxhash64(l_orderkey)))
+        |SELECT l_returnflag, COUNT(*) AS n_lines
+        |FROM pre
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderpriority = '1-URGENT'
+        |                AND o.o_orderkey = pre.l_orderkey)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin, {
+        val urgent = graft.engine.Tables.t(spark, sf, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        graft.engine.Tables.t(spark, sf, "lineitem")
+          .join(urgent, col("l_orderkey") === col("o_orderkey"),
+            "left_semi")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_lines"))
+          .orderBy("l_returnflag")
+      })
+  }
+
+  test("HOF dot-product idiom rewrites to array_dot_f and agrees") {
+    registerViews()
+    val hofSql =
+      """SELECT vec_id,
+        |  aggregate(zip_with(embedding, embedding,
+        |      (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |    CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS sq_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+    val viaHof = spark.sql(hofSql)
+    // RewriteHofDotProduct must lower the portable idiom to the native
+    // codegen'd expression — visible in the optimized plan…
+    assert(viaHof.queryExecution.optimizedPlan.toString
+      .contains("array_dot_f"),
+      "HOF dot-product idiom was not rewritten to ArrayDotProductF")
+    // …and the values must equal the native expression's bit-for-bit
+    // (same double-precision array-order fold)
+    val viaNative = graft.engine.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.Native.dotF(col("embedding"), col("embedding"))
+          .as("sq_norm"))
+      .orderBy("vec_id")
+    assert(viaHof.collect().toSeq == viaNative.collect().toSeq)
   }
 
   test("window rank agrees") {
