@@ -76,6 +76,12 @@ object DedupQueries extends QSet {
     // dedup has to handle beyond whole-doc near-dups.
     "q_dedup_containment" -> ((s, dir) => containmentPairs(s, dir)),
 
+    // PREFIX FILTERING for containment — the deterministic scale path
+    // (zero false negatives by pigeonhole on the smaller side's
+    // rare-first prefix); shares the exhaustive containment oracle.
+    "q_dedup_containment_prefix" ->
+      ((s, dir) => containmentPrefixPairs(s, dir)),
+
     // Transitive closure of the near-dup pairs: every document maps to
     // the smallest doc_id reachable through jaccard ≥ 0.8 edges (its
     // cluster representative) plus the cluster size — the form corpus
@@ -433,6 +439,67 @@ object DedupQueries extends QSet {
       .groupBy("r1", "r2", "sz1", "sz2").agg(count(lit(1)).as("inter"))
       .withColumn("containment",
         col("inter").cast(DoubleType) / least(col("sz1"), col("sz2")))
+      .filter(col("containment") >= 0.9)
+      .select("r1", "r2", "inter", "containment")
+    expandRepPairs(repPairs, groups, members, sizes, "containment")
+      .select(col("d1"), col("d2"), col("inter"), col("containment"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Containment ≥ 0.9 pairs via PREFIX FILTERING — the deterministic
+    * scale path for [[containmentPairs]] (the q_dedup_prefix_filter
+    * recipe adapted to the asymmetric metric). Soundness (zero false
+    * negatives, by pigeonhole): for a qualifying pair let S be the
+    * smaller shingle set — |A∩B| ≥ ⌈0.9·|S|⌉, so the partner cannot
+    * avoid all p = |S| − ⌈0.9·|S|⌉ + 1 of S's rare-first prefix tokens
+    * (missing all p caps the intersection at ⌈0.9|S|⌉ − 1). Candidates
+    * are therefore prefix(X) ⋈ FULL token set of Y restricted to
+    * |X| ≤ |Y| — the guaranteed direction — normalized and deduped;
+    * the exact docArr intersect verifies. Unlike Jaccard prefixes
+    * there is no size-ratio prune (a tiny doc inside a huge one IS the
+    * positive case), but only the ~|x|/10 rarest grams of each doc
+    * probe the posting lists, so the worst shared-by-everyone gram
+    * contributes candidates only for docs where it is among the
+    * rarest — the quadratic term the exhaustive baseline pays in full.
+    * Exactness is the graded contract: shares q_dedup_containment's
+    * exhaustive oracle.
+    */
+  def containmentPrefixPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (groups, members, repDocs) = textGroups(s, dir)
+    val sh = shinglesOf(repDocs).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shh = sh.withColumn("hb", xxhash64(col("sh")))
+    val dfreq = shh.groupBy("hb", "sh").agg(count(lit(1)).as("dfq"))
+    val ranked = shh.join(dfreq, Seq("hb", "sh"))
+      .join(broadcast(sizes), "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("dfq"), col("sh"))))
+    // prefix length |x| − ⌈0.9·|x|⌉ + 1; ⌈9·sz/10⌉ = (9·sz + 9) div 10
+    val prefix = ranked
+      .filter(col("rk") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
+      .select(col("doc_id").as("dp"), col("hb"), col("sh"),
+        col("sz").as("szp"))
+    val full = shh.join(broadcast(sizes), "doc_id")
+      .select(col("doc_id").as("dq"), col("hb").as("hb2"),
+        col("sh").as("sh2"), col("sz").as("szq"))
+    val cands = prefix.join(full,
+        col("hb") === col("hb2") && col("sh") === col("sh2") &&
+          col("dp") =!= col("dq") && col("szp") <= col("szq"))
+      .select(least(col("dp"), col("dq")).as("r1"),
+        greatest(col("dp"), col("dq")).as("r2"))
+      .distinct()
+    val docArr = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("arr"))
+    val repPairs = broadcast(cands)
+      .join(docArr.select(col("doc_id").as("r1"), col("arr").as("a1")),
+        "r1")
+      .join(docArr.select(col("doc_id").as("r2"), col("arr").as("a2")),
+        "r2")
+      .withColumn("inter",
+        size(array_intersect(col("a1"), col("a2"))).cast(LongType))
+      .withColumn("containment", col("inter").cast(DoubleType) /
+        least(size(col("a1")), size(col("a2"))))
       .filter(col("containment") >= 0.9)
       .select("r1", "r2", "inter", "containment")
     expandRepPairs(repPairs, groups, members, sizes, "containment")
@@ -843,6 +910,30 @@ object DedupQueries extends QSet {
     * declared ground-truth query and the LSH-verified pipeline (which
     * must reproduce it exactly; see [[minhashVerifiedPairs]]).
     */
+  /** Exhaustive containment ≥ 0.9 ground truth — shared by the
+    * all-pairs baseline AND the exact-by-construction prefix path. */
+  private val containmentSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(tk) - 2),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, inter,
+      |  CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = d1
+      |JOIN sizes sb ON sb.doc_id = d2
+      |WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.9
+      |ORDER BY d1, d2""".stripMargin
+
   private val ngramPairsSql: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
@@ -874,27 +965,12 @@ object DedupQueries extends QSet {
 
     "q_dedup_near_ngram" -> ngramPairsSql,
 
-    "q_dedup_containment" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, len(tk) - 2),
-        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
-        |  FROM toks),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT d1, d2, inter,
-        |  CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) AS containment
-        |FROM pairs
-        |JOIN sizes sa ON sa.doc_id = d1
-        |JOIN sizes sb ON sb.doc_id = d2
-        |WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.9
-        |ORDER BY d1, d2""".stripMargin,
+    "q_dedup_containment" -> containmentSql,
+
+    // exact by construction — must reproduce the exhaustive containment
+    // ground truth bit-for-bit, so it shares its oracle (the
+    // q_dedup_prefix_filter precedent for the asymmetric metric)
+    "q_dedup_containment_prefix" -> containmentSql,
 
     "q_dedup_minhash_jaccard" -> ngramPairsSql,
 

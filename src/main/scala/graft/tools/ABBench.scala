@@ -206,11 +206,40 @@ object ABBench {
         .orderBy("d1", "d2")
     }
 
+    // candidate-volume diagnostic for the containment prefix path
+    def contCands(s: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val (_, _, repDocs) = DedupQueries.textGroups(s, dir)
+      val sh = DedupQueries.shinglesOf(repDocs).persist()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val shh = sh.withColumn("hb", xxhash64(col("sh")))
+      val dfreq = shh.groupBy("hb", "sh").agg(count(lit(1)).as("dfq"))
+      val ranked = shh.join(dfreq, Seq("hb", "sh"))
+        .join(broadcast(sizes), "doc_id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("dfq"), col("sh"))))
+      val prefix = ranked
+        .filter(col("rk") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
+        .select(col("doc_id").as("dp"), col("hb"), col("sh"),
+          col("sz").as("szp"))
+      val full = shh.join(broadcast(sizes), "doc_id")
+        .select(col("doc_id").as("dq"), col("hb").as("hb2"),
+          col("sh").as("sh2"), col("sz").as("szq"))
+      prefix.join(full,
+          col("hb") === col("hb2") && col("sh") === col("sh2") &&
+            col("dp") =!= col("dq") && col("szp") <= col("szq"))
+        .select(least(col("dp"), col("dq")).as("r1"),
+          greatest(col("dp"), col("dq")).as("r2"))
+        .distinct()
+    }
+    {
+      val c = contCands(spark, sfDir)
+      println(s"containment prefix cands: ${c.count()}")
+      spark.catalog.clearCache()
+    }
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "prefix_old" -> (() => graft.SparkEntry.queries("q_dedup_prefix_filter")(spark, sfDir)),
-      "prefix_v2" -> (() => prefixV2(spark, sfDir)),
-      "mj_now" -> (() => graft.SparkEntry.queries("q_dedup_minhash_jaccard")(spark, sfDir)),
-      "mj_v2" -> (() => mjV2(spark, sfDir)),
+      "cont_exh" -> (() => graft.SparkEntry.queries("q_dedup_containment")(spark, sfDir)),
+      "cont_pref" -> (() => graft.SparkEntry.queries("q_dedup_containment_prefix")(spark, sfDir)),
     )
     // ---- round-robin medians ----
     val rounds = args.headOption.map(_.toInt).getOrElse(5)

@@ -694,6 +694,17 @@ class LibrarySpec extends AnyFunSuite {
     val j = DedupQueries.ngramPairs(spark, dir)
       .filter(col("d1") === 1L && col("d2") === 2L).collect()
     assert(j.isEmpty, "jaccard >= 0.8 should miss the embedded pair")
+    // prefix-filtered scale path ≡ exhaustive baseline, row for row —
+    // on the adversarial embedded-doc fixture (the smaller side's
+    // prefix must be the one that fires)…
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(rows(DedupQueries.containmentPrefixPairs(spark, dir)) ==
+      rows(DedupQueries.containmentPairs(spark, dir)))
+    // …and on the real sf0.001 corpus
+    assert(rows(DedupQueries.containmentPrefixPairs(spark, sf)) ==
+      rows(DedupQueries.containmentPairs(spark, sf)))
   }
 
   test("pagerank: mass conservation and endpoint stability in integer " +
