@@ -698,6 +698,11 @@ object DedupQueries extends QSet {
       bands: Int = Bands): DataFrame =
     bucketPairs(minhashBuckets(shingles(s, dir), bands))
 
+  // NO trailing sort: every consumer either re-sorts after expansion
+  // (minhashCandidates), broadcasts the pair list into the verify stage
+  // (verifiedRepContext), or compares as a set (the raw-banding twin) —
+  // a global orderBy here was a wasted range exchange + sort on every
+  // LSH pipeline
   private[graft] def bucketPairs(buckets: DataFrame): DataFrame =
     buckets.select(col("doc_id").as("d1"), col("band"), col("key"))
       .join(buckets.select(col("doc_id").as("d2"), col("band").as("band2"),
@@ -705,7 +710,6 @@ object DedupQueries extends QSet {
         col("band") === col("band2") && col("key") === col("key2") &&
           col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-      .orderBy("d1", "d2")
 
   /** Exact 3-gram Jaccard over an (a, b) candidate id-pair list: shared
     * verify stage of the LSH pipelines. The pair list is tiny by

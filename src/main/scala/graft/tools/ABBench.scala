@@ -206,40 +206,53 @@ object ABBench {
         .orderBy("d1", "d2")
     }
 
-    // candidate-volume diagnostic for the containment prefix path
-    def contCands(s: SparkSession, dir: String): DataFrame = {
+    // naive bayes with the train token stream persisted (4 consumers:
+    // class totals, vocab count, per-(term,lang) counts, distinct terms)
+    def nbPersist(s: SparkSession, dir: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val (_, _, repDocs) = DedupQueries.textGroups(s, dir)
-      val sh = DedupQueries.shinglesOf(repDocs).persist()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val shh = sh.withColumn("hb", xxhash64(col("sh")))
-      val dfreq = shh.groupBy("hb", "sh").agg(count(lit(1)).as("dfq"))
-      val ranked = shh.join(dfreq, Seq("hb", "sh"))
-        .join(broadcast(sizes), "doc_id")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("dfq"), col("sh"))))
-      val prefix = ranked
-        .filter(col("rk") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
-        .select(col("doc_id").as("dp"), col("hb"), col("sh"),
-          col("sz").as("szp"))
-      val full = shh.join(broadcast(sizes), "doc_id")
-        .select(col("doc_id").as("dq"), col("hb").as("hb2"),
-          col("sh").as("sh2"), col("sz").as("szq"))
-      prefix.join(full,
-          col("hb") === col("hb2") && col("sh") === col("sh2") &&
-            col("dp") =!= col("dq") && col("szp") <= col("szq"))
-        .select(least(col("dp"), col("dq")).as("r1"),
-          greatest(col("dp"), col("dq")).as("r2"))
-        .distinct()
-    }
-    {
-      val c = contCands(spark, sfDir)
-      println(s"containment prefix cands: ${c.count()}")
-      spark.catalog.clearCache()
+      val Dec6 = DecimalType(18, 6)
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val ttoks = train.select(col("lang"),
+        explode(split(col("text"), " ")).as("term")).persist()
+      val cls = ttoks.groupBy("lang").agg(count(lit(1)).as("tot_l"))
+      val nd = train.groupBy("lang").agg(count(lit(1)).as("n_docs_l"))
+      val vc = ttoks.agg(countDistinct(col("term")).as("v"))
+      val all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val cls5 = cls.join(nd, "lang")
+        .withColumn("n_train", sum(col("n_docs_l")).over(all))
+        .crossJoin(broadcast(vc))
+        .withColumn("logprior", round(log(
+          col("n_docs_l").cast(DoubleType) / col("n_train")), 6))
+      val cnt = ttoks.groupBy("term", "lang").agg(count(lit(1)).as("c"))
+      val logp = ttoks.select("term").distinct()
+        .crossJoin(broadcast(cls5.select("lang", "tot_l", "v")))
+        .join(cnt, Seq("term", "lang"), "left")
+        .withColumn("logp", round(log(
+          (coalesce(col("c"), lit(0L)) + lit(1.0)) /
+            (col("tot_l") + col("v"))), 6))
+        .select("term", "lang", "logp")
+      val stoks = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang").as("lang_actual"),
+          explode(split(col("text"), " ")).as("term"))
+      stoks.join(logp, "term")
+        .groupBy("doc_id", "lang_actual", "lang")
+        .agg(sum(col("logp").cast(Dec6)).as("sum_logp"))
+        .join(broadcast(cls5.select(col("lang"), col("logprior"))), "lang")
+        .withColumn("score", col("sum_logp") + col("logprior").cast(Dec6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(col("score").desc, col("lang"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang_actual"),
+          col("lang").as("lang_pred"),
+          col("score").cast(StringType).cast(DoubleType).as("score"))
+        .orderBy("doc_id")
     }
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "cont_exh" -> (() => graft.SparkEntry.queries("q_dedup_containment")(spark, sfDir)),
-      "cont_pref" -> (() => graft.SparkEntry.queries("q_dedup_containment_prefix")(spark, sfDir)),
+      "nb_now" -> (() => graft.SparkEntry.queries("q_ml_naive_bayes")(spark, sfDir)),
+      "nb_persist" -> (() => nbPersist(spark, sfDir)),
     )
     // ---- round-robin medians ----
     val rounds = args.headOption.map(_.toInt).getOrElse(5)
