@@ -331,6 +331,39 @@ class PlanSpec extends AnyFunSuite {
       s"undeclared all-pairs plan in: ${offenders.mkString(", ")}")
   }
 
+  test("plan lint: no sort feeding directly into an exchange (wasted work)") {
+    // an exchange (broadcast hash table or hash/range repartition)
+    // destroys its child's row order, so a SortExec sitting directly
+    // beneath one — through order-preserving projections/filters only —
+    // did pure wasted work (the round-8 bucketPairs find: a global
+    // orderBy on an intermediate that every consumer re-sorted or
+    // broadcast). Sorts DEEPER in the subtree stay legal: they feed
+    // windows/sort-merge-joins and are semantic, not cosmetic. Checked
+    // on the pre-AQE physical plan of every declared query.
+    import org.apache.spark.sql.execution.{FilterExec, ProjectExec,
+      SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    @annotation.tailrec
+    def throughOrderPreserving(p: SparkPlan): SparkPlan = p match {
+      case pr: ProjectExec => throughOrderPreserving(pr.child)
+      case f: FilterExec   => throughOrderPreserving(f.child)
+      case _               => p
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.sparkPlan
+        val wasted = plan.collect {
+          case e: Exchange
+              if throughOrderPreserving(e.child).isInstanceOf[SortExec] =>
+            e.nodeName
+        }
+        if (wasted.nonEmpty) Some(s"$name (${wasted.mkString(",")})")
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"sort output discarded by an exchange in: ${offenders.mkString("; ")}")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew-join lever)") {
     import org.apache.spark.sql.functions.col
     // The runtime complement to q_join_salted's static salting: with
