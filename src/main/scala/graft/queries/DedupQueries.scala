@@ -231,15 +231,25 @@ object DedupQueries extends QSet {
       : (DataFrame, DataFrame, DataFrame) = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("text"), md5(col("text")).as("gkey"))
+    // groups and members persist too (round 8): expandRepPairs reads
+    // groups twice (repToG + selfPairs) and members twice (both pair
+    // sides), so the md5 scan + group-by subtree otherwise recomputes
+    // ~4× per dedup query — interleaved A/B on q_dedup_near_ngram at
+    // sf0.1: 2.16 s vs 2.52 s medians. groups is one row per DISTINCT
+    // text; members is (gkey, doc_id) — corpus-row-count-sized but
+    // 2-column-narrow, and MEMORY_AND_DISK caching is an optimization,
+    // not a correctness requirement, so a 100 TB deployment can evict
+    // it freely.
     val groups = docs.groupBy("gkey")
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gn"))
+      .persist()
     // persisted: the rep frame feeds the shingle pipeline (twice in the
     // minhash path — signatures AND verify) and re-deriving it re-pays
     // the md5 group-by per consumer
     val repDocs = docs.join(groups.select(col("gkey"),
         col("rep").as("doc_id")), Seq("gkey", "doc_id"))
       .select("doc_id", "text").persist()
-    (groups, docs.select("gkey", "doc_id"), repDocs)
+    (groups, docs.select("gkey", "doc_id").persist(), repDocs)
   }
 
   /** Expand representative-level pairs back to ALL doc pairs (d1 < d2):

@@ -206,53 +206,56 @@ object ABBench {
         .orderBy("d1", "d2")
     }
 
-    // naive bayes with the train token stream persisted (4 consumers:
-    // class totals, vocab count, per-(term,lang) counts, distinct terms)
-    def nbPersist(s: SparkSession, dir: String): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      val Dec6 = DecimalType(18, 6)
+    // textGroups with groups/members persisted: the md5 scan+groupBy
+    // subtree otherwise recomputes per consumer (repToG x2, members x2,
+    // selfPairs) in every expandRepPairs call
+    def textGroupsP(s: SparkSession, dir: String) = {
       val docs = t(s, dir, "documents")
-      val train = docs.filter(col("doc_id") % 5 =!= 0)
-      val ttoks = train.select(col("lang"),
-        explode(split(col("text"), " ")).as("term")).persist()
-      val cls = ttoks.groupBy("lang").agg(count(lit(1)).as("tot_l"))
-      val nd = train.groupBy("lang").agg(count(lit(1)).as("n_docs_l"))
-      val vc = ttoks.agg(countDistinct(col("term")).as("v"))
-      val all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      val cls5 = cls.join(nd, "lang")
-        .withColumn("n_train", sum(col("n_docs_l")).over(all))
-        .crossJoin(broadcast(vc))
-        .withColumn("logprior", round(log(
-          col("n_docs_l").cast(DoubleType) / col("n_train")), 6))
-      val cnt = ttoks.groupBy("term", "lang").agg(count(lit(1)).as("c"))
-      val logp = ttoks.select("term").distinct()
-        .crossJoin(broadcast(cls5.select("lang", "tot_l", "v")))
-        .join(cnt, Seq("term", "lang"), "left")
-        .withColumn("logp", round(log(
-          (coalesce(col("c"), lit(0L)) + lit(1.0)) /
-            (col("tot_l") + col("v"))), 6))
-        .select("term", "lang", "logp")
-      val stoks = docs.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id"), col("lang").as("lang_actual"),
-          explode(split(col("text"), " ")).as("term"))
-      stoks.join(logp, "term")
-        .groupBy("doc_id", "lang_actual", "lang")
-        .agg(sum(col("logp").cast(Dec6)).as("sum_logp"))
-        .join(broadcast(cls5.select(col("lang"), col("logprior"))), "lang")
-        .withColumn("score", col("sum_logp") + col("logprior").cast(Dec6))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("doc_id")
-            .orderBy(col("score").desc, col("lang"))))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("lang_actual"),
-          col("lang").as("lang_pred"),
-          col("score").cast(StringType).cast(DoubleType).as("score"))
-        .orderBy("doc_id")
+        .select(col("doc_id"), col("text"), md5(col("text")).as("gkey"))
+      val groups = docs.groupBy("gkey")
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gn"))
+        .persist()
+      val members = docs.select("gkey", "doc_id").persist()
+      val repDocs = docs.join(groups.select(col("gkey"),
+          col("rep").as("doc_id")), Seq("gkey", "doc_id"))
+        .select("doc_id", "text").persist()
+      (groups, members, repDocs)
+    }
+    def ngramTgPersist(s: SparkSession, dir: String): DataFrame = {
+      val (groups, members, repDocs) = textGroupsP(s, dir)
+      val sh = DedupQueries.shinglesOf(repDocs).persist()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val shs = sh.join(broadcast(sizes), "doc_id")
+      val repPairs = shs
+        .groupBy(xxhash64(col("sh")).as("hb"), col("sh"))
+        .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+        .select(explode(expr(
+          """filter(
+            |  flatten(transform(ds, (x, i) ->
+            |    transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+            |      if(x.doc_id < y.doc_id,
+            |         struct(x.doc_id AS r1, y.doc_id AS r2,
+            |                x.sz AS sz1, y.sz AS sz2),
+            |         struct(y.doc_id AS r1, x.doc_id AS r2,
+            |                y.sz AS sz1, x.sz AS sz2))))),
+            |  p -> p.sz1 * 5 >= p.sz2 * 4 AND p.sz2 * 5 >= p.sz1 * 4)
+            |""".stripMargin)).as("p"))
+        .select(col("p.r1").as("r1"), col("p.r2").as("r2"),
+          col("p.sz1").as("sz1"), col("p.sz2").as("sz2"))
+        .groupBy("r1", "r2", "sz1", "sz2").agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType) /
+            (col("sz1") + col("sz2") - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+        .select("r1", "r2", "inter", "jaccard")
+      DedupQueries.expandRepPairs(repPairs, groups, members, sizes, "jaccard")
+        .select("d1", "d2", "inter", "jaccard")
+        .orderBy("d1", "d2")
     }
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "nb_now" -> (() => graft.SparkEntry.queries("q_ml_naive_bayes")(spark, sfDir)),
-      "nb_persist" -> (() => nbPersist(spark, sfDir)),
+      "ngram_now" -> (() => graft.SparkEntry.queries("q_dedup_near_ngram")(spark, sfDir)),
+      "ngram_tgp" -> (() => ngramTgPersist(spark, sfDir)),
+      "mj_now" -> (() => graft.SparkEntry.queries("q_dedup_minhash_jaccard")(spark, sfDir)),
     )
     // ---- round-robin medians ----
     val rounds = args.headOption.map(_.toInt).getOrElse(5)
