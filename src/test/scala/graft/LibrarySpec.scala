@@ -621,6 +621,53 @@ class LibrarySpec extends AnyFunSuite {
     assert(got == exact, "SQL estimate path diverges from exact counts")
   }
 
+  test("shingle-skew stress: grouped in-row pair generation matches " +
+    "brute force when one gram is shared corpus-wide") {
+    // the round-8 ngramPairs rewrite folds each shingle group into one
+    // row (collect_list) before in-row pair generation — the documented
+    // caveat is a single gram shared by MANY docs (its in-row pair list
+    // is frequency²). Build exactly that corpus: 40 docs that all share
+    // one boilerplate trigram, in near-dup clusters of 4 (base text +
+    // three one-token-appended variants, jaccard ≥ 0.8 within cluster,
+    // disjoint across clusters) — and demand the full pipeline equals
+    // per-pair brute force.
+    import graft.queries.DedupQueries
+    val boiler = "common boiler plate" // one corpus-wide trigram
+    def base(c: Int) =
+      s"$boiler " + (1 to 9).map(i => s"c${c}w$i").mkString(" ")
+    val docs = (for {
+      c <- 0 until 10; v <- 0 until 4
+    } yield {
+      val t = if (v == 0) base(c) else base(c) + s" extra$v"
+      ((c * 4 + v + 1).toLong, t, "en", "src0", t.length.toLong)
+    }).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "/tmp/graft_skewfx"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.ngramPairs(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val byId = (for (c <- 0 until 10; v <- 0 until 4) yield {
+      val t = if (v == 0) base(c) else base(c) + s" extra$v"
+      (c * 4 + v + 1).toLong -> t
+    }).toMap
+    val want = (for {
+      d1 <- byId.keys; d2 <- byId.keys
+      if d1 < d2
+      s1 = shingleSet(byId(d1)); s2 = shingleSet(byId(d2))
+      inter = (s1 & s2).size
+      j = inter.toDouble / (s1.size + s2.size - inter)
+      if j >= 0.8
+    } yield (d1, d2, inter.toLong, j)).toSet
+    // every cluster contributes C(4,2)=6 pairs; cross-cluster pairs
+    // share only the boiler gram (jaccard ~0.1, filtered)
+    assert(want.size == 60, s"fixture broken: ${want.size} pairs")
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("exact-dup compression: pair expansion matches brute force on a " +
     "corpus with multiplicities 1-3") {
     import graft.queries.DedupQueries
