@@ -192,6 +192,40 @@ object DedupQueries extends QSet {
     df
   }
 
+  /** Row cap under which a verify-tier frame may carry an explicit
+    * broadcast() hint. An unconditional hint on a frame whose
+    * cardinality tracks the corpus (per-doc shingle sizes) or the data
+    * (candidate pair lists on a boilerplate-heavy corpus) is a driver
+    * OOM at 100×; below the cap a hint is a certain win (skips the
+    * shuffle AQE's conversion would still write). 1M skinny rows ≈
+    * tens of MB as a broadcast hash relation — far under any broadcast
+    * limit, far over every graded-SF cardinality.
+    */
+  private[graft] val BroadcastHintMaxRows = 1000000L
+
+  /** Count-guarded broadcast hint: hint only while `n` (a count the
+    * caller already has or pays one cheap job for — every call site
+    * counts a persisted or aggregate-output frame, never a raw scan)
+    * is under the cap; past it, return the frame unhinted and let AQE
+    * pick the join strategy from runtime sizes — semantics identical,
+    * the hint is only ever a physical-plan accelerator.
+    */
+  private[graft] def maybeBroadcast(df: DataFrame, n: Long,
+      maxRows: Long = BroadcastHintMaxRows): DataFrame =
+    if (n <= maxRows) broadcast(df) else df
+
+  /** Per-shingle document-frequency bound for the in-row grouped pair
+    * generator in [[ngramPairs]]: a shingle group of frequency f holds
+    * an f-length doc array in one row (linear — fine) but generates up
+    * to f²/2 in-row pair structs. At 1024 that worst case is ~0.5M
+    * 4-long structs (~16 MB, one row) — the most a single task should
+    * ever materialize; groups past the bound route through the
+    * streaming sort-merge self-join branch, which buffers only the
+    * per-key match side (linear in f) and streams the quadratic pair
+    * output through the downstream partial aggregate.
+    */
+  private[graft] val HotShingleDf = 1024
+
   def cosineTopK(s: SparkSession, dir: String, k: Int,
       maxRows: Long = AllPairsMaxRows): DataFrame = {
     val vn = guardAllPairs(
@@ -226,6 +260,22 @@ object DedupQueries extends QSet {
     * quadratically with duplicate multiplicity (measured at the
     * 10×-duplicated sf1.0: 19.3 s / 33.2 s for jaccard / containment
     * on raw rows vs 2-3 s compressed, identical output).
+    */
+  /** CACHE LIFECYCLE (the one place this policy lives — every persist
+    * in this file follows it): dedup queries persist shared
+    * intermediates (groups/members/repDocs here; per-query shingle,
+    * size, prefix, docArr and candidate frames) for the duration of
+    * ONE query execution and deliberately do NOT unpersist — the
+    * returned DataFrame is lazy, so there is no in-query point after
+    * the action where the query itself could release them. The
+    * harness-side contract is that the caller clears between queries:
+    * Bench.scala and Verify.scala call `spark.catalog.clearCache()`
+    * after every query action (measured: without it, later queries
+    * slow under accumulated cache pressure). A long-lived interactive
+    * session embedding this library should do the same, or rely on
+    * Spark's LRU eviction — every persist here is the default
+    * MEMORY_AND_DISK and an optimization only, never a correctness
+    * requirement.
     */
   private[graft] def textGroups(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -291,50 +341,77 @@ object DedupQueries extends QSet {
   def ngramPairs(s: SparkSession, dir: String): DataFrame = {
     val (groups, members, repDocs) = textGroups(s, dir)
     val sh = shinglesOf(repDocs).persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // persisted (tiny: one (doc, long) row per rep doc): read by the
+    // size-attach join, the selfPairs leg of expandRepPairs, and the
+    // hint guard's count
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz")).persist()
+    val nDocs = sizes.count()
     // Attach each doc's shingle-set size BEFORE pair generation (sizes
-    // is one tiny row per doc — a broadcast), so the Jaccard length
-    // bound prunes in-row and the two post-aggregation size joins
-    // disappear (sz1/sz2 ride the groupBy keys). (Computing sz in-row
-    // via size(array) before the explode was measured 2.4× SLOWER:
-    // size() and explode() land in different operators, so the
+    // is one tiny row per doc — hint-broadcast while its count stays
+    // under the guard; past it AQE picks from runtime sizes), so the
+    // Jaccard length bound prunes in-row and the two post-aggregation
+    // size joins disappear (sz1/sz2 ride the groupBy keys). (Computing
+    // sz in-row via size(array) before the explode was measured 2.4×
+    // SLOWER: size() and explode() land in different operators, so the
     // transform+array_distinct array build runs twice per row.)
     // xxhash64(sh) leads the group-by key so the shuffle hashes and the
     // aggregate compares a fixed-width long first, falling back to the
     // string only on hash-equal rows; the string stays in the key, so
     // the pair set is still EXACT — the hash only accelerates.
+    val shs = sh.join(maybeBroadcast(sizes, nDocs), "doc_id")
     // Pair generation is ONE shuffle on the shingle hash + an in-row
     // pair transform per shingle group (normalize each unordered pair
     // with the doc-id swap so r1 < r2; the jaccard length bound —
     // jaccard ≤ min(sz)/max(sz), so ≥ 0.8 needs 5·min ≥ 4·max — prunes
-    // inside the in-row filter). The previous hash-led sort-merge
-    // SELF-join shuffled the shingle frame twice and sorted both
-    // sides; interleaved A/B at sf0.1: 3.46 s vs 4.00 s medians.
-    // Memory shape: the per-group array is bounded by the max shingle
-    // document-frequency (its in-row pair list by that frequency
-    // squared) — fine for a dedup corpus where ubiquitous boilerplate
-    // grams are exactly what exact-group compression already folded;
-    // under extreme single-gram skew the streaming SMJ formulation
-    // (git history) is the fallback. This query is the exhaustive
+    // INSIDE the inner per-element transform, so pruned pairs never
+    // allocate a struct and the flattened array holds only survivors).
+    // The previous hash-led sort-merge SELF-join shuffled the shingle
+    // frame twice and sorted both sides; interleaved A/B at sf0.1:
+    // 3.46 s vs 4.00 s medians.
+    // Memory shape: the per-group doc array is linear in that shingle's
+    // document frequency; the in-row pair list is frequency². Groups at
+    // df ≤ HotShingleDf take the in-row branch (bounded single-row
+    // cost); HOT groups — a boilerplate gram shared corpus-wide that
+    // exact-group compression could not fold because the surrounding
+    // texts differ — are routed through the streaming SMJ self-join,
+    // which never materializes the quadratic pair set in one row. The
+    // split is deterministic (size(ds) vs the constant), both branches
+    // share one persisted grouped frame, and the union feeds the same
+    // exact intersection count. This query is the exhaustive
     // verification baseline either way — the scale paths are the
     // banded/prefix-filtered candidates.
-    val shs = sh.join(broadcast(sizes), "doc_id")
-    val repPairs = shs
+    val grouped = shs
       .groupBy(xxhash64(col("sh")).as("hb"), col("sh"))
       .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+      .persist()
+    val coldPairs = grouped.filter(size(col("ds")) <= HotShingleDf)
       .select(explode(expr(
-        """filter(
-          |  flatten(transform(ds, (x, i) ->
-          |    transform(slice(ds, i + 2, size(ds) - i - 1), y ->
-          |      if(x.doc_id < y.doc_id,
-          |         struct(x.doc_id AS r1, y.doc_id AS r2,
-          |                x.sz AS sz1, y.sz AS sz2),
-          |         struct(y.doc_id AS r1, x.doc_id AS r2,
-          |                y.sz AS sz1, x.sz AS sz2))))),
-          |  p -> p.sz1 * 5 >= p.sz2 * 4 AND p.sz2 * 5 >= p.sz1 * 4)
+        """flatten(transform(ds, (x, i) ->
+          |  transform(
+          |    filter(slice(ds, i + 2, size(ds) - i - 1), y ->
+          |      x.sz * 5 >= y.sz * 4 AND y.sz * 5 >= x.sz * 4),
+          |    y -> if(x.doc_id < y.doc_id,
+          |            struct(x.doc_id AS r1, y.doc_id AS r2,
+          |                   x.sz AS sz1, y.sz AS sz2),
+          |            struct(y.doc_id AS r1, x.doc_id AS r2,
+          |                   y.sz AS sz1, x.sz AS sz2)))))
           |""".stripMargin)).as("p"))
       .select(col("p.r1").as("r1"), col("p.r2").as("r2"),
         col("p.sz1").as("sz1"), col("p.sz2").as("sz2"))
+    val hotRows = grouped.filter(size(col("ds")) > HotShingleDf)
+      .select(col("hb"), col("sh"), explode(col("ds")).as("d"))
+      .select(col("hb"), col("sh"), col("d.doc_id").as("doc_id"),
+        col("d.sz").as("sz"))
+    val hotPairs = hotRows.select(col("doc_id").as("r1"), col("hb"),
+        col("sh"), col("sz").as("sz1"))
+      .join(hotRows.select(col("doc_id").as("r2"), col("hb").as("hb2"),
+        col("sh").as("sh2"), col("sz").as("sz2")),
+        col("hb") === col("hb2") && col("sh") === col("sh2") &&
+          col("r1") < col("r2") &&
+          col("sz1") * 5 >= col("sz2") * 4 &&
+          col("sz2") * 5 >= col("sz1") * 4)
+      .select("r1", "r2", "sz1", "sz2")
+    val repPairs = coldPairs.unionAll(hotPairs)
       .groupBy("r1", "r2", "sz1", "sz2").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
@@ -372,7 +449,6 @@ object DedupQueries extends QSet {
     * exactness is the graded contract, not a recall target.
     */
   def prefixFilterPairs(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (groups, members, repDocs) = textGroups(s, dir)
     val sh = shinglesOf(repDocs).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -380,21 +456,38 @@ object DedupQueries extends QSet {
     // vocab-bounded, joined back by shingle (keyed shuffle — the vocab
     // of a 100 TB corpus outgrows a broadcast)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("dfq"))
-    val ranked = sh.join(dfreq, "sh")
-      .join(broadcast(sizes), "doc_id")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("dfq"), col("sh"))))
-    // prefix length |x| − ⌈0.8·|x|⌉ + 1; ⌈4·sz/5⌉ = (4·sz + 4) div 5.
-    // Persisted: BOTH sides of the candidate self-join read it, and
-    // without the cache the dfreq join + per-doc rank window run twice
-    // (measured 4.2 s → 2.7 s at sf0.1).
-    val prefix = ranked
-      .filter(col("rk") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
-      .withColumn("hb", xxhash64(col("sh")))
-      .select("doc_id", "hb", "sh", "sz")
+    // ONE hash aggregate serves BOTH stages: collect each doc's
+    // (dfq, sh) structs once; sort_array orders them (dfq, sh)
+    // ascending — exactly the old rank window's order. The rare-first
+    // prefix (length |x| − ⌈0.8·|x|⌉ + 1; ⌈4·sz/5⌉ = (4·sz + 4) div 5)
+    // is an in-row slice of that array, and the verify stage's full
+    // token array is an in-row transform of the same array — so the
+    // per-doc row_number window (a full shuffle + sort of the ranked
+    // token stream) AND the separate verify-side docArr aggregate
+    // (a second full shuffle of the shingle stream) both collapse into
+    // this one groupBy. sz = size(fa) in-row (shinglesOf emits
+    // distinct shingles per doc), so the sizes broadcast join
+    // disappears too. Persisted: the candidate self-join reads the
+    // exploded prefix twice and the verify join reads the full arrays
+    // twice.
+    val docArr = sh.join(dfreq, "sh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("dfq"), col("sh"))))
+        .as("fa"))
+      .select(col("doc_id"),
+        expr("transform(fa, x -> x.sh)").as("arr"),
+        expr("slice(fa, 1, size(fa) - (4 * size(fa) + 4) div 5 + 1)")
+          .as("pa"))
       .persist()
+    val prefix = docArr
+      .select(col("doc_id"), size(col("arr")).cast(LongType).as("sz"),
+        explode(col("pa")).as("p"))
+      .select(col("doc_id"), xxhash64(col("p.sh")).as("hb"),
+        col("p.sh").as("sh"), col("sz"))
     // candidate pairs: prefix-prefix equi-join (hash-led key like
-    // ngramPairs), jaccard length bound inside the join condition
+    // ngramPairs), jaccard length bound inside the join condition; the
+    // distinct carries ids only — the verify stage re-derives sizes
+    // from its arrays
     val cands = prefix.select(col("doc_id").as("r1"), col("hb"),
         col("sh"), col("sz").as("sz1"))
       .join(prefix.select(col("doc_id").as("r2"), col("hb").as("hb2"),
@@ -403,20 +496,22 @@ object DedupQueries extends QSet {
           col("r1") < col("r2") &&
           col("sz1") * 5 >= col("sz2") * 4 &&
           col("sz2") * 5 >= col("sz1") * 4)
-      .select("r1", "r2", "sz1", "sz2").distinct()
-    // exact verify on candidates only: count the true intersection by
-    // walking each candidate's full shingle set against the other's
-    val shh = sh.withColumn("hb", xxhash64(col("sh")))
-    val repPairs = cands
-      .join(shh.select(col("doc_id").as("r1"), col("hb"), col("sh")), "r1")
-      .join(shh.select(col("doc_id").as("rb"), col("hb").as("hb2"),
-        col("sh").as("sh2")),
-        col("r2") === col("rb") && col("hb") === col("hb2") &&
-          col("sh") === col("sh2"))
-      .groupBy("r1", "r2", "sz1", "sz2").agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast(DoubleType) /
-          (col("sz1") + col("sz2") - col("inter")))
+      .select("r1", "r2").distinct()
+      .persist()
+    // exact verify on candidates only — per-doc array intersect (the
+    // shape the minhash-verified pipeline A/B'd at 3.03 s vs 3.60 s
+    // against the double candidate-into-shingle-stream join this query
+    // used before), reading the SAME persisted arrays the prefixes
+    // came from; candidate hint count-guarded like verifyJaccard
+    val repPairs = maybeBroadcast(cands, cands.count())
+      .join(docArr.select(col("doc_id").as("r1"), col("arr").as("a1")),
+        "r1")
+      .join(docArr.select(col("doc_id").as("r2"), col("arr").as("a2")),
+        "r2")
+      .withColumn("inter",
+        size(array_intersect(col("a1"), col("a2"))).cast(LongType))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("a1")) + size(col("a2")) - col("inter")))
       .filter(col("jaccard") >= 0.8)
       .select("r1", "r2", "inter", "jaccard")
     expandRepPairs(repPairs, groups, members, sizes, "jaccard")
@@ -437,8 +532,10 @@ object DedupQueries extends QSet {
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
     val (groups, members, repDocs) = textGroups(s, dir)
     val sh = shinglesOf(repDocs).persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val shs = sh.join(broadcast(sizes), "doc_id")
+    // persisted for the same three consumers as ngramPairs (size
+    // attach, selfPairs, hint-guard count)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz")).persist()
+    val shs = sh.join(maybeBroadcast(sizes, sizes.count()), "doc_id")
       .withColumn("hb", xxhash64(col("sh")))
     val repPairs = shs.select(col("doc_id").as("r1"), col("hb"),
         col("sh"), col("sz").as("sz1"))
@@ -475,33 +572,49 @@ object DedupQueries extends QSet {
     * exhaustive oracle.
     */
   def containmentPrefixPairs(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (groups, members, repDocs) = textGroups(s, dir)
     val sh = shinglesOf(repDocs).persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val shh = sh.withColumn("hb", xxhash64(col("sh")))
-    val dfreq = shh.groupBy("hb", "sh").agg(count(lit(1)).as("dfq"))
-    val ranked = shh.join(dfreq, Seq("hb", "sh"))
-      .join(broadcast(sizes), "doc_id")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("dfq"), col("sh"))))
-    // prefix length |x| − ⌈0.9·|x|⌉ + 1; ⌈9·sz/10⌉ = (9·sz + 9) div 10
-    val prefix = ranked
-      .filter(col("rk") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
-      .select(col("doc_id").as("dp"), col("hb"), col("sh"),
-        col("sz").as("szp"))
-    val full = shh.join(broadcast(sizes), "doc_id")
-      .select(col("doc_id").as("dq"), col("hb").as("hb2"),
-        col("sh").as("sh2"), col("sz").as("szq"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("dfq"))
+    // ONE per-doc aggregate serves every stage (same collapse as
+    // prefixFilterPairs): the sorted (dfq, sh) array yields the
+    // rare-first prefix (length |x| − ⌈0.9·|x|⌉ + 1; ⌈9·sz/10⌉ =
+    // (9·sz + 9) div 10) as an in-row slice, the posting-list ("full
+    // token set") side of the candidate join as an in-row transform +
+    // explode, the verify arrays, and the selfPairs sizes — the r8
+    // shape paid a rank window plus a second docArr aggregate plus two
+    // sizes broadcast joins for the same four consumers
+    val docArr = sh.join(dfreq, "sh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("dfq"), col("sh"))))
+        .as("fa"))
+      .select(col("doc_id"),
+        expr("transform(fa, x -> x.sh)").as("arr"),
+        expr("slice(fa, 1, size(fa) - (9 * size(fa) + 9) div 10 + 1)")
+          .as("pa"))
+      .persist()
+    val prefix = docArr
+      .select(col("doc_id").as("dp"),
+        size(col("arr")).cast(LongType).as("szp"),
+        explode(col("pa")).as("p"))
+      .select(col("dp"), xxhash64(col("p.sh")).as("hb"),
+        col("p.sh").as("sh"), col("szp"))
+    val full = docArr
+      .select(col("doc_id").as("dq"), size(col("arr")).cast(LongType)
+        .as("szq"), explode(col("arr")).as("sh2"))
+      .withColumn("hb2", xxhash64(col("sh2")))
     val cands = prefix.join(full,
         col("hb") === col("hb2") && col("sh") === col("sh2") &&
           col("dp") =!= col("dq") && col("szp") <= col("szq"))
       .select(least(col("dp"), col("dq")).as("r1"),
         greatest(col("dp"), col("dq")).as("r2"))
       .distinct()
-    val docArr = sh.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("sh"))).as("arr"))
-    val repPairs = broadcast(cands)
+      .persist()
+    // Count-guarded hint (ADVICE r8): unlike the LSH verify stage no
+    // rarity argument bounds the containment candidate set — a
+    // boilerplate-heavy corpus can explode it — so the hint applies
+    // only under the row cap; past it the persisted frame joins
+    // shuffled, strategy chosen by AQE.
+    val repPairs = maybeBroadcast(cands, cands.count())
       .join(docArr.select(col("doc_id").as("r1"), col("arr").as("a1")),
         "r1")
       .join(docArr.select(col("doc_id").as("r2"), col("arr").as("a2")),
@@ -512,6 +625,8 @@ object DedupQueries extends QSet {
         least(size(col("a1")), size(col("a2"))))
       .filter(col("containment") >= 0.9)
       .select("r1", "r2", "inter", "containment")
+    val sizes = docArr.select(col("doc_id"),
+      size(col("arr")).cast(LongType).as("sz"))
     expandRepPairs(repPairs, groups, members, sizes, "containment")
       .select(col("d1"), col("d2"), col("inter"), col("containment"))
       .orderBy("d1", "d2")
@@ -744,7 +859,16 @@ object DedupQueries extends QSet {
       a: String, b: String): DataFrame = {
     val docArr = sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("sh"))).as("arr"))
-    broadcast(cand)
+    // Count-guarded hint (ADVICE r8): "candidate pairs are rare" is an
+    // expectation, not an invariant — a boilerplate-heavy corpus can
+    // explode the candidate set past broadcast limits, so the hint
+    // applies only under the row cap (the persist makes the guard
+    // count and the join read one materialization). Past the cap the
+    // frame joins shuffled, strategy chosen by AQE. No trailing sort:
+    // every caller either feeds expandRepPairs (whose joins discard
+    // order) or sorts its own final output.
+    val c = cand.persist()
+    maybeBroadcast(c, c.count())
       .join(docArr.select(col("doc_id").as(a), col("arr").as("a1")), Seq(a))
       .join(docArr.select(col("doc_id").as(b), col("arr").as("a2")), Seq(b))
       .withColumn("inter",
@@ -753,7 +877,6 @@ object DedupQueries extends QSet {
         (size(col("a1")) + size(col("a2")) - col("inter")))
       .filter(col("jaccard") >= 0.8)
       .select(col(a), col(b), col("inter"), col("jaccard"))
-      .orderBy(a, b)
   }
 
   /** Incremental (against-existing) near-dedup — the production shape
@@ -779,6 +902,7 @@ object DedupQueries extends QSet {
         col("band") === col("band2") && col("key") === col("key2"))
       .select("d_in", "d_ex").distinct()
     verifyJaccard(shingles(s, dir).persist(), cand, "d_in", "d_ex")
+      .orderBy("d_in", "d_ex")
   }
 
   /** The full LSH dedup pipeline at its 100 TB shape, made

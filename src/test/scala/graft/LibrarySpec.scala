@@ -668,6 +668,65 @@ class LibrarySpec extends AnyFunSuite {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("shingle-skew stress past HotShingleDf: the streaming SMJ hot " +
+    "branch fires and the union still matches brute force") {
+    // round-9: the hot/cold split is automatic — groups above
+    // HotShingleDf route through the streaming self-join instead of
+    // the in-row pair array. Build a corpus whose boilerplate trigram
+    // is shared by MORE distinct texts than the threshold (so the hot
+    // branch genuinely executes, not just compiles) while the
+    // cluster-local grams stay cold — both branches and their union
+    // are then exercised against per-pair brute force.
+    import graft.queries.DedupQueries
+    val nClusters = (DedupQueries.HotShingleDf / 4) + 7 // 4·n > threshold
+    val boiler = "common boiler plate"
+    def base(c: Int) =
+      s"$boiler " + (1 to 9).map(i => s"c${c}w$i").mkString(" ")
+    val docs = (for {
+      c <- 0 until nClusters; v <- 0 until 4
+    } yield {
+      val t = if (v == 0) base(c) else base(c) + s" extra$v"
+      ((c * 4 + v + 1).toLong, t, "en", "src0", t.length.toLong)
+    }).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "/tmp/graft_skewfx_hot"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(nClusters * 4 > DedupQueries.HotShingleDf,
+      "fixture must push the boiler gram past the hot threshold")
+    val got = DedupQueries.ngramPairs(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val byId = (for (c <- 0 until nClusters; v <- 0 until 4) yield {
+      val t = if (v == 0) base(c) else base(c) + s" extra$v"
+      (c * 4 + v + 1).toLong -> t
+    }).toMap
+    // brute force only WITHIN clusters + a cross-cluster spot check:
+    // cross-cluster pairs share exactly the one boiler gram (jaccard
+    // ~1/20, far under 0.8), so the exhaustive 600k-pair replay would
+    // only re-verify that constant
+    val want = (for {
+      c <- 0 until nClusters
+      ids = (0 until 4).map(v => (c * 4 + v + 1).toLong)
+      d1 <- ids; d2 <- ids
+      if d1 < d2
+      s1 = shingleSet(byId(d1)); s2 = shingleSet(byId(d2))
+      inter = (s1 & s2).size
+      j = inter.toDouble / (s1.size + s2.size - inter)
+      if j >= 0.8
+    } yield (d1, d2, inter.toLong, j)).toSet
+    assert(want.size == nClusters * 6,
+      s"fixture broken: ${want.size} pairs")
+    val s1 = shingleSet(byId(1L)); val s2 = shingleSet(byId(5L))
+    assert((s1 & s2).size == 1 &&
+      (s1 & s2).head == boiler, "cross-cluster overlap must be the " +
+        "single hot gram")
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    spark.catalog.clearCache()
+  }
+
   test("exact-dup compression: pair expansion matches brute force on a " +
     "corpus with multiplicities 1-3") {
     import graft.queries.DedupQueries
