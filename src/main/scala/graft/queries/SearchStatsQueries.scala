@@ -154,20 +154,40 @@ object SearchStatsQueries extends QSet {
 
     // Gini coefficient of customer revenue — the canonical inequality
     // summary (G = (2·Σ rn·xᵣₙ − (n+1)·Σx) / (n·Σx) over ascending
-    // ranks). Revenue is an exact decimal partial-fold per customer;
-    // the rank window rides the customer DIMENSION aggregate, never
-    // the order fact (the q_tpch_q15 window-over-tiny-aggregate
-    // precedent — at 100 TB the ranked frame is the customer count,
-    // 3 orders of magnitude under the fact, and every declared query
-    // already pays exactly this presentation sort). Both Σx and Σ rn·x
+    // ranks). Revenue is an exact decimal partial-fold per customer.
+    // The global rank is computed WITHOUT an unpartitioned window (the
+    // r8 shape ranked every customer through one task — the one
+    // remaining global-window hazard on a declared query): range-
+    // repartition by (rev, custkey) keeps total order ACROSS
+    // partitions, each partition ranks its own rows in parallel
+    // (row_number partitioned by the range-partition id), and the
+    // global rank is the local rank plus the preceding partitions'
+    // row-count offset. The only unpartitioned window left runs over
+    // the per-partition count frame — bounded by
+    // spark.sql.shuffle.partitions (cluster config, never data).
+    // Ranks are identical to the single-sort formulation because range
+    // partitions are contiguous runs of the (rev, custkey) total
+    // order, so Σ rn·x matches the oracle exactly; both Σx and Σ rn·x
     // stay exact decimal through the string-hop; G is one shared IEEE
-    // expression over those exact bases.
+    // expression over those exact bases. `parts` persists because the
+    // offset frame and the ranked frame both read it (and a re-run of
+    // repartitionByRange would re-sample its boundaries).
     "q_stats_gini" -> ((s, dir) => {
       val rev = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(D(col("o_totalprice"))).as("rev"))
-      val ranked = rev.withColumn("rn", row_number()
-        .over(Window.orderBy(col("rev"), col("o_custkey"))).cast(LongType))
+      val parts = rev.repartitionByRange(col("rev"), col("o_custkey"))
+        .withColumn("pid", spark_partition_id())
+        .persist()
+      val offsets = parts.groupBy("pid").agg(count(lit(1)).as("pc"))
+        .withColumn("off", coalesce(sum(col("pc")).over(
+          Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "off")
+      val ranked = parts.join(broadcast(offsets), "pid")
+        .withColumn("rn", (col("off") + row_number().over(
+          Window.partitionBy(col("pid"))
+            .orderBy(col("rev"), col("o_custkey")))).cast(LongType))
       ranked.agg(count(lit(1)).as("n"),
           sum(col("rev")).as("sd"),
           sum(col("rn") * col("rev")).as("srd"))
