@@ -38,6 +38,20 @@ class KnnOpsSpec extends AnyFunSuite {
     assert(rows == perLabel)
   }
 
+  test("banded knn accuracy: cell-pruned exact search equals the " +
+    "brute-force baseline row for row") {
+    // the pruning proof says the outputs are IDENTICAL (not merely
+    // close): any cell skipped for q provably cannot hold a top-5
+    // member even after 4-dp rounding and id tie-breaks
+    val brute = SparkEntry.queries("q_ml_knn_accuracy")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    val banded = SparkEntry.queries("q_ml_knn_accuracy_banded")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(banded == brute,
+      s"banded=${banded.take(3)} brute=${brute.take(3)}")
+  }
+
   test("freshness: last-seen per type recomputes; ALL types present") {
     val rows = SparkEntry.queries("q_ts_freshness")(spark, sf).collect()
     val ev = graft.engine.Tables.events(spark, sf)

