@@ -16,8 +16,44 @@ Usage: oracle_affinity.py <sfDir> <verifyOutDir> [nchunks]
   q_graph_closeness3/ parquet dumps from `graft.Verify <sfDir> <out> ...`.
 Exit 0 iff both queries match, diff.py-strict compare.
 """
-import sys, os, json, glob, time
+import sys, os, json, glob, time, re
 import duckdb
+
+
+def split_edges_prefix(sql):
+    """Locate the shared edge-list CTE prefix in a stored oracle SQL and
+    return (top_k, rest_sql): the top-k parsed from the `rn <= K` filter
+    inside the `e AS (...)` CTE (tracking the Scala TopK constant via the
+    stored string instead of a hardcoded 3), and everything after that
+    CTE's closing paren + comma (the query-specific CTEs, whatever they
+    are named — no literal 'ed AS' assumption). Raises ValueError with a
+    diagnostic if the stored SQL no longer has the expected shape, so a
+    refactor of edgesSql fails LOUDLY here instead of producing spurious
+    FAIL rows."""
+    m = re.search(r"\be AS \(", sql)
+    if not m:
+        raise ValueError("stored oracle SQL has no 'e AS (' CTE; "
+                         "edgesSql was refactored — update oracle_affinity.py")
+    depth, i = 0, m.end() - 1
+    while i < len(sql):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    if depth != 0:
+        raise ValueError("unbalanced parens scanning the e AS (...) CTE")
+    km = re.search(r"rn <= (\d+)", sql[m.end():i])
+    if not km:
+        raise ValueError("no 'rn <= K' top-k filter inside the e CTE; "
+                         "edge ranking changed — update oracle_affinity.py")
+    rest = sql[i + 1:].lstrip()
+    if not rest.startswith(","):
+        raise ValueError("expected ',<next CTE>' after the e CTE, got: "
+                         + rest[:40])
+    return int(km.group(1)), rest.lstrip(",").lstrip()
 
 
 def canon(v):
@@ -36,6 +72,9 @@ def rows_of(con, sql):
     return [cols[i] for i in order], [[canon(r[i]) for i in order] for r in rows]
 
 
+QUERIES = ["q_graph_hits", "q_graph_closeness3"]
+
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     nchunks = int(sys.argv[3]) if len(sys.argv) > 3 else 8
@@ -43,6 +82,15 @@ def main():
     os.makedirs(wdir, exist_ok=True)
     for f in glob.glob(f"{wdir}/*.parquet"):
         os.remove(f)
+    # Parse top-k + the query-specific CTE tail out of each STORED SQL
+    # before any materialization: the chunked edge build must use the
+    # same k the Scala TopK constant produced, not a hardcoded 3.
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    parsed = {name: split_edges_prefix(oracle[name]) for name in QUERIES}
+    ks = {k for k, _ in parsed.values()}
+    if len(ks) != 1:
+        raise ValueError(f"queries disagree on edge top-k: {ks}")
+    topk = ks.pop()
     con = duckdb.connect()
     con.execute("SET temp_directory='/tmp/ducktmp'; "
                 "SET memory_limit='24GB'; "
@@ -67,20 +115,18 @@ def main():
               FROM (SELECT s1, s2,
                       row_number() OVER (PARTITION BY s1 ORDER BY c DESC, s2) rn
                     FROM wd)
-              WHERE rn <= 3)
+              WHERE rn <= {topk})
         SELECT a, b FROM e)
       TO '{epath}' (FORMAT PARQUET)""")
     n_edges = con.execute(
         f"SELECT COUNT(*) FROM read_parquet('{epath}')").fetchone()[0]
     print(f"edges materialized in {time.time() - t0:.1f}s ({n_edges} edges)")
 
-    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_fail = 0
-    for name in ["q_graph_hits", "q_graph_closeness3"]:
-        sql = oracle[name]
-        i = sql.index("ed AS")  # everything before is the edgesSql prefix
+    for name in QUERIES:
+        _, rest = parsed[name]
         sql2 = (f"WITH e AS (SELECT a, b FROM read_parquet('{epath}')),\n"
-                + sql[i:])
+                + rest)
         files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
