@@ -45,6 +45,34 @@ object Tables {
     else df
   }
 
+  /** Size cap for [[dim]]'s broadcast hint: 64 MB of compressed parquet
+    * is comfortably a sub-500 MB broadcast hash relation — always a
+    * win — while any table past it is left to AQE's runtime decision.
+    */
+  private val DimHintMaxBytes: Long = 64L << 20
+
+  /** A SCALING-GROWING table (part/supplier/customer grow with the
+    * scale factor — unlike the spec-constant nation/region) loaded
+    * with a broadcast hint ONLY while its on-disk parquet footprint is
+    * under the cap. An unconditional broadcast(part) is a driver OOM
+    * at the SF where part outgrows executor memory; the footprint
+    * check is pure file-listing metadata the scan relation already
+    * holds (no Spark job), so the hint adapts to the actual data scale
+    * with zero per-query cost. Past the cap the plain frame joins
+    * under AQE's runtime-size strategy choice — semantics identical,
+    * the hint only ever accelerates the physical plan.
+    */
+  def dim(spark: SparkSession, sfDir: String, name: String,
+      maxBytes: Long = DimHintMaxBytes): DataFrame = {
+    val df = t(spark, sfDir, name)
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val bytes =
+      try path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(path).getLength
+      catch { case _: Throwable => Long.MaxValue } // unknown → no hint
+    if (bytes <= maxBytes) broadcast(df) else df
+  }
+
   /** `events` with a schema-adaptive `ts_us` Timestamp column.
     *
     * The driver has shipped two physical encodings of `events.ts`:

@@ -76,8 +76,8 @@ object AssocStatsQueries extends QSet {
     // scans total, no shuffle wider than the brand key.
     "q_ml_regression_metrics" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(dim(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_brand").as("brand"),
           col("l_quantity").as("x"), col("l_extendedprice").as("y"))

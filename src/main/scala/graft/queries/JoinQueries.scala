@@ -68,7 +68,7 @@ object JoinQueries extends QSet {
     "q_join_broadcast" -> ((s, dir) => {
       // fact ⋈ broadcast(dim): no shuffle of lineitem at any scale.
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")),
+        .join(dim(s, dir, "part"),
           col("l_partkey") === col("p_partkey"))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
           "p_name", "p_retailprice")
@@ -83,7 +83,7 @@ object JoinQueries extends QSet {
         (lit(1).cast(Dec) - D(col("l_discount")))).cast(Dec)
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")),
+        .join(dim(s, dir, "customer"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")),
           col("c_nationkey") === col("n_nationkey"))

@@ -98,8 +98,8 @@ object MonitorQueries extends QSet {
     // flag compares the same IEEE ratio on both engines.
     "q_ml_fairness_dpr" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_nationkey"))),
+        .join(dim(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_nationkey").as("nation"), col("o_totalprice"))
       val thr = o.agg(expr("percentile_disc(0.5) WITHIN GROUP " +

@@ -47,8 +47,8 @@ object RetentionEvalQueries extends QSet {
       val perCust = t(s, dir, "orders")
         .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
       perCust
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_nationkey"))),
+        .join(dim(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey").as("nation"))
         .agg(count(lit(1)).as("n_buyers"),

@@ -89,8 +89,8 @@ object SignalQueries extends QSet {
     // over the 25-row frame.
     "q_stats_fdr_bh" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_nationkey"))),
+        .join(dim(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_nationkey").as("nation"),
           when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)

@@ -58,7 +58,7 @@ object TpchQueries extends QSet {
       bySupp
         .withColumn("mx", max(col("total_rev")).over(Window.partitionBy()))
         .filter(col("total_rev") === col("mx"))
-        .join(broadcast(t(s, dir, "supplier")),
+        .join(dim(s, dir, "supplier"),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
           d4(col("total_rev")).as("total_revenue"))
@@ -75,12 +75,12 @@ object TpchQueries extends QSet {
     "q_tpch_q16" -> ((s, dir) => {
       val sizes = Seq(1, 4, 9, 14, 19, 23, 36, 45)
       t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
-        .join(broadcast(t(s, dir, "part")
+        .join(dim(s, dir, "part")
           .filter(col("p_brand") =!= "Brand#45" &&
-            col("p_size").isin(sizes: _*))),
+            col("p_size").isin(sizes: _*)),
           col("l_partkey") === col("p_partkey"))
-        .join(broadcast(t(s, dir, "supplier")
-          .filter(col("s_acctbal") < 0.0).select("s_suppkey")),
+        .join(dim(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0.0).select("s_suppkey"),
           col("l_suppkey") === col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -102,7 +102,7 @@ object TpchQueries extends QSet {
         col("p_brand") === b && col("p_size").between(1, szHi) &&
           col("l_quantity").between(qLo, qHi)
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")),
+        .join(dim(s, dir, "part"),
           col("l_partkey") === col("p_partkey"))
         .filter(arm("Brand#12", 15, 1, 20) || arm("Brand#23", 25, 10, 35) ||
           arm("Brand#13", 35, 20, 50))
@@ -158,7 +158,7 @@ object TpchQueries extends QSet {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= to_timestamp(lit("1997-09-01")) &&
           col("l_shipdate") < to_timestamp(lit("1997-10-01")))
-        .join(broadcast(t(s, dir, "part")),
+        .join(dim(s, dir, "part"),
           col("l_partkey") === col("p_partkey"))
         .agg(
           d4(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(Dec))))
@@ -218,11 +218,11 @@ object TpchQueries extends QSet {
           min(when(late, col("l_suppkey"))).as("late_supp"))
         .filter(col("n_supp") > 1 && col("n_late") === 1)
       perOrder
-        .join(broadcast(t(s, dir, "supplier")
+        .join(dim(s, dir, "supplier")
           .join(t(s, dir, "nation"),
             col("s_nationkey") === col("n_nationkey"))
           .filter(col("n_name") === "NATION_3")
-          .select("s_suppkey", "s_name")),
+          .select("s_suppkey", "s_name"),
           col("late_supp") === col("s_suppkey"))
         .groupBy("s_name")
         .agg(count(lit(1)).as("numwait"))
@@ -271,7 +271,7 @@ object TpchQueries extends QSet {
       val rev = (D(col("l_extendedprice")) *
         (lit(1).cast(Dec) - D(col("l_discount")))).cast(Dec)
       val byBrand = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")),
+        .join(dim(s, dir, "part"),
           col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(sum(rev).as("brand_rev"))
