@@ -104,7 +104,10 @@ object Plans {
       "q_ml_ndcg", // user-partitioned rank window + literal-discount ledger
       "q_stats_spearman", // value-level rank margins, no per-row sort
       "q_sample_weighted", // bounded TopKAgg + tiny winners broadcast rejoin
-      "q_graph_kcore3") // iterated degree-filter equi-joins, vertex-bounded
+      "q_graph_kcore3", // iterated degree-filter equi-joins, vertex-bounded
+      "q_stats_gini", // r9: distributed rank — range-partition + offsets
+      "q_ml_knn_accuracy_banded", // r9: exact cell-pruned 5-NN, no all-pairs
+      "q_dedup_containment_prefix") // r9: one shared per-doc array aggregate
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by graft.Plans)\n"
     sb ++= s"\nInput: `$sfDir`, `local[$cpus]`, shuffle.partitions=$cpus.\n"
