@@ -398,6 +398,55 @@ class PlanSpec extends AnyFunSuite {
       s"sort output discarded by an exchange in: ${offenders.mkString("; ")}")
   }
 
+  test("plan lint: every unpartitioned window rides a BOUNDED frame " +
+    "(aggregate/limit below it), never raw data") {
+    // Spark warns "No Partition Defined for Window operation" on every
+    // unpartitioned window — a single-task sort. That is a real hazard
+    // only when the window's input is DATA-sized (the round-8
+    // q_stats_gini finding, fixed in round 9 by distributed ranking);
+    // it is the standard, correct shape when the input is an aggregate
+    // or top-k output whose cardinality is domain/config-bounded
+    // (decile cuts, per-partition offsets, margin ledgers). This lint
+    // machine-checks the distinction across the whole declared
+    // surface: walking down from each empty-partitionSpec WindowExec,
+    // an aggregate or limit must appear on EVERY path before a leaf
+    // (scan or cached relation) — i.e. the single task ranks a
+    // reduction, never the fact.
+    import org.apache.spark.sql.execution.{SparkPlan, LocalLimitExec,
+      GlobalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec,
+      SortAggregateExec, ObjectHashAggregateExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def boundedBelow(p: SparkPlan): Boolean = p match {
+      case _: HashAggregateExec | _: SortAggregateExec |
+          _: ObjectHashAggregateExec | _: LocalLimitExec |
+          _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+      // a cached relation's bound lives in ITS plan: recurse into it
+      case im: InMemoryTableScanExec =>
+        boundedBelow(im.relation.cachedPlan)
+      case leaf if leaf.children.isEmpty => false
+      // windows partition-bounded or not don't bound cardinality;
+      // joins/unions: EVERY input must be bounded (a join of an
+      // aggregate with a raw fact is fact-sized)
+      case other => other.children.forall(boundedBelow)
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.sparkPlan
+        val bad = plan.collect {
+          case w: WindowExec
+              if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
+            w.windowExpression.map(_.sql).mkString(",").take(60)
+        }
+        if (bad.nonEmpty) Some(s"$name (${bad.mkString(" | ")})")
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned window over unbounded input in: " +
+        offenders.mkString("; "))
+  }
+
   test("AQE splits a skewed join partition at runtime (skew-join lever)") {
     import org.apache.spark.sql.functions.col
     // The runtime complement to q_join_salted's static salting: with
