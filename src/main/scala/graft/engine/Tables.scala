@@ -65,12 +65,22 @@ object Tables {
   def dim(spark: SparkSession, sfDir: String, name: String,
       maxBytes: Long = DimHintMaxBytes): DataFrame = {
     val df = t(spark, sfDir, name)
+    if (underDimGate(spark, sfDir, name, maxBytes)) broadcast(df) else df
+  }
+
+  /** The [[dim]] size gate alone, for frames DERIVED from a table
+    * (per-part counts, per-supplier labels): the derived frame's
+    * cardinality is bounded by its source table's, so the source's
+    * on-disk footprint is a job-free proxy for "safe to hint".
+    */
+  def underDimGate(spark: SparkSession, sfDir: String, name: String,
+      maxBytes: Long = DimHintMaxBytes): Boolean = {
     val path = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
     val bytes =
       try path.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getContentSummary(path).getLength
       catch { case _: Throwable => Long.MaxValue } // unknown → no hint
-    if (bytes <= maxBytes) broadcast(df) else df
+    bytes <= maxBytes
   }
 
   /** `events` with a schema-adaptive `ts_us` Timestamp column.

@@ -476,15 +476,21 @@ object AnalyticsQueries extends QSet {
         .groupBy("p1", "p2").agg(count(lit(1)).as("c_ab"))
         .filter(col("c_ab") >= 2)
       // per-part distinct-order counts + the order total: cheap
-      // re-reads of the persisted baskets, broadcast onto the few-k
-      // supported-pair frame (the parts dim stays dim-sized at 100 TB)
+      // re-reads of the persisted baskets. The count frame is
+      // PART-cardinality — corpus-proportional, not dim-bounded — so
+      // its broadcast hint rides the same size gate as the part table
+      // itself (r9: an unconditional hint here was the q_basket_lift
+      // twin of the dedup verify-tier hazard); past the gate AQE
+      // picks from runtime sizes.
       val cnt = baskets.select(explode(col("ps")).as("pk"))
         .groupBy("pk").agg(count(lit(1)).as("c"))
+      def h(df: DataFrame): DataFrame =
+        if (underDimGate(s, dir, "part")) broadcast(df) else df
       val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
       pairs
-        .join(broadcast(cnt.select(col("pk").as("p1"), col("c").as("c_a"))),
+        .join(h(cnt.select(col("pk").as("p1"), col("c").as("c_a"))),
           "p1")
-        .join(broadcast(cnt.select(col("pk").as("p2"), col("c").as("c_b"))),
+        .join(h(cnt.select(col("pk").as("p2"), col("c").as("c_b"))),
           "p2")
         .crossJoin(broadcast(nOrders))
         .select(col("p1"), col("p2"), col("c_ab"), col("c_a"), col("c_b"),
@@ -521,11 +527,18 @@ object AnalyticsQueries extends QSet {
     "q_compliance_delete" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_id"), col("user_id"),
         col("event_type"))
+      // r9: the roster is DATA-derived (~1% of distinct users) — small
+      // at any graded SF but user-proportional, so the hint is
+      // count-guarded like the dedup verify tier: persist (both the
+      // anti and semi join read it), one cheap count, hint only under
+      // the cap. Past it AQE plans from runtime sizes and the RTBF
+      // rewrite still only touches partitions holding roster rows.
       val roster = ev.filter(pmod(col("user_id"), lit(97L)) === 0)
-        .select(col("user_id")).distinct()
-      val kept = ev.join(broadcast(roster), Seq("user_id"), "left_anti")
+        .select(col("user_id")).distinct().persist()
+      val rosterH = DedupQueries.maybeBroadcast(roster, roster.count())
+      val kept = ev.join(rosterH, Seq("user_id"), "left_anti")
         .groupBy(col("event_type")).agg(count(lit(1)).as("n_kept"))
-      val gone = ev.join(broadcast(roster), Seq("user_id"), "left_semi")
+      val gone = ev.join(rosterH, Seq("user_id"), "left_semi")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_deleted"),
           countDistinct(col("user_id")).as("users_deleted"))

@@ -208,24 +208,26 @@ object GraphMediaQueries extends QSet {
     // bases — intra-community edge counts (two dim-keyed community
     // joins, then an equi filter), community degree masses, and
     // 2m = Σd_c recovered as a WINDOW over the community-bounded frame
-    // (25 nations — never a global count of the edge frame). The
-    // community assignment rides the supplier dim: a broadcast at any
-    // scale, because communities label VERTICES, not edges.
+    // (25 nations — never a global count of the edge frame).
     "q_graph_modularity" -> ((s, dir) => {
       val e = affinityEdges(s, dir).persist()
-      val com = t(s, dir, "supplier")
+      // r9: the community frame labels VERTICES, but vertices here are
+      // suppliers — corpus-proportional, so the hint rides dim()'s
+      // size gate instead of being unconditional (the hint propagates
+      // up through the projections to every join site)
+      val com = dim(s, dir, "supplier")
         .select(col("s_suppkey").as("v"),
           col("s_nationkey").cast(LongType).as("c"))
       val deg = e.select(col("a").as("v"))
         .unionAll(e.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
-      val dC = deg.join(broadcast(com), "v")
+      val dC = deg.join(com, "v")
         .groupBy("c").agg(count(lit(1)).as("n_vertices"),
           sum(col("deg")).as("d_c"))
       val eC = e
-        .join(broadcast(com.select(col("v").as("a"), col("c").as("ca"))),
+        .join(com.select(col("v").as("a"), col("c").as("ca")),
           "a")
-        .join(broadcast(com.select(col("v").as("b"), col("c").as("cb"))),
+        .join(com.select(col("v").as("b"), col("c").as("cb")),
           "b")
         .filter(col("ca") === col("cb"))
         .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e_c"))

@@ -201,14 +201,18 @@ object RecEvalQueries extends QSet {
           .as("e"))
         .select(col("e.p1").as("p1"), col("e.p2").as("p2"),
           col("e.cij").as("cij"))
+      // per-part counts are PART-cardinality (corpus-proportional):
+      // hint rides the part table's size gate (r9), AQE past it
       val ci = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
         .groupBy("pk").agg(count(lit(1)).as("c"))
+      def h(df: DataFrame): DataFrame =
+        if (underDimGate(s, dir, "part")) broadcast(df) else df
       val scored = cij
-        .join(broadcast(ci.select(col("pk").as("p1"), col("c").as("c1"))),
+        .join(h(ci.select(col("pk").as("p1"), col("c").as("c1"))),
           "p1")
-        .join(broadcast(ci.select(col("pk").as("p2"), col("c").as("c2"))),
+        .join(h(ci.select(col("pk").as("p2"), col("c").as("c2"))),
           "p2")
         .withColumn("cosine", col("cij").cast(DoubleType) /
           sqrt((col("c1") * col("c2")).cast(DoubleType)))
