@@ -363,6 +363,19 @@ class PlanSpec extends AnyFunSuite {
       "past the cap maybeBroadcast must not attach a broadcast hint")
     assert(hinted.queryExecution.analyzed.toString
       .contains("ResolvedHint"), "sanity: the under-cap twin carries it")
+    // and the footprint-gated dim() twin: hints while the table's
+    // on-disk bytes are under the gate, drops the hint past it (here
+    // forced with a 1-byte gate — customer.parquet is always bigger)
+    assert(graft.engine.Tables.dim(spark, sf, "customer")
+      .queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "fixture dims sit far under the default 64 MB gate")
+    assert(!graft.engine.Tables.dim(spark, sf, "customer", maxBytes = 1L)
+      .queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "past the byte gate dim() must not attach a hint")
+    assert(!graft.engine.Tables.underDimGate(spark, sf, "customer",
+      maxBytes = 1L) &&
+      graft.engine.Tables.underDimGate(spark, sf, "customer"),
+      "underDimGate must agree with dim()'s flip")
   }
 
   test("plan lint: no sort feeding directly into an exchange (wasted work)") {
