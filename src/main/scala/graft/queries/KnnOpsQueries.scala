@@ -23,14 +23,19 @@ import graft.engine.Tables._
 object KnnOpsQueries extends QSet {
 
   /** Shared 5-NN vote → per-label accuracy tail: `pairs` is a
-    * directional (id1, la, id2, cos) candidate list guaranteed to
-    * contain every id1's true top-5; `labels` supplies (id2, lb)
-    * (caller decides whether a broadcast hint is justified). top-5 per
-    * vector via row_number ≤ k: Spark's WindowGroupLimit pushdown
-    * (PlanSpec-pinned) keeps ≤ 5 rows per vector map-side BEFORE the
-    * exchange, so the shuffle carries 5·|vectors| rows (codegen'd —
-    * measured 3× faster here than the TopKAgg udaf, whose per-row
-    * Aggregator state update is the bottleneck at n² pair volume).
+    * directional (id1, id2, cos) candidate list guaranteed to contain
+    * every id1's true top-5; `labels` supplies (vec_id, label) for
+    * BOTH sides (caller decides whether a broadcast hint is
+    * justified). top-5 per vector via row_number ≤ k: Spark's
+    * WindowGroupLimit pushdown (PlanSpec-pinned) keeps ≤ 5 rows per
+    * vector map-side BEFORE the exchange, so the shuffle carries
+    * 5·|vectors| rows (codegen'd — measured 3× faster here than the
+    * TopKAgg udaf, whose per-row Aggregator state update is the
+    * bottleneck at n² pair volume). Labels join AFTER the top-5
+    * filter: the label attach touches 5·|vectors| rows instead of the
+    * candidate-pair frame (which is n²-sized on the banded path when
+    * geometry cannot prune — an n²-row exchange for a column the
+    * vote tail only needs post-filter).
     */
   private def knnVoteTail(pairs: DataFrame, labels: DataFrame)
       : DataFrame = {
@@ -38,7 +43,10 @@ object KnnOpsQueries extends QSet {
         Window.partitionBy("id1")
           .orderBy(col("cos").desc, col("id2"))))
       .filter(col("rnk") <= 5)
-      .join(labels, Seq("id2"))
+      .join(labels.select(col("vec_id").as("id1"),
+        col("label").as("la")), Seq("id1"))
+      .join(labels.select(col("vec_id").as("id2"),
+        col("label").as("lb")), Seq("id2"))
     val vote = top.groupBy("id1", "la", "lb")
       .agg(count(lit(1)).as("c"))
       .withColumn("vr", row_number().over(Window.partitionBy("id1")
@@ -71,23 +79,21 @@ object KnnOpsQueries extends QSet {
     // dots and half the wide array-carrying pair rows), PERSIST the
     // compact (id, id, cos) frame, then mirror it cheaply
     val half = vn
-      .select(col("vec_id").as("id1"), col("label").as("la"),
+      .select(col("vec_id").as("id1"),
         col("embedding").as("e1"), col("nrm").as("n1"))
       .join(vn.select(col("vec_id").as("id2"),
-        col("label").as("lb"), col("embedding").as("e2"),
-        col("nrm").as("n2")), col("id1") < col("id2"))
-      .select(col("id1"), col("la"), col("id2"), col("lb"),
+        col("embedding").as("e2"), col("nrm").as("n2")),
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
         round(graft.functions.Native.dotF(col("e1"), col("e2")) /
           (col("n1") * col("n2")), 4).as("cos"))
       .persist()
-    val pairs = half.select(col("id1"), col("la"), col("id2"),
-        col("cos"))
-      .unionAll(half.select(col("id2").as("id1"), col("lb").as("la"),
-        col("id1").as("id2"), col("cos")))
+    val pairs = half.unionAll(half.select(col("id2").as("id1"),
+      col("id1").as("id2"), col("cos")))
     // labels hint-broadcast: bounded here BY THE GUARD; the banded
     // twin omits the hint because nothing bounds its corpus
-    knnVoteTail(pairs, broadcast(vn.select(col("vec_id").as("id2"),
-      col("label").as("lb"))))
+    knnVoteTail(pairs,
+      broadcast(vn.select(col("vec_id"), col("label"))))
   }
 
   private def hop38(c: Column) =
@@ -137,30 +143,49 @@ object KnnOpsQueries extends QSet {
     // Fixture economics, measured honestly: the synthetic embeddings
     // are ISOTROPIC (within-label mean cos ≈ cross-label ≈ 0.00), so
     // no exact method can prune them — the information-theoretic
-    // floor, not an implementation gap — and at 2k rows the brute
-    // BNLJ generates all pairs IN-ROW with zero shuffles while this
-    // pipeline pays ~6 exchanges, hence ~3× brute at sf0.1 (same-
-    // session medians 5.1 vs 1.7 s) and ~1.2× at the sf1.0 rehearsal
-    // (55 vs 44 s, cap lifted, outputs identical — ScaleKnnCheck).
-    // The crossover is wherever in-row n² generation stops fitting a
-    // task — i.e. exactly the guard's refusal point, past which this
-    // is the only exact path that runs at all, with every stage
+    // floor, not an implementation gap — and the un-prunable cross
+    // tier scores each surviving pair in BOTH directions where brute
+    // scores its canonical half once, so ~2× brute's dot products is
+    // the fixture floor (same-session warm medians ~1.9× at sf0.1).
+    // The r9 perf rework closed the rest of the old 3× gap: scoring
+    // joins carry the embeddings through the n-row member frame
+    // (count-guard-hinted broadcast under the cap — pair rows are
+    // generated in-row by the BHJ fan-out and never shuffled; past
+    // the cap the largest exchange is the wide n-row frame, never a
+    // pair-sized one), the assignment window yields own-cell columns
+    // in the same pass the old shape re-joined for, and labels attach
+    // after the top-5 filter instead of on the n²-row pair frame.
+    // At the sf1.0 rehearsal: ~1.2× brute (55 vs 44 s pre-rework, cap
+    // lifted, outputs identical — ScaleKnnCheck). The crossover is
+    // wherever in-row n² generation stops fitting a task — i.e.
+    // exactly the guard's refusal point, past which this is the only
+    // exact path that runs at all, with every stage
     // shuffle-partitioned and no driver collect.
     "q_ml_knn_accuracy_banded" -> ((s, dir) => {
       val vn = t(s, dir, "embeddings").select(col("vec_id"),
         col("label"), col("embedding"),
         graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
         .persist()
-      def score(cand: DataFrame): DataFrame = cand
-        .join(vn.select(col("vec_id").as("id1"),
-          col("embedding").as("e1"), col("nrm").as("n1")), "id1")
-        .join(vn.select(col("vec_id").as("id2"),
-          col("embedding").as("e2"), col("nrm").as("n2")), "id2")
-        .select(col("id1"), col("id2"),
-          round(graft.functions.Native.dotF(col("e1"), col("e2")) /
-            (col("n1") * col("n2")), 4).as("cos"))
+      def pairCos(e1: Column, n1: Column, e2: Column, n2: Column) =
+        round(graft.functions.Native.dotF(e1, e2) / (n1 * n2), 4)
+          .as("cos")
+      val nVec = vn.count()
       val nCells = math.max(16,
-        math.ceil(math.sqrt(vn.count().toDouble)).toInt)
+        math.ceil(math.sqrt(nVec.toDouble)).toInt)
+      // Count-guarded hints from the ONE count this query already
+      // pays (nCells sizing): under the cap the scoring joins run as
+      // broadcast-hash — pair rows are generated in-row by the BHJ
+      // fan-out and NEVER shuffled, the plan AQE would converge to
+      // anyway at fixture scale. Past the cap every join reverts to
+      // the shuffled shape below, whose largest exchange is the
+      // n-row wide member frame — never a pair-sized one. Embedding
+      // rows are ~64 floats (~300 B), so the wide-frame cap is 1/8 of
+      // the skinny-row default (~40 MB broadcast worst-case).
+      def bcWide(df: DataFrame): DataFrame =
+        DedupQueries.maybeBroadcast(df, nVec,
+          DedupQueries.BroadcastHintMaxRows / 8)
+      def bcSkinny(df: DataFrame): DataFrame =
+        DedupQueries.maybeBroadcast(df, nVec)
       val cent = vn.withColumn("mix", xxhash64(col("vec_id")))
         .orderBy("mix").limit(nCells)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"),
@@ -168,28 +193,50 @@ object KnnOpsQueries extends QSet {
       // n×√n probe pass (cross with the bounded-by-construction √N
       // centroid frame — PlanSpec-allowlisted); persisted: assignment
       // and pruning both read it
+      // ONE windowed pass over the n×√n probe frame yields the
+      // assignment (rk = 1), each vector's own cell and own-cell angle
+      // (first over the same ordered frame) — the pre-rework shape ran
+      // a GroupLimit-pruned window for the assignment and then joined
+      // it BACK onto qc for the pruning pass, paying a second n×√n
+      // exchange for columns the one window already had in hand.
+      val wAsg = Window.partitionBy("vec_id")
+        .orderBy(col("cosc").desc, col("cid"))
       val qc = vn.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("cid"),
           (graft.functions.Native.dotF(col("embedding"), col("ce")) /
             (col("nrm") * col("cn"))).as("cosc"))
         .withColumn("theta", acos(least(lit(1.0),
           greatest(lit(-1.0), col("cosc")))))
+        .withColumn("rk", row_number().over(wAsg))
+        .withColumn("own", first(col("cid")).over(wAsg))
+        .withColumn("own_theta", first(col("theta")).over(wAsg))
         .persist()
-      val assigned = qc.withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id")
-            .orderBy(col("cosc").desc, col("cid"))))
-        .filter(col("rk") === 1)
+      val assigned = qc.filter(col("rk") === 1)
         .select(col("vec_id"), col("cid").as("cell"),
-          col("theta").as("own_theta"))
-        .persist()
+          col("own_theta"))
       val radii = assigned.groupBy("cell").agg(max("own_theta").as("r"))
-      val mem = assigned.select(col("vec_id"), col("cell"))
-      val withinHalf = score(
-        mem.select(col("vec_id").as("id1"), col("cell"))
-          .join(mem.select(col("vec_id").as("id2"),
-            col("cell").as("c2")),
-            col("cell") === col("c2") && col("id1") < col("id2"))
-          .select("id1", "id2"))
+      // memVec: one row per vector carrying its cell AND its
+      // embedding — every scoring consumer reads this frame so the
+      // cosine computes IN-ROW inside the pair-generating join. The
+      // r9 pre-rework shape generated skinny (id1, id2) pairs and
+      // joined the embeddings back on by id — two exchanges of the
+      // PAIR-sized frame (n²-sized here, where isotropic geometry
+      // prunes nothing); carrying the arrays through the n-sized
+      // member frame trades those for one wide n-row shuffle per side.
+      val memVec = assigned.select(col("vec_id"), col("cell"))
+        .join(vn, "vec_id")
+        .select(col("vec_id"), col("cell"), col("embedding"),
+          col("nrm"))
+        .persist()
+      val withinHalf = memVec
+        .select(col("vec_id").as("id1"), col("cell"),
+          col("embedding").as("e1"), col("nrm").as("n1"))
+        .join(bcWide(memVec.select(col("vec_id").as("id2"),
+          col("cell").as("c2"), col("embedding").as("e2"),
+          col("nrm").as("n2"))),
+          col("cell") === col("c2") && col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          pairCos(col("e1"), col("n1"), col("e2"), col("n2")))
         .persist()
       val withinDir = withinHalf.unionAll(withinHalf.select(
         col("id2").as("id1"), col("id1").as("id2"), col("cos")))
@@ -199,12 +246,9 @@ object KnnOpsQueries extends QSet {
           Window.partitionBy("id1").orderBy(col("cos").desc, col("id2"))))
         .filter(col("rk") === 5)
         .select(col("id1").as("vec_id"), col("cos").as("l5"))
-      val probes = qc
-        .join(assigned.select(col("vec_id"), col("cell").as("own")),
-          "vec_id")
-        .filter(col("cid") =!= col("own"))
+      val probes = qc.filter(col("cid") =!= col("own"))
         .join(broadcast(radii.withColumnRenamed("cell", "cid")), "cid")
-        .join(l5, Seq("vec_id"), "left")
+        .join(bcSkinny(l5), Seq("vec_id"), "left")
         .filter(col("l5").isNull ||
           cos(greatest(lit(0.0), col("theta") - col("r"))) >=
             col("l5") - lit(1e-3))
@@ -214,13 +258,19 @@ object KnnOpsQueries extends QSet {
       // unique, so (q, x) appears at most once — a canonicalize+
       // distinct variant was measured SLOWER here (the distinct's
       // extra exchange outweighs halving the codegen'd dot products).
-      val crossDir = score(probes
-        .join(mem.select(col("vec_id").as("id2"), col("cell")), "cell")
-        .select("id1", "id2"))
-      knnVoteTail(withinDir.unionAll(crossDir)
-          .join(vn.select(col("vec_id").as("id1"),
-            col("label").as("la")), "id1"),
-        vn.select(col("vec_id").as("id2"), col("label").as("lb")))
+      // e1 attaches BEFORE the cell fan-out (probes is n·cells-sized,
+      // the fan-out is pair-sized): the scored pair rows are born
+      // complete inside the cell join and never shuffle again until
+      // the vote tail's WindowGroupLimit-pruned exchange.
+      val crossDir = probes
+        .join(bcWide(memVec.select(col("vec_id").as("id1"),
+          col("embedding").as("e1"), col("nrm").as("n1"))), "id1")
+        .join(bcWide(memVec.select(col("vec_id").as("id2"), col("cell"),
+          col("embedding").as("e2"), col("nrm").as("n2"))), "cell")
+        .select(col("id1"), col("id2"),
+          pairCos(col("e1"), col("n1"), col("e2"), col("n2")))
+      knnVoteTail(withinDir.unionAll(crossDir),
+        bcSkinny(vn.select(col("vec_id"), col("label"))))
     }),
 
     // Feed-freshness audit: per event type, last-seen timestamp and
