@@ -96,6 +96,129 @@ object KnnOpsQueries extends QSet {
       broadcast(vn.select(col("vec_id"), col("label"))))
   }
 
+  /** The banded-exact 5-NN pipeline behind `q_ml_knn_accuracy_banded`
+    * (full design + proof in the query's declaration comment).
+    * `wideHintCap` is package-visible for the PlanSpec/KnnOpsSpec
+    * gate-flip pin: 0 disables every count-guarded broadcast hint so
+    * the PAST-CAP shuffled plan — the shape a 100 TB corpus would run
+    * — is exercised for both plan and output equality at fixture
+    * scale. The skinny-frame cap scales with it (×8: skinny rows are
+    * ~1/8 the bytes of an embedding-carrying row).
+    */
+  private[graft] def bandedKnnAccuracy(s: SparkSession, dir: String,
+      wideHintCap: Long = DedupQueries.BroadcastHintMaxRows / 8)
+      : DataFrame = {
+    val vn = t(s, dir, "embeddings").select(col("vec_id"),
+      col("label"), col("embedding"),
+      graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
+      .persist()
+    def pairCos(e1: Column, n1: Column, e2: Column, n2: Column) =
+      round(graft.functions.Native.dotF(e1, e2) / (n1 * n2), 4)
+        .as("cos")
+    val nVec = vn.count()
+    val nCells = math.max(16,
+      math.ceil(math.sqrt(nVec.toDouble)).toInt)
+    // Count-guarded hints from the ONE count this query already
+    // pays (nCells sizing): under the cap the scoring joins run as
+    // broadcast-hash — pair rows are generated in-row by the BHJ
+    // fan-out and NEVER shuffled, the plan AQE would converge to
+    // anyway at fixture scale. Past the cap every join reverts to
+    // the shuffled shape below, whose largest exchange is the
+    // n-row wide member frame — never a pair-sized one. Embedding
+    // rows are ~64 floats (~300 B), so the wide-frame cap is 1/8 of
+    // the skinny-row default (~40 MB broadcast worst-case).
+    def bcWide(df: DataFrame): DataFrame =
+      DedupQueries.maybeBroadcast(df, nVec, wideHintCap)
+    def bcSkinny(df: DataFrame): DataFrame =
+      DedupQueries.maybeBroadcast(df, nVec, wideHintCap * 8)
+    val cent = vn.withColumn("mix", xxhash64(col("vec_id")))
+      .orderBy("mix").limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+    // n×√n probe pass (cross with the bounded-by-construction √N
+    // centroid frame — PlanSpec-allowlisted); persisted: assignment
+    // and pruning both read it
+    // ONE windowed pass over the n×√n probe frame yields the
+    // assignment (rk = 1), each vector's own cell and own-cell angle
+    // (first over the same ordered frame) — the pre-rework shape ran
+    // a GroupLimit-pruned window for the assignment and then joined
+    // it BACK onto qc for the pruning pass, paying a second n×√n
+    // exchange for columns the one window already had in hand.
+    val wAsg = Window.partitionBy("vec_id")
+      .orderBy(col("cosc").desc, col("cid"))
+    val qc = vn.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        (graft.functions.Native.dotF(col("embedding"), col("ce")) /
+          (col("nrm") * col("cn"))).as("cosc"))
+      .withColumn("theta", acos(least(lit(1.0),
+        greatest(lit(-1.0), col("cosc")))))
+      .withColumn("rk", row_number().over(wAsg))
+      .withColumn("own", first(col("cid")).over(wAsg))
+      .withColumn("own_theta", first(col("theta")).over(wAsg))
+      .persist()
+    val assigned = qc.filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cell"),
+        col("own_theta"))
+    val radii = assigned.groupBy("cell").agg(max("own_theta").as("r"))
+    // memVec: one row per vector carrying its cell AND its
+    // embedding — every scoring consumer reads this frame so the
+    // cosine computes IN-ROW inside the pair-generating join. The
+    // r9 pre-rework shape generated skinny (id1, id2) pairs and
+    // joined the embeddings back on by id — two exchanges of the
+    // PAIR-sized frame (n²-sized here, where isotropic geometry
+    // prunes nothing); carrying the arrays through the n-sized
+    // member frame trades those for one wide n-row shuffle per side.
+    val memVec = assigned.select(col("vec_id"), col("cell"))
+      .join(vn, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        col("nrm"))
+      .persist()
+    val withinHalf = memVec
+      .select(col("vec_id").as("id1"), col("cell"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
+      .join(bcWide(memVec.select(col("vec_id").as("id2"),
+        col("cell").as("c2"), col("embedding").as("e2"),
+        col("nrm").as("n2"))),
+        col("cell") === col("c2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        pairCos(col("e1"), col("n1"), col("e2"), col("n2")))
+      .persist()
+    val withinDir = withinHalf.unionAll(withinHalf.select(
+      col("id2").as("id1"), col("id1").as("id2"), col("cos")))
+    // the pruning floor: 5th-best rounded within-cell cosine (absent
+    // → fewer than 5 in-cell neighbours → no pruning for that q)
+    val l5 = withinDir.withColumn("rk", row_number().over(
+        Window.partitionBy("id1").orderBy(col("cos").desc, col("id2"))))
+      .filter(col("rk") === 5)
+      .select(col("id1").as("vec_id"), col("cos").as("l5"))
+    val probes = qc.filter(col("cid") =!= col("own"))
+      .join(broadcast(radii.withColumnRenamed("cell", "cid")), "cid")
+      .join(bcSkinny(l5), Seq("vec_id"), "left")
+      .filter(col("l5").isNull ||
+        cos(greatest(lit(0.0), col("theta") - col("r"))) >=
+          col("l5") - lit(1e-3))
+      .select(col("vec_id").as("id1"), col("cid").as("cell"))
+    // Cross-cell candidates stay DIRECTIONAL and need no dedup:
+    // probes is one row per surviving (q, cell) and cell members are
+    // unique, so (q, x) appears at most once — a canonicalize+
+    // distinct variant was measured SLOWER here (the distinct's
+    // extra exchange outweighs halving the codegen'd dot products).
+    // e1 attaches BEFORE the cell fan-out (probes is n·cells-sized,
+    // the fan-out is pair-sized): the scored pair rows are born
+    // complete inside the cell join and never shuffle again until
+    // the vote tail's WindowGroupLimit-pruned exchange.
+    val crossDir = probes
+      .join(bcWide(memVec.select(col("vec_id").as("id1"),
+        col("embedding").as("e1"), col("nrm").as("n1"))), "id1")
+      .join(bcWide(memVec.select(col("vec_id").as("id2"), col("cell"),
+        col("embedding").as("e2"), col("nrm").as("n2"))), "cell")
+      .select(col("id1"), col("id2"),
+        pairCos(col("e1"), col("n1"), col("e2"), col("n2")))
+    knnVoteTail(withinDir.unionAll(crossDir),
+      bcSkinny(vn.select(col("vec_id"), col("label"))))
+  }
+
+
   private def hop38(c: Column) =
     c.cast(DecimalType(38, 8)).cast(StringType).cast(DoubleType)
   private def sqlHop38(e: String) =
@@ -155,123 +278,14 @@ object KnnOpsQueries extends QSet {
     // pair-sized one), the assignment window yields own-cell columns
     // in the same pass the old shape re-joined for, and labels attach
     // after the top-5 filter instead of on the n²-row pair frame.
-    // At the sf1.0 rehearsal: ~1.2× brute (55 vs 44 s pre-rework, cap
-    // lifted, outputs identical — ScaleKnnCheck). The crossover is
+    // At the sf1.0 rehearsal: ~1.4× brute (55.3 vs 38.2 s post-rework,
+    // cap lifted, outputs identical — ScaleKnnCheck). The crossover is
     // wherever in-row n² generation stops fitting a task — i.e.
     // exactly the guard's refusal point, past which this is the only
     // exact path that runs at all, with every stage
     // shuffle-partitioned and no driver collect.
-    "q_ml_knn_accuracy_banded" -> ((s, dir) => {
-      val vn = t(s, dir, "embeddings").select(col("vec_id"),
-        col("label"), col("embedding"),
-        graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
-        .persist()
-      def pairCos(e1: Column, n1: Column, e2: Column, n2: Column) =
-        round(graft.functions.Native.dotF(e1, e2) / (n1 * n2), 4)
-          .as("cos")
-      val nVec = vn.count()
-      val nCells = math.max(16,
-        math.ceil(math.sqrt(nVec.toDouble)).toInt)
-      // Count-guarded hints from the ONE count this query already
-      // pays (nCells sizing): under the cap the scoring joins run as
-      // broadcast-hash — pair rows are generated in-row by the BHJ
-      // fan-out and NEVER shuffled, the plan AQE would converge to
-      // anyway at fixture scale. Past the cap every join reverts to
-      // the shuffled shape below, whose largest exchange is the
-      // n-row wide member frame — never a pair-sized one. Embedding
-      // rows are ~64 floats (~300 B), so the wide-frame cap is 1/8 of
-      // the skinny-row default (~40 MB broadcast worst-case).
-      def bcWide(df: DataFrame): DataFrame =
-        DedupQueries.maybeBroadcast(df, nVec,
-          DedupQueries.BroadcastHintMaxRows / 8)
-      def bcSkinny(df: DataFrame): DataFrame =
-        DedupQueries.maybeBroadcast(df, nVec)
-      val cent = vn.withColumn("mix", xxhash64(col("vec_id")))
-        .orderBy("mix").limit(nCells)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-          col("nrm").as("cn"))
-      // n×√n probe pass (cross with the bounded-by-construction √N
-      // centroid frame — PlanSpec-allowlisted); persisted: assignment
-      // and pruning both read it
-      // ONE windowed pass over the n×√n probe frame yields the
-      // assignment (rk = 1), each vector's own cell and own-cell angle
-      // (first over the same ordered frame) — the pre-rework shape ran
-      // a GroupLimit-pruned window for the assignment and then joined
-      // it BACK onto qc for the pruning pass, paying a second n×√n
-      // exchange for columns the one window already had in hand.
-      val wAsg = Window.partitionBy("vec_id")
-        .orderBy(col("cosc").desc, col("cid"))
-      val qc = vn.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("cid"),
-          (graft.functions.Native.dotF(col("embedding"), col("ce")) /
-            (col("nrm") * col("cn"))).as("cosc"))
-        .withColumn("theta", acos(least(lit(1.0),
-          greatest(lit(-1.0), col("cosc")))))
-        .withColumn("rk", row_number().over(wAsg))
-        .withColumn("own", first(col("cid")).over(wAsg))
-        .withColumn("own_theta", first(col("theta")).over(wAsg))
-        .persist()
-      val assigned = qc.filter(col("rk") === 1)
-        .select(col("vec_id"), col("cid").as("cell"),
-          col("own_theta"))
-      val radii = assigned.groupBy("cell").agg(max("own_theta").as("r"))
-      // memVec: one row per vector carrying its cell AND its
-      // embedding — every scoring consumer reads this frame so the
-      // cosine computes IN-ROW inside the pair-generating join. The
-      // r9 pre-rework shape generated skinny (id1, id2) pairs and
-      // joined the embeddings back on by id — two exchanges of the
-      // PAIR-sized frame (n²-sized here, where isotropic geometry
-      // prunes nothing); carrying the arrays through the n-sized
-      // member frame trades those for one wide n-row shuffle per side.
-      val memVec = assigned.select(col("vec_id"), col("cell"))
-        .join(vn, "vec_id")
-        .select(col("vec_id"), col("cell"), col("embedding"),
-          col("nrm"))
-        .persist()
-      val withinHalf = memVec
-        .select(col("vec_id").as("id1"), col("cell"),
-          col("embedding").as("e1"), col("nrm").as("n1"))
-        .join(bcWide(memVec.select(col("vec_id").as("id2"),
-          col("cell").as("c2"), col("embedding").as("e2"),
-          col("nrm").as("n2"))),
-          col("cell") === col("c2") && col("id1") < col("id2"))
-        .select(col("id1"), col("id2"),
-          pairCos(col("e1"), col("n1"), col("e2"), col("n2")))
-        .persist()
-      val withinDir = withinHalf.unionAll(withinHalf.select(
-        col("id2").as("id1"), col("id1").as("id2"), col("cos")))
-      // the pruning floor: 5th-best rounded within-cell cosine (absent
-      // → fewer than 5 in-cell neighbours → no pruning for that q)
-      val l5 = withinDir.withColumn("rk", row_number().over(
-          Window.partitionBy("id1").orderBy(col("cos").desc, col("id2"))))
-        .filter(col("rk") === 5)
-        .select(col("id1").as("vec_id"), col("cos").as("l5"))
-      val probes = qc.filter(col("cid") =!= col("own"))
-        .join(broadcast(radii.withColumnRenamed("cell", "cid")), "cid")
-        .join(bcSkinny(l5), Seq("vec_id"), "left")
-        .filter(col("l5").isNull ||
-          cos(greatest(lit(0.0), col("theta") - col("r"))) >=
-            col("l5") - lit(1e-3))
-        .select(col("vec_id").as("id1"), col("cid").as("cell"))
-      // Cross-cell candidates stay DIRECTIONAL and need no dedup:
-      // probes is one row per surviving (q, cell) and cell members are
-      // unique, so (q, x) appears at most once — a canonicalize+
-      // distinct variant was measured SLOWER here (the distinct's
-      // extra exchange outweighs halving the codegen'd dot products).
-      // e1 attaches BEFORE the cell fan-out (probes is n·cells-sized,
-      // the fan-out is pair-sized): the scored pair rows are born
-      // complete inside the cell join and never shuffle again until
-      // the vote tail's WindowGroupLimit-pruned exchange.
-      val crossDir = probes
-        .join(bcWide(memVec.select(col("vec_id").as("id1"),
-          col("embedding").as("e1"), col("nrm").as("n1"))), "id1")
-        .join(bcWide(memVec.select(col("vec_id").as("id2"), col("cell"),
-          col("embedding").as("e2"), col("nrm").as("n2"))), "cell")
-        .select(col("id1"), col("id2"),
-          pairCos(col("e1"), col("n1"), col("e2"), col("n2")))
-      knnVoteTail(withinDir.unionAll(crossDir),
-        bcSkinny(vn.select(col("vec_id"), col("label"))))
-    }),
+    "q_ml_knn_accuracy_banded" -> ((s, dir) =>
+      bandedKnnAccuracy(s, dir)),
 
     // Feed-freshness audit: per event type, last-seen timestamp and
     // staleness vs the feed head — the first panel of every ingest

@@ -52,6 +52,39 @@ class KnnOpsSpec extends AnyFunSuite {
       s"banded=${banded.take(3)} brute=${brute.take(3)}")
   }
 
+  test("banded knn past the hint cap: the shuffled plan drops every " +
+    "count-guarded broadcast and still matches the declared output") {
+    // gate-flip pin (the maybeBroadcast/dim() pattern): wideHintCap=0
+    // forces the shape a 100 TB corpus would run — every scoring join
+    // SHUFFLED, no broadcast of the member/label/floor frames — and
+    // the output must be byte-identical (the hints are physical-plan
+    // accelerators, never semantics)
+    val declared = SparkEntry.queries("q_ml_knn_accuracy_banded")(
+      spark, sf).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    val past = graft.queries.KnnOpsQueries
+      .bandedKnnAccuracy(spark, sf, wideHintCap = 0L)
+    // the un-hinted logical plan must carry NO user broadcast hint on
+    // the corpus-sized frames — every surviving hint must wrap one of
+    // the bounded-by-construction frames: the √N centroid frame (a
+    // GlobalLimit) or the per-cell radii aggregate (max(own_theta)).
+    // (The analyzed tree duplicates shared subtrees per reference, so
+    // hint COUNT is not assertable — the wrapped shape is.)
+    val hints = past.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+        if h.hints.strategy.exists(
+          _ == org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
+    }
+    assert(hints.nonEmpty)
+    hints.foreach { h =>
+      val bounded = h.child.collectFirst {
+        case g: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => g
+      }.isDefined || h.child.toString.contains("max(own_theta")
+      assert(bounded, s"unbounded frame still hinted:\n${h.child}")
+    }
+    assert(past.collect().map(_.toSeq).toSeq == declared)
+  }
+
   test("freshness: last-seen per type recomputes; ALL types present") {
     val rows = SparkEntry.queries("q_ts_freshness")(spark, sf).collect()
     val ev = graft.engine.Tables.events(spark, sf)
