@@ -163,7 +163,18 @@ object Ann {
       .as[(Long, Array[Float], Double)]
       .collect()
     val bcC = spark.sparkContext.broadcast(centroids)
-    // assignment: nprobe nearest cells per vector (cos desc, cell asc)
+    // assignment: nprobe nearest cells per vector (cos desc, cell asc).
+    // The assignment rows CARRY (e, nrm) — the mapPartitions pass has
+    // them in hand anyway, and the cell self-join below then scores
+    // every candidate IN-ROW at pair birth. The former shape emitted
+    // skinny (id, cell) rows and re-joined the vector frame onto the
+    // candidate list by id — fine while AQE broadcast-rescues the
+    // corpus side, but at scale IVF candidates are n^1.5-sized
+    // (√n cells × in-cell pairs), so the dedup + two scoring joins
+    // each exchanged an n^1.5-row frame; the wide assignment exchange
+    // is nprobe·n rows — linear — and nothing pair-sized ever
+    // shuffles again (the scored dedup reuses the join's output
+    // partitioning; the global top-k is a TakeOrdered).
     val assigned = vn.select(col("id"), col("e"), col("nrm"))
       .as[(Long, Array[Float], Double)]
       .mapPartitions { it =>
@@ -175,15 +186,20 @@ object Ann {
             (cid, dot / (n1 * cn))
           }.sortBy { case (cid, cos) => (-cos, cid) }
             .take(nprobe)
-            .map { case (cid, _) => (id, cid) }
+            .map { case (cid, _) => (id, cid, e, n1) }
         }
-      }.toDF("id", "cell")
-    val cand = assigned.select(col("id").as("id1"), col("cell"))
-      .join(assigned.select(col("id").as("id2"), col("cell").as("cell2")),
+      }.toDF("id", "cell", "e", "nrm")
+    assigned.select(col("id").as("id1"), col("cell"),
+        col("e").as("e1"), col("nrm").as("n1"))
+      .join(assigned.select(col("id").as("id2"), col("cell").as("cell2"),
+        col("e").as("e2"), col("nrm").as("n2")),
         col("cell") === col("cell2") && col("id1") < col("id2"))
-      .select("id1", "id2")
+      .select(col("id1"), col("id2"),
+        round(Native.dotF(col("e1"), col("e2")) /
+          (col("n1") * col("n2")), 4).as("cos"))
+      // a pair sharing >1 probed cell scores identically in each —
+      // dedup the SCORED skinny rows (id, id, cos), never a wide frame
       .dropDuplicates("id1", "id2")
-    scorePairs(cand, vn)
       .orderBy(col("cos").desc, col("id1"), col("id2"))
       .limit(k)
   }
