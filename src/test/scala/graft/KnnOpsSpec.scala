@@ -85,6 +85,99 @@ class KnnOpsSpec extends AnyFunSuite {
     assert(past.collect().map(_.toSeq).toSeq == declared)
   }
 
+  test("banded knn on a CLUSTERED corpus: the triangle-inequality " +
+    "prune fires on most foreign cells and the output still equals " +
+    "brute force") {
+    // The graded fixture is isotropic — no exact method can prune it —
+    // so the prune branch passes trivially there (nothing is ever
+    // dropped). This fixture is the opposite regime: 3 tight clusters
+    // around orthogonal axes, where most (vector, foreign-cell) probes
+    // MUST prune. (a) replicates the pruning math locally to prove the
+    // fixture exercises it (≥30% of probes prunable — in fact most);
+    // (b) asserts banded == brute, i.e. the query never prunes a cell
+    // that could hold a top-5 member even when it prunes aggressively.
+    import spark.implicits._
+    val dim = 64
+    val rows = (0L until 600L).map { id =>
+      val c = (id % 3).toInt
+      val e = Array.tabulate(dim) { j =>
+        val base = if (j == c * 21) 1.0f else 0.0f
+        // deterministic small jitter, no RNG (SURVEY A.6)
+        base + (((id * 31 + j * 17) % 7) - 3).toFloat * 0.02f
+      }
+      (id, e.toSeq, c)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("knn_clustered").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "cast(embedding as array<float>) embedding",
+        "cast(label as int) label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // (a) local replication of the pruning decision
+    val em = rows.map { case (id, e, _) =>
+      (id, e.map(_.toDouble).toArray) }
+    val nrm = em.map { case (id, e) =>
+      (id, math.sqrt(e.map(x => x * x).sum)) }.toMap
+    def cosv(a: Array[Double], b: Array[Double], na: Double, nb: Double) =
+      a.indices.map(i => a(i) * b(i)).sum / (na * nb)
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nCells = math.max(16, math.ceil(math.sqrt(600.0)).toInt)
+    val centIds = spark.read
+      .parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "xxhash64(vec_id) mix")
+      .orderBy("mix").limit(nCells)
+      .collect().map(_.getLong(0))
+    val emMap = em.toMap
+    val cents = centIds.map(cid => (cid, emMap(cid), nrm(cid)))
+    val asg = em.map { case (id, e) =>
+      val scored = cents.map { case (cid, ce, cn) =>
+        (cid, cosv(e, ce, nrm(id), cn)) }
+      val (own, ownCos) = scored.minBy { case (cid, c) => (-c, cid) }
+      (id, own, math.acos(math.max(-1.0, math.min(1.0, ownCos))),
+        scored.toMap)
+    }
+    val radius = asg.groupBy(_._2).map { case (cell, v) =>
+      (cell, v.map(_._3).max) }
+    val cellOf = asg.map(a => (a._1, a._2)).toMap
+    val l5 = asg.map { case (id, own, _, _) =>
+      val inCell = em.filter(o => o._1 != id && cellOf(o._1) == own)
+        .map(o => (r4(cosv(emMap(id), o._2, nrm(id), nrm(o._1))), o._1))
+        .sortBy { case (c, oid) => (-c, oid) }
+      (id, if (inCell.length >= 5) Some(inCell(4)._1) else None)
+    }.toMap
+    var total = 0; var pruned = 0
+    asg.foreach { case (id, own, _, scored) =>
+      cents.foreach { case (cid, _, _) =>
+        // cells nobody assigned to hold no members — the query's inner
+        // join on radii drops those probes; skip them here too
+        if (cid != own && radius.contains(cid)) {
+          total += 1
+          l5(id).foreach { floor =>
+            val th = math.acos(math.max(-1.0,
+              math.min(1.0, scored(cid))))
+            val cap = math.cos(math.max(0.0, th - radius(cid)))
+            if (cap < floor - 1e-3) pruned += 1
+          }
+        }
+      }
+    }
+    assert(pruned.toDouble / total >= 0.3,
+      s"fixture does not exercise pruning: $pruned/$total")
+
+    // (b) exactness under real pruning
+    val brute = graft.queries.KnnOpsQueries
+      .bruteKnnAccuracy(spark, dir).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    val banded = SparkEntry.queries("q_ml_knn_accuracy_banded")(
+      spark, dir).collect().map(_.toSeq).toSeq
+    assert(banded == brute, s"banded=$banded brute=$brute")
+    // sanity: tight orthogonal clusters ⇒ perfect 5-NN accuracy
+    assert(banded.forall(_.last == 1.0), banded.toString)
+    spark.catalog.clearCache()
+  }
+
   test("freshness: last-seen per type recomputes; ALL types present") {
     val rows = SparkEntry.queries("q_ts_freshness")(spark, sf).collect()
     val ev = graft.engine.Tables.events(spark, sf)
