@@ -114,6 +114,13 @@ object DedupQueries extends QSet {
 
     "q_dedup_embedding" -> ((s, dir) => embeddingDedup(s, dir, 0.40)),
 
+    // The scale companion to q_dedup_embedding, whose all-pairs guard
+    // refuses large corpora by design: EXACT cell-pruned threshold
+    // dedup, provably the same output (shares the exhaustive DuckDB
+    // oracle). See [[embeddingDedupBanded]] for the pruning proof.
+    "q_dedup_embedding_banded" -> ((s, dir) =>
+      embeddingDedupBanded(s, dir, 0.40)),
+
     "q_sim_cosine_topk" -> ((s, dir) => cosineTopK(s, dir, 10)),
 
     // Non-oracle (random-hyperplane LSH is impl-defined): LibrarySpec
@@ -1034,6 +1041,16 @@ object DedupQueries extends QSet {
           round(graft.functions.Native.dotF(col("e1"), col("e2")) /
             (col("n1") * col("n2")), 4) >= tau)
       .select("vid", "nbr")
+    repExpandEmbedding(s, dir, pairs)
+  }
+
+  /** Shared representative tail of both embedding-dedup variants:
+    * `pairs` is (vid, nbr) with nbr < vid and rounded cosine ≥ tau;
+    * each vector's representative is its minimum qualifying earlier
+    * neighbour (itself if none).
+    */
+  private def repExpandEmbedding(s: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     val rep = pairs.groupBy("vid").agg(min(col("nbr")).as("rep"))
     t(s, dir, "embeddings").select(col("vec_id"))
       .join(rep, col("vec_id") === col("vid"), "left").drop("vid")
@@ -1043,6 +1060,126 @@ object DedupQueries extends QSet {
           .as("is_dup"))
       .orderBy("vec_id")
   }
+
+  /** EXACT threshold dedup at the banded shape — the scale companion to
+    * [[embeddingDedup]] (which REFUSES corpora past its all-pairs
+    * guard). Same machinery as KnnOpsQueries.bandedKnnAccuracy, with a
+    * SIMPLER proof (fixed threshold, no per-query floor):
+    *  1. √N deterministic centroids (smallest xxhash64(id) mix, kept as
+    *     a DataFrame — nothing but the broadcast centroid rows is ever
+    *     driver-resident), one n×√n probe pass scores every
+    *     (vector, centroid) cosine/angle exactly, and each vector's
+    *     own cell is its nearest centroid (the same assignment window).
+    *  2. For q and a foreign cell C with radius r_C (C's max member
+    *     angle to its centroid), every x ∈ C satisfies
+    *     angle(q,x) ≥ θ(q,c_C) − r_C, so
+    *     cos(q,x) ≤ cos(max(0, θ(q,c_C) − r_C)) =: cap. If
+    *     cap < τ − 1e-3 the cell cannot hold a qualifying partner even
+    *     after HALF_UP 4-dp rounding (the 1e-3 slack dominates the
+    *     5e-5 rounding half-step plus acos/cos float error by >10×) —
+    *     prune it; otherwise scan its members exactly with the same
+    *     rounded-cosine ≥ τ predicate the baseline uses.
+    *  3. Both endpoints of any qualifying cross-cell pair (a,b) probe
+    *     each other's cell (cap_a(C_b) ≥ cos(angle(a,b)) ≥ τ − ε by
+    *     the same inequality), so generating candidates from the probe
+    *     side with id1 < id2 inside the join emits every qualifying
+    *     pair EXACTLY once — no distinct, nothing pair-sized ever
+    *     shuffles (scores compute in-row at pair birth; the rep
+    *     aggregate consumes qualifying pairs only). Within-cell pairs
+    *     come from the member self-join, id1 < id2, once each.
+    * The candidate set therefore provably contains every rounded-
+    * cosine-≥ τ pair and nothing the baseline would not also keep —
+    * same output, same DuckDB oracle, at any corpus size. Hints follow
+    * the count-guard pattern (from the one count already paid): BHJ
+    * under the cap, shuffled member-frame joins past it — the widest
+    * exchange is the wide n-row member frame, never a pair list.
+    */
+  def embeddingDedupBanded(s: SparkSession, dir: String,
+      tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vn = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"),
+        graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
+      .persist()
+    val nVec = vn.count()
+    val nCells = math.max(16, math.ceil(math.sqrt(nVec.toDouble)).toInt)
+    def bcWide(df: DataFrame): DataFrame =
+      maybeBroadcast(df, nVec, BroadcastHintMaxRows / 8)
+    val cent = vn.withColumn("mix", xxhash64(col("vec_id")))
+      .orderBy("mix").limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+    val wAsg = Window.partitionBy("vec_id")
+      .orderBy(col("cosc").desc, col("cid"))
+    val qc = vn.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        (graft.functions.Native.dotF(col("embedding"), col("ce")) /
+          (col("nrm") * col("cn"))).as("cosc"))
+      .withColumn("theta", acos(least(lit(1.0),
+        greatest(lit(-1.0), col("cosc")))))
+      .withColumn("rk", row_number().over(wAsg))
+      .withColumn("own", first(col("cid")).over(wAsg))
+      .persist()
+    val assigned = qc.filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cell"),
+        col("theta").as("own_theta"))
+    val radii = assigned.groupBy("cell").agg(max("own_theta").as("r"))
+    val memVec = assigned.select(col("vec_id"), col("cell"))
+      .join(vn, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+      .persist()
+    def scoredGe(e1: Column, n1: Column, e2: Column, n2: Column) =
+      round(graft.functions.Native.dotF(e1, e2) / (n1 * n2), 4) >= tau
+    val within = memVec
+      .select(col("vec_id").as("id1"), col("cell"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
+      .join(bcWide(memVec.select(col("vec_id").as("id2"),
+        col("cell").as("c2"), col("embedding").as("e2"),
+        col("nrm").as("n2"))),
+        col("cell") === col("c2") && col("id1") < col("id2") &&
+          scoredGe(col("e1"), col("n1"), col("e2"), col("n2")))
+      .select("id1", "id2")
+    val probes = qc.filter(col("cid") =!= col("own"))
+      .join(broadcast(radii.withColumnRenamed("cell", "cid")), "cid")
+      .filter(cos(greatest(lit(0.0), col("theta") - col("r"))) >=
+        lit(tau) - lit(1e-3))
+      .select(col("vec_id").as("id1"), col("cid").as("cell"))
+    val cross = probes
+      .join(bcWide(memVec.select(col("vec_id").as("id1"),
+        col("embedding").as("e1"), col("nrm").as("n1"))), "id1")
+      .join(bcWide(memVec.select(col("vec_id").as("id2"), col("cell"),
+        col("embedding").as("e2"), col("nrm").as("n2"))),
+        Seq("cell"))
+      .filter(col("id1") < col("id2") &&
+        scoredGe(col("e1"), col("n1"), col("e2"), col("n2")))
+      .select("id1", "id2")
+    repExpandEmbedding(s, dir, within.unionAll(cross)
+      .select(col("id2").as("vid"), col("id1").as("nbr")))
+  }
+
+  /** Exhaustive embedding-dedup oracle — shared by the all-pairs
+    * baseline AND the exact-by-construction banded path. */
+  private val embeddingDedupSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id,
+      |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      |  FROM v),
+      |pairs AS (
+      |  SELECT b.vec_id AS vid, a.vec_id AS nbr
+      |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |  JOIN n na ON na.vec_id = a.vec_id
+      |  JOIN n nb ON nb.vec_id = b.vec_id
+      |  WHERE round(list_sum(list_transform(generate_series(1, len(a.e)),
+      |    i -> a.e[i] * b.e[i])) / (na.nrm * nb.nrm), 4) >= 0.40),
+      |rep AS (SELECT vid, min(nbr) AS rep FROM pairs GROUP BY vid)
+      |SELECT e.vec_id,
+      |  coalesce(r.rep, e.vec_id) AS rep_id,
+      |  CAST(coalesce(r.rep, e.vec_id) != e.vec_id AS BIGINT) AS is_dup
+      |FROM embeddings e LEFT JOIN rep r ON r.vid = e.vec_id
+      |ORDER BY e.vec_id""".stripMargin
 
   /** Exhaustive 3-gram jaccard ≥ 0.8 pair SQL — the oracle for BOTH the
     * declared ground-truth query and the LSH-verified pipeline (which
@@ -1193,27 +1330,10 @@ object DedupQueries extends QSet {
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
         |ORDER BY d1, d2""".stripMargin,
 
-    "q_dedup_embedding" ->
-      """WITH v AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |  FROM embeddings),
-        |n AS (
-        |  SELECT vec_id,
-        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
-        |  FROM v),
-        |pairs AS (
-        |  SELECT b.vec_id AS vid, a.vec_id AS nbr
-        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
-        |  JOIN n na ON na.vec_id = a.vec_id
-        |  JOIN n nb ON nb.vec_id = b.vec_id
-        |  WHERE round(list_sum(list_transform(generate_series(1, len(a.e)),
-        |    i -> a.e[i] * b.e[i])) / (na.nrm * nb.nrm), 4) >= 0.40),
-        |rep AS (SELECT vid, min(nbr) AS rep FROM pairs GROUP BY vid)
-        |SELECT e.vec_id,
-        |  coalesce(r.rep, e.vec_id) AS rep_id,
-        |  CAST(coalesce(r.rep, e.vec_id) != e.vec_id AS BIGINT) AS is_dup
-        |FROM embeddings e LEFT JOIN rep r ON r.vid = e.vec_id
-        |ORDER BY e.vec_id""".stripMargin,
+    "q_dedup_embedding" -> embeddingDedupSql,
+    // the banded path is provably output-identical (see
+    // embeddingDedupBanded's pruning proof) — same exhaustive oracle
+    "q_dedup_embedding_banded" -> embeddingDedupSql,
 
     "q_sim_cosine_topk" ->
       """WITH v AS (

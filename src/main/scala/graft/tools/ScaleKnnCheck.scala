@@ -42,7 +42,24 @@ object ScaleKnnCheck {
       println(s"banded: $banded")
       println(s"brute : $brute")
     }
+    // same rehearsal for the banded THRESHOLD dedup (its declared
+    // all-pairs twin also refuses 20k vectors)
+    spark.catalog.clearCache()
+    val t2 = System.nanoTime()
+    val dBanded = graft.queries.DedupQueries
+      .embeddingDedupBanded(spark, sfDir, 0.40)
+      .collect().map(_.toSeq).toSeq
+    val tDb = (System.nanoTime() - t2) / 1e9
+    spark.catalog.clearCache()
+    val t3 = System.nanoTime()
+    val dBrute = graft.queries.DedupQueries
+      .embeddingDedup(spark, sfDir, 0.40, maxRows = Long.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    val tDbr = (System.nanoTime() - t3) / 1e9
+    val ok2 = dBanded == dBrute
+    println(f"dedup banded=$tDb%.1fs dedup brute(cap lifted)=$tDbr%.1fs " +
+      s"match=$ok2")
     spark.stop()
-    sys.exit(if (ok) 0 else 1)
+    sys.exit(if (ok && ok2) 0 else 1)
   }
 }

@@ -176,6 +176,22 @@ class KnnOpsSpec extends AnyFunSuite {
     // sanity: tight orthogonal clusters ⇒ perfect 5-NN accuracy
     assert(banded.forall(_.last == 1.0), banded.toString)
     spark.catalog.clearCache()
+
+    // same fixture pins the banded THRESHOLD dedup (its cross-cluster
+    // cells must prune at τ=0.9 — within-cluster cosines are ~0.99,
+    // cross ~0.0 — and the output must still equal the all-pairs
+    // baseline; real duplicates exist here, unlike the isotropic
+    // fixture where τ=0.40 pairs are sparse)
+    val dedupBrute = graft.queries.DedupQueries
+      .embeddingDedup(spark, dir, 0.9).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    val dedupBanded = graft.queries.DedupQueries
+      .embeddingDedupBanded(spark, dir, 0.9).collect().map(_.toSeq).toSeq
+    assert(dedupBanded == dedupBrute)
+    // sanity: the clusters actually produce duplicates
+    assert(dedupBanded.count(_.last == 1L) > 400,
+      s"only ${dedupBanded.count(_.last == 1L)} dups")
+    spark.catalog.clearCache()
   }
 
   test("freshness: last-seen per type recomputes; ALL types present") {
