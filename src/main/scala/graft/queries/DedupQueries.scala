@@ -123,6 +123,13 @@ object DedupQueries extends QSet {
 
     "q_sim_cosine_topk" -> ((s, dir) => cosineTopK(s, dir, 10)),
 
+    // The scale companion to q_sim_cosine_topk (the last guarded
+    // all-pairs baseline to get one): EXACT cell-pruned global top-k,
+    // same output provably, same exhaustive oracle. See
+    // [[cosineTopKBanded]] for the floor + cap pruning proof.
+    "q_sim_cosine_topk_banded" -> ((s, dir) =>
+      cosineTopKBanded(s, dir, 10)),
+
     // Non-oracle (random-hyperplane LSH is impl-defined): LibrarySpec
     // measures its recall against the exact brute-force top-k — ≥9/10
     // for this declared multiprobe config, ≥7/10 for the single-probe
@@ -1044,6 +1051,103 @@ object DedupQueries extends QSet {
     repExpandEmbedding(s, dir, pairs)
   }
 
+  /** EXACT global cosine top-k at the banded shape — the scale
+    * companion to [[cosineTopK]] (which refuses corpora past its
+    * all-pairs guard). Same centroid/cap machinery as
+    * [[embeddingDedupBanded]], with the threshold replaced by a
+    * data-derived GLOBAL floor:
+    *  1. Within-cell pairs are scored exhaustively (in-row at the
+    *     member self-join). Their k-th best rounded cosine L is a
+    *     floor on the true k-th best overall — any pair scoring below
+    *     L cannot displace the k already in hand.
+    *  2. A foreign cell C prunes for q iff its spherical cap
+    *     cos(max(0, θ(q,c_C) − r_C)) < L − 1e-3 (the slack dominates
+    *     the 4-dp rounding half-step plus float error, so a pruned
+    *     pair satisfies round(cos,4) < L strictly). Both endpoints of
+    *     any surviving pair probe each other's cell (cap ≥ its own
+    *     cosine ≥ L − ε), so `id1 < id2` inside the probe join emits
+    *     each candidate exactly once — no distinct, nothing pair-sized
+    *     shuffles.
+    *  3. If fewer than k within-cell pairs exist the floor is void and
+    *     every live cell is scanned (the exhaustive fallback — rare,
+    *     and still cell-partitioned).
+    * Union(within, cross) ⊇ every pair with rounded cosine ≥ the true
+    * k-th best, ranked by the same (cos DESC, id1, id2) total order —
+    * byte-identical to the guarded baseline, shared DuckDB oracle.
+    * The floor rides a 1-row broadcast; hints on the member frame
+    * follow the count-guard pattern.
+    */
+  def cosineTopKBanded(s: SparkSession, dir: String, k: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vn = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"),
+        graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
+      .persist()
+    val nVec = vn.count()
+    val nCells = math.max(16, math.ceil(math.sqrt(nVec.toDouble)).toInt)
+    def bcWide(df: DataFrame): DataFrame =
+      maybeBroadcast(df, nVec, BroadcastHintMaxRows / 8)
+    val cent = vn.withColumn("mix", xxhash64(col("vec_id")))
+      .orderBy("mix").limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+    val wAsg = Window.partitionBy("vec_id")
+      .orderBy(col("cosc").desc, col("cid"))
+    val qc = vn.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        (graft.functions.Native.dotF(col("embedding"), col("ce")) /
+          (col("nrm") * col("cn"))).as("cosc"))
+      .withColumn("theta", acos(least(lit(1.0),
+        greatest(lit(-1.0), col("cosc")))))
+      .withColumn("rk", row_number().over(wAsg))
+      .withColumn("own", first(col("cid")).over(wAsg))
+      .persist()
+    val assigned = qc.filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cell"),
+        col("theta").as("own_theta"))
+    val radii = assigned.groupBy("cell").agg(max("own_theta").as("r"))
+    val memVec = assigned.select(col("vec_id"), col("cell"))
+      .join(vn, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+      .persist()
+    def pairCos(e1: Column, n1: Column, e2: Column, n2: Column) =
+      round(graft.functions.Native.dotF(e1, e2) / (n1 * n2), 4)
+        .as("cos")
+    // persisted: read by the floor aggregate AND the final union
+    val within = memVec
+      .select(col("vec_id").as("id1"), col("cell"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
+      .join(bcWide(memVec.select(col("vec_id").as("id2"),
+        col("cell").as("c2"), col("embedding").as("e2"),
+        col("nrm").as("n2"))),
+        col("cell") === col("c2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        pairCos(col("e1"), col("n1"), col("e2"), col("n2")))
+      .persist()
+    val floor = within.orderBy(col("cos").desc, col("id1"), col("id2"))
+      .limit(k)
+      .agg(min(col("cos")).as("floor"), count(lit(1)).as("nw"))
+    val probes = qc.filter(col("cid") =!= col("own"))
+      .join(broadcast(radii.withColumnRenamed("cell", "cid")), "cid")
+      .crossJoin(broadcast(floor))
+      .filter(col("nw") < k ||
+        cos(greatest(lit(0.0), col("theta") - col("r"))) >=
+          col("floor") - lit(1e-3))
+      .select(col("vec_id").as("id1"), col("cid").as("cell"))
+    val cross = probes
+      .join(bcWide(memVec.select(col("vec_id").as("id1"),
+        col("embedding").as("e1"), col("nrm").as("n1"))), "id1")
+      .join(bcWide(memVec.select(col("vec_id").as("id2"), col("cell"),
+        col("embedding").as("e2"), col("nrm").as("n2"))), Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        pairCos(col("e1"), col("n1"), col("e2"), col("n2")))
+    within.unionAll(cross)
+      .orderBy(col("cos").desc, col("id1"), col("id2"))
+      .limit(k)
+  }
+
   /** Shared representative tail of both embedding-dedup variants:
     * `pairs` is (vid, nbr) with nbr < vid and rounded cosine ≥ tau;
     * each vector's representative is its minimum qualifying earlier
@@ -1335,8 +1439,17 @@ object DedupQueries extends QSet {
     // embeddingDedupBanded's pruning proof) — same exhaustive oracle
     "q_dedup_embedding_banded" -> embeddingDedupSql,
 
-    "q_sim_cosine_topk" ->
-      """WITH v AS (
+    "q_sim_cosine_topk" -> cosineTopKSql,
+    // the banded path is provably output-identical (see
+    // cosineTopKBanded's floor + cap pruning proof) — same oracle
+    "q_sim_cosine_topk_banded" -> cosineTopKSql
+  )
+
+  /** Exhaustive global top-10 cosine-pair oracle — shared by the
+    * all-pairs baseline AND the exact-by-construction banded path.
+    * (lazy: referenced by the `oracle` val declared above it.) */
+  private lazy val cosineTopKSql: String =
+    """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         |  FROM embeddings),
         |n AS (
@@ -1350,5 +1463,4 @@ object DedupQueries extends QSet {
         |JOIN n na ON na.vec_id = a.vec_id
         |JOIN n nb ON nb.vec_id = b.vec_id
         |ORDER BY cos DESC, id1, id2 LIMIT 10""".stripMargin
-  )
 }

@@ -59,7 +59,23 @@ object ScaleKnnCheck {
     val ok2 = dBanded == dBrute
     println(f"dedup banded=$tDb%.1fs dedup brute(cap lifted)=$tDbr%.1fs " +
       s"match=$ok2")
+    // and the banded global top-k (third guarded baseline)
+    spark.catalog.clearCache()
+    val t4 = System.nanoTime()
+    val kBanded = graft.queries.DedupQueries
+      .cosineTopKBanded(spark, sfDir, 10)
+      .collect().map(_.toSeq).toSeq
+    val tKb = (System.nanoTime() - t4) / 1e9
+    spark.catalog.clearCache()
+    val t5 = System.nanoTime()
+    val kBrute = graft.queries.DedupQueries
+      .cosineTopK(spark, sfDir, 10, maxRows = Long.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    val tKbr = (System.nanoTime() - t5) / 1e9
+    val ok3 = kBanded == kBrute
+    println(f"topk banded=$tKb%.1fs topk brute(cap lifted)=$tKbr%.1fs " +
+      s"match=$ok3")
     spark.stop()
-    sys.exit(if (ok && ok2) 0 else 1)
+    sys.exit(if (ok && ok2 && ok3) 0 else 1)
   }
 }

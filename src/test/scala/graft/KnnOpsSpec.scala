@@ -192,6 +192,18 @@ class KnnOpsSpec extends AnyFunSuite {
     assert(dedupBanded.count(_.last == 1L) > 400,
       s"only ${dedupBanded.count(_.last == 1L)} dups")
     spark.catalog.clearCache()
+
+    // and the banded GLOBAL top-k (its floor comes from within-cell
+    // pairs — 1.0 here via identical-jitter clones — so every
+    // cross-cluster cell must prune)
+    val topkBrute = graft.queries.DedupQueries
+      .cosineTopK(spark, dir, 10).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    val topkBanded = graft.queries.DedupQueries
+      .cosineTopKBanded(spark, dir, 10).collect().map(_.toSeq).toSeq
+    assert(topkBanded == topkBrute,
+      s"banded=$topkBanded brute=$topkBrute")
+    spark.catalog.clearCache()
   }
 
   test("freshness: last-seen per type recomputes; ALL types present") {
