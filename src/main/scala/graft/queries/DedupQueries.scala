@@ -1051,6 +1051,69 @@ object DedupQueries extends QSet {
     repExpandEmbedding(s, dir, pairs)
   }
 
+  /** The shared √N-cell index every exact banded vector operator
+    * builds on (kNN accuracy, threshold dedup, global top-k):
+    *  - `vn`      (vec_id, label?, embedding, nrm) persisted corpus
+    *  - `nVec`    its count (the one job the count-guarded hints ride)
+    *  - `qc`      the n×√n (vector, centroid) probe frame with exact
+    *              cosine/angle, assignment rank and own-cell columns
+    *              from ONE window pass, persisted
+    *  - `assigned`(vec_id, cell, own_theta) — the rk = 1 rows
+    *  - `radii`   per-cell max member angle (the pruning radius)
+    *  - `memVec`  (vec_id, cell, embedding, nrm) — the n-row member
+    *              frame every scoring join carries the arrays through,
+    *              persisted
+    * Centroids are the √N smallest xxhash64(id) mixes — deterministic
+    * on any run/partitioning, only the broadcast centroid rows are
+    * driver-resident. Cosines fold in array order in DOUBLE via the
+    * codegen'd native expressions (identical to the brute baselines
+    * and the DuckDB oracle).
+    */
+  private[graft] final case class CellIndex(vn: DataFrame, nVec: Long,
+      qc: DataFrame, assigned: DataFrame, radii: DataFrame,
+      memVec: DataFrame)
+
+  private[graft] def buildCellIndex(s: SparkSession, dir: String)
+      : CellIndex = {
+    import org.apache.spark.sql.expressions.Window
+    val vn = t(s, dir, "embeddings").select(col("vec_id"),
+        col("label"), col("embedding"),
+        graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
+      .persist()
+    val nVec = vn.count()
+    val nCells = math.max(16, math.ceil(math.sqrt(nVec.toDouble)).toInt)
+    val cent = vn.withColumn("mix", xxhash64(col("vec_id")))
+      .orderBy("mix").limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+    val wAsg = Window.partitionBy("vec_id")
+      .orderBy(col("cosc").desc, col("cid"))
+    val qc = vn.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        (graft.functions.Native.dotF(col("embedding"), col("ce")) /
+          (col("nrm") * col("cn"))).as("cosc"))
+      .withColumn("theta", acos(least(lit(1.0),
+        greatest(lit(-1.0), col("cosc")))))
+      .withColumn("rk", row_number().over(wAsg))
+      .withColumn("own", first(col("cid")).over(wAsg))
+      .persist()
+    val assigned = qc.filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cell"),
+        col("theta").as("own_theta"))
+    val radii = assigned.groupBy("cell").agg(max("own_theta").as("r"))
+    val memVec = assigned.select(col("vec_id"), col("cell"))
+      .join(vn, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+      .persist()
+    CellIndex(vn, nVec, qc, assigned, radii, memVec)
+  }
+
+  /** The rounded pair cosine every banded operator scores with —
+    * identical expression shape to the guarded baselines. */
+  private[graft] def pairCosCol(e1: Column, n1: Column,
+      e2: Column, n2: Column): Column =
+    round(graft.functions.Native.dotF(e1, e2) / (n1 * n2), 4)
+
   /** EXACT global cosine top-k at the banded shape — the scale
     * companion to [[cosineTopK]] (which refuses corpora past its
     * all-pairs guard). Same centroid/cap machinery as
@@ -1079,70 +1142,40 @@ object DedupQueries extends QSet {
     */
   def cosineTopKBanded(s: SparkSession, dir: String, k: Int)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val vn = t(s, dir, "embeddings").select(col("vec_id"),
-        col("embedding"),
-        graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
-      .persist()
-    val nVec = vn.count()
-    val nCells = math.max(16, math.ceil(math.sqrt(nVec.toDouble)).toInt)
+    val ci = buildCellIndex(s, dir)
     def bcWide(df: DataFrame): DataFrame =
-      maybeBroadcast(df, nVec, BroadcastHintMaxRows / 8)
-    val cent = vn.withColumn("mix", xxhash64(col("vec_id")))
-      .orderBy("mix").limit(nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        col("nrm").as("cn"))
-    val wAsg = Window.partitionBy("vec_id")
-      .orderBy(col("cosc").desc, col("cid"))
-    val qc = vn.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cid"),
-        (graft.functions.Native.dotF(col("embedding"), col("ce")) /
-          (col("nrm") * col("cn"))).as("cosc"))
-      .withColumn("theta", acos(least(lit(1.0),
-        greatest(lit(-1.0), col("cosc")))))
-      .withColumn("rk", row_number().over(wAsg))
-      .withColumn("own", first(col("cid")).over(wAsg))
-      .persist()
-    val assigned = qc.filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid").as("cell"),
-        col("theta").as("own_theta"))
-    val radii = assigned.groupBy("cell").agg(max("own_theta").as("r"))
-    val memVec = assigned.select(col("vec_id"), col("cell"))
-      .join(vn, "vec_id")
-      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-      .persist()
-    def pairCos(e1: Column, n1: Column, e2: Column, n2: Column) =
-      round(graft.functions.Native.dotF(e1, e2) / (n1 * n2), 4)
-        .as("cos")
+      maybeBroadcast(df, ci.nVec, BroadcastHintMaxRows / 8)
     // persisted: read by the floor aggregate AND the final union
-    val within = memVec
+    val within = ci.memVec
       .select(col("vec_id").as("id1"), col("cell"),
         col("embedding").as("e1"), col("nrm").as("n1"))
-      .join(bcWide(memVec.select(col("vec_id").as("id2"),
+      .join(bcWide(ci.memVec.select(col("vec_id").as("id2"),
         col("cell").as("c2"), col("embedding").as("e2"),
         col("nrm").as("n2"))),
         col("cell") === col("c2") && col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        pairCos(col("e1"), col("n1"), col("e2"), col("n2")))
+        pairCosCol(col("e1"), col("n1"), col("e2"), col("n2"))
+          .as("cos"))
       .persist()
     val floor = within.orderBy(col("cos").desc, col("id1"), col("id2"))
       .limit(k)
       .agg(min(col("cos")).as("floor"), count(lit(1)).as("nw"))
-    val probes = qc.filter(col("cid") =!= col("own"))
-      .join(broadcast(radii.withColumnRenamed("cell", "cid")), "cid")
+    val probes = ci.qc.filter(col("cid") =!= col("own"))
+      .join(broadcast(ci.radii.withColumnRenamed("cell", "cid")), "cid")
       .crossJoin(broadcast(floor))
       .filter(col("nw") < k ||
         cos(greatest(lit(0.0), col("theta") - col("r"))) >=
           col("floor") - lit(1e-3))
       .select(col("vec_id").as("id1"), col("cid").as("cell"))
     val cross = probes
-      .join(bcWide(memVec.select(col("vec_id").as("id1"),
+      .join(bcWide(ci.memVec.select(col("vec_id").as("id1"),
         col("embedding").as("e1"), col("nrm").as("n1"))), "id1")
-      .join(bcWide(memVec.select(col("vec_id").as("id2"), col("cell"),
+      .join(bcWide(ci.memVec.select(col("vec_id").as("id2"), col("cell"),
         col("embedding").as("e2"), col("nrm").as("n2"))), Seq("cell"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        pairCos(col("e1"), col("n1"), col("e2"), col("n2")))
+        pairCosCol(col("e1"), col("n1"), col("e2"), col("n2"))
+          .as("cos"))
     within.unionAll(cross)
       .orderBy(col("cos").desc, col("id1"), col("id2"))
       .limit(k)
@@ -1200,58 +1233,29 @@ object DedupQueries extends QSet {
     */
   def embeddingDedupBanded(s: SparkSession, dir: String,
       tau: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val vn = t(s, dir, "embeddings").select(col("vec_id"),
-        col("embedding"),
-        graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
-      .persist()
-    val nVec = vn.count()
-    val nCells = math.max(16, math.ceil(math.sqrt(nVec.toDouble)).toInt)
+    val ci = buildCellIndex(s, dir)
     def bcWide(df: DataFrame): DataFrame =
-      maybeBroadcast(df, nVec, BroadcastHintMaxRows / 8)
-    val cent = vn.withColumn("mix", xxhash64(col("vec_id")))
-      .orderBy("mix").limit(nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        col("nrm").as("cn"))
-    val wAsg = Window.partitionBy("vec_id")
-      .orderBy(col("cosc").desc, col("cid"))
-    val qc = vn.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cid"),
-        (graft.functions.Native.dotF(col("embedding"), col("ce")) /
-          (col("nrm") * col("cn"))).as("cosc"))
-      .withColumn("theta", acos(least(lit(1.0),
-        greatest(lit(-1.0), col("cosc")))))
-      .withColumn("rk", row_number().over(wAsg))
-      .withColumn("own", first(col("cid")).over(wAsg))
-      .persist()
-    val assigned = qc.filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid").as("cell"),
-        col("theta").as("own_theta"))
-    val radii = assigned.groupBy("cell").agg(max("own_theta").as("r"))
-    val memVec = assigned.select(col("vec_id"), col("cell"))
-      .join(vn, "vec_id")
-      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-      .persist()
+      maybeBroadcast(df, ci.nVec, BroadcastHintMaxRows / 8)
     def scoredGe(e1: Column, n1: Column, e2: Column, n2: Column) =
-      round(graft.functions.Native.dotF(e1, e2) / (n1 * n2), 4) >= tau
-    val within = memVec
+      pairCosCol(e1, n1, e2, n2) >= tau
+    val within = ci.memVec
       .select(col("vec_id").as("id1"), col("cell"),
         col("embedding").as("e1"), col("nrm").as("n1"))
-      .join(bcWide(memVec.select(col("vec_id").as("id2"),
+      .join(bcWide(ci.memVec.select(col("vec_id").as("id2"),
         col("cell").as("c2"), col("embedding").as("e2"),
         col("nrm").as("n2"))),
         col("cell") === col("c2") && col("id1") < col("id2") &&
           scoredGe(col("e1"), col("n1"), col("e2"), col("n2")))
       .select("id1", "id2")
-    val probes = qc.filter(col("cid") =!= col("own"))
-      .join(broadcast(radii.withColumnRenamed("cell", "cid")), "cid")
+    val probes = ci.qc.filter(col("cid") =!= col("own"))
+      .join(broadcast(ci.radii.withColumnRenamed("cell", "cid")), "cid")
       .filter(cos(greatest(lit(0.0), col("theta") - col("r"))) >=
         lit(tau) - lit(1e-3))
       .select(col("vec_id").as("id1"), col("cid").as("cell"))
     val cross = probes
-      .join(bcWide(memVec.select(col("vec_id").as("id1"),
+      .join(bcWide(ci.memVec.select(col("vec_id").as("id1"),
         col("embedding").as("e1"), col("nrm").as("n1"))), "id1")
-      .join(bcWide(memVec.select(col("vec_id").as("id2"), col("cell"),
+      .join(bcWide(ci.memVec.select(col("vec_id").as("id2"), col("cell"),
         col("embedding").as("e2"), col("nrm").as("n2"))),
         Seq("cell"))
       .filter(col("id1") < col("id2") &&

@@ -108,71 +108,33 @@ object KnnOpsQueries extends QSet {
   private[graft] def bandedKnnAccuracy(s: SparkSession, dir: String,
       wideHintCap: Long = DedupQueries.BroadcastHintMaxRows / 8)
       : DataFrame = {
-    val vn = t(s, dir, "embeddings").select(col("vec_id"),
-      col("label"), col("embedding"),
-      graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
-      .persist()
+    // the shared √N-cell index (DedupQueries.buildCellIndex): ONE
+    // windowed pass over the n×√n probe frame yields assignment,
+    // own-cell and angle columns; memVec carries the embeddings so
+    // every cosine computes IN-ROW inside the pair-generating join
+    // (the pre-rework shape exchanged the PAIR-sized frame twice to
+    // attach them — n²-sized here, where isotropic geometry prunes
+    // nothing).
+    val ci = DedupQueries.buildCellIndex(s, dir)
+    val vn = ci.vn
     def pairCos(e1: Column, n1: Column, e2: Column, n2: Column) =
-      round(graft.functions.Native.dotF(e1, e2) / (n1 * n2), 4)
-        .as("cos")
-    val nVec = vn.count()
-    val nCells = math.max(16,
-      math.ceil(math.sqrt(nVec.toDouble)).toInt)
-    // Count-guarded hints from the ONE count this query already
-    // pays (nCells sizing): under the cap the scoring joins run as
-    // broadcast-hash — pair rows are generated in-row by the BHJ
-    // fan-out and NEVER shuffled, the plan AQE would converge to
-    // anyway at fixture scale. Past the cap every join reverts to
-    // the shuffled shape below, whose largest exchange is the
-    // n-row wide member frame — never a pair-sized one. Embedding
-    // rows are ~64 floats (~300 B), so the wide-frame cap is 1/8 of
-    // the skinny-row default (~40 MB broadcast worst-case).
+      DedupQueries.pairCosCol(e1, n1, e2, n2).as("cos")
+    // Count-guarded hints from the ONE count the index already pays:
+    // under the cap the scoring joins run as broadcast-hash — pair
+    // rows are generated in-row by the BHJ fan-out and NEVER
+    // shuffled, the plan AQE would converge to anyway at fixture
+    // scale. Past the cap every join reverts to the shuffled shape,
+    // whose largest exchange is the n-row wide member frame — never
+    // a pair-sized one. Embedding rows are ~64 floats (~300 B), so
+    // the wide-frame cap is 1/8 of the skinny-row default (~40 MB
+    // broadcast worst-case).
     def bcWide(df: DataFrame): DataFrame =
-      DedupQueries.maybeBroadcast(df, nVec, wideHintCap)
+      DedupQueries.maybeBroadcast(df, ci.nVec, wideHintCap)
     def bcSkinny(df: DataFrame): DataFrame =
-      DedupQueries.maybeBroadcast(df, nVec, wideHintCap * 8)
-    val cent = vn.withColumn("mix", xxhash64(col("vec_id")))
-      .orderBy("mix").limit(nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        col("nrm").as("cn"))
-    // n×√n probe pass (cross with the bounded-by-construction √N
-    // centroid frame — PlanSpec-allowlisted); persisted: assignment
-    // and pruning both read it
-    // ONE windowed pass over the n×√n probe frame yields the
-    // assignment (rk = 1), each vector's own cell and own-cell angle
-    // (first over the same ordered frame) — the pre-rework shape ran
-    // a GroupLimit-pruned window for the assignment and then joined
-    // it BACK onto qc for the pruning pass, paying a second n×√n
-    // exchange for columns the one window already had in hand.
-    val wAsg = Window.partitionBy("vec_id")
-      .orderBy(col("cosc").desc, col("cid"))
-    val qc = vn.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cid"),
-        (graft.functions.Native.dotF(col("embedding"), col("ce")) /
-          (col("nrm") * col("cn"))).as("cosc"))
-      .withColumn("theta", acos(least(lit(1.0),
-        greatest(lit(-1.0), col("cosc")))))
-      .withColumn("rk", row_number().over(wAsg))
-      .withColumn("own", first(col("cid")).over(wAsg))
-      .withColumn("own_theta", first(col("theta")).over(wAsg))
-      .persist()
-    val assigned = qc.filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid").as("cell"),
-        col("own_theta"))
-    val radii = assigned.groupBy("cell").agg(max("own_theta").as("r"))
-    // memVec: one row per vector carrying its cell AND its
-    // embedding — every scoring consumer reads this frame so the
-    // cosine computes IN-ROW inside the pair-generating join. The
-    // r9 pre-rework shape generated skinny (id1, id2) pairs and
-    // joined the embeddings back on by id — two exchanges of the
-    // PAIR-sized frame (n²-sized here, where isotropic geometry
-    // prunes nothing); carrying the arrays through the n-sized
-    // member frame trades those for one wide n-row shuffle per side.
-    val memVec = assigned.select(col("vec_id"), col("cell"))
-      .join(vn, "vec_id")
-      .select(col("vec_id"), col("cell"), col("embedding"),
-        col("nrm"))
-      .persist()
+      DedupQueries.maybeBroadcast(df, ci.nVec, wideHintCap * 8)
+    val qc = ci.qc
+    val radii = ci.radii
+    val memVec = ci.memVec
     val withinHalf = memVec
       .select(col("vec_id").as("id1"), col("cell"),
         col("embedding").as("e1"), col("nrm").as("n1"))
