@@ -107,7 +107,9 @@ object Plans {
       "q_graph_kcore3", // iterated degree-filter equi-joins, vertex-bounded
       "q_stats_gini", // r9: distributed rank — range-partition + offsets
       "q_ml_knn_accuracy_banded", // r9: exact cell-pruned 5-NN, no all-pairs
-      "q_dedup_containment_prefix") // r9: one shared per-doc array aggregate
+      "q_dedup_containment_prefix", // r9: one shared per-doc array aggregate
+      "q_dedup_embedding_banded", // r9b: cell-pruned threshold dedup
+      "q_sim_cosine_topk_banded") // r9b: cell-pruned global top-k (floor prune)
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by graft.Plans)\n"
     sb ++= s"\nInput: `$sfDir`, `local[$cpus]`, shuffle.partitions=$cpus.\n"
