@@ -1140,11 +1140,11 @@ object DedupQueries extends QSet {
     * The floor rides a 1-row broadcast; hints on the member frame
     * follow the count-guard pattern.
     */
-  def cosineTopKBanded(s: SparkSession, dir: String, k: Int)
-      : DataFrame = {
+  def cosineTopKBanded(s: SparkSession, dir: String, k: Int,
+      wideHintCap: Long = BroadcastHintMaxRows / 8): DataFrame = {
     val ci = buildCellIndex(s, dir)
     def bcWide(df: DataFrame): DataFrame =
-      maybeBroadcast(df, ci.nVec, BroadcastHintMaxRows / 8)
+      maybeBroadcast(df, ci.nVec, wideHintCap)
     // persisted: read by the floor aggregate AND the final union
     val within = ci.memVec
       .select(col("vec_id").as("id1"), col("cell"),
@@ -1231,11 +1231,11 @@ object DedupQueries extends QSet {
     * under the cap, shuffled member-frame joins past it — the widest
     * exchange is the wide n-row member frame, never a pair list.
     */
-  def embeddingDedupBanded(s: SparkSession, dir: String,
-      tau: Double): DataFrame = {
+  def embeddingDedupBanded(s: SparkSession, dir: String, tau: Double,
+      wideHintCap: Long = BroadcastHintMaxRows / 8): DataFrame = {
     val ci = buildCellIndex(s, dir)
     def bcWide(df: DataFrame): DataFrame =
-      maybeBroadcast(df, ci.nVec, BroadcastHintMaxRows / 8)
+      maybeBroadcast(df, ci.nVec, wideHintCap)
     def scoredGe(e1: Column, n1: Column, e2: Column, n2: Column) =
       pairCosCol(e1, n1, e2, n2) >= tau
     val within = ci.memVec

@@ -83,6 +83,26 @@ class KnnOpsSpec extends AnyFunSuite {
       assert(bounded, s"unbounded frame still hinted:\n${h.child}")
     }
     assert(past.collect().map(_.toSeq).toSeq == declared)
+
+    // same flip for the other two banded operators sharing the cell
+    // index: past the cap, output stays byte-identical (the floor /
+    // radii / centroid frames keep their bounded-by-construction hints)
+    spark.catalog.clearCache()
+    val dedupDecl = SparkEntry.queries("q_dedup_embedding_banded")(
+      spark, sf).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    val dedupPast = graft.queries.DedupQueries
+      .embeddingDedupBanded(spark, sf, 0.40, wideHintCap = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(dedupPast == dedupDecl)
+    spark.catalog.clearCache()
+    val topkDecl = SparkEntry.queries("q_sim_cosine_topk_banded")(
+      spark, sf).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    val topkPast = graft.queries.DedupQueries
+      .cosineTopKBanded(spark, sf, 10, wideHintCap = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(topkPast == topkDecl)
   }
 
   test("banded knn on a CLUSTERED corpus: the triangle-inequality " +
