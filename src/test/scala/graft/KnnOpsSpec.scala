@@ -226,6 +226,36 @@ class KnnOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("banded operators on a TINY corpus (fewer vectors than cells): " +
+    "singleton cells, void top-k floor, no within pairs — still exact") {
+    // the degenerate regime: every vector is its own centroid/cell, so
+    // within-cell pairs are empty (the kNN floor and the top-k floor
+    // are both void) and EVERYTHING must flow through the cross tier's
+    // fallback paths
+    import spark.implicits._
+    val rows = (0L until 6L).map { id =>
+      val e = Array.tabulate(64) { j =>
+        (((id * 13 + j * 7) % 11) - 5).toFloat * 0.1f }
+      (id, e.toSeq, (id % 2).toInt)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("knn_tiny").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "cast(embedding as array<float>) embedding",
+        "cast(label as int) label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def rt(df: org.apache.spark.sql.DataFrame) =
+      { val r = df.collect().map(_.toSeq).toSeq
+        spark.catalog.clearCache(); r }
+    assert(rt(graft.queries.KnnOpsQueries.bandedKnnAccuracy(spark, dir))
+      == rt(graft.queries.KnnOpsQueries.bruteKnnAccuracy(spark, dir)))
+    assert(rt(graft.queries.DedupQueries
+        .embeddingDedupBanded(spark, dir, 0.40))
+      == rt(graft.queries.DedupQueries.embeddingDedup(spark, dir, 0.40)))
+    assert(rt(graft.queries.DedupQueries.cosineTopKBanded(spark, dir, 10))
+      == rt(graft.queries.DedupQueries.cosineTopK(spark, dir, 10)))
+  }
+
   test("freshness: last-seen per type recomputes; ALL types present") {
     val rows = SparkEntry.queries("q_ts_freshness")(spark, sf).collect()
     val ev = graft.engine.Tables.events(spark, sf)
