@@ -707,13 +707,22 @@ object DedupQueries extends QSet {
     val nParts = math.max(1, math.min(s.sparkContext.defaultParallelism,
       (pairRdd.count() / 100000L).toInt + 1))
     val part = new HashPartitioner(nParts)
-    val vertsR = pairRdd.flatMap { case (a, b) => Iterator(a, b) }
-      .distinct(nParts)
+    // initial labels fold round 1's neighbor-min in for free: label(v)
+    // starts at min(v, neighbors(v)) from one reduceByKey — one round
+    // (join + two shuffles + fold) cheaper than initializing
+    // label(v) = v and paying the first neighbor-min as a full loop
+    // iteration. Its output is also vertex-DISTINCT by construction,
+    // so the self-loop side of the edge frame reads the label keys
+    // instead of paying the former separate distinct() shuffle.
+    var labels = pairRdd
+      .flatMap { case (a, b) =>
+        val m = math.min(a, b); Iterator((a, m), (b, m)) }
+      .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      .cache()
     val edgesR = pairRdd
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .union(vertsR.map(v => (v, v)))
+      .union(labels.map { case (v, _) => (v, v) })
       .partitionBy(part).cache()
-    var labels = vertsR.map(v => (v, v)).partitionBy(part).cache()
     var prevSum = labels.values.fold(0L)(_ + _)
     var converged = false
     var rounds = 0
