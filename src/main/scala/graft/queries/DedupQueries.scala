@@ -1062,59 +1062,212 @@ object DedupQueries extends QSet {
 
   /** The shared √N-cell index every exact banded vector operator
     * builds on (kNN accuracy, threshold dedup, global top-k):
-    *  - `vn`      (vec_id, label?, embedding, nrm) persisted corpus
+    *  - `vn`      (vec_id, label, embedding, nrm) persisted corpus
     *  - `nVec`    its count (the one job the count-guarded hints ride)
-    *  - `qc`      the n×√n (vector, centroid) probe frame with exact
-    *              cosine/angle, assignment rank and own-cell columns
-    *              from ONE window pass, persisted
-    *  - `assigned`(vec_id, cell, own_theta) — the rk = 1 rows
-    *  - `radii`   per-cell max member angle (the pruning radius)
-    *  - `memVec`  (vec_id, cell, embedding, nrm) — the n-row member
-    *              frame every scoring join carries the arrays through,
-    *              persisted
+    *  - `memVec`  (vec_id, cell, own_theta, embedding, nrm) — the
+    *              n-row member frame every scoring join carries the
+    *              arrays through, persisted. This is the WIDEST frame
+    *              the index ever materializes or exchanges.
+    *  - `bcCent`  the √N (cid, embedding, nrm) centroid rows as a
+    *              broadcast array — bounded by construction, and every
+    *              executor needs all of them (the Ann.ivfCosineTopK
+    *              precedent), so the collect is the point, not a leak
+    *  - `bcRadii` cell → max member angle (the pruning radius), √N
+    *              entries riding the same broadcast channel
     * Centroids are the √N smallest xxhash64(id) mixes — deterministic
-    * on any run/partitioning, only the broadcast centroid rows are
-    * driver-resident. Cosines fold in array order in DOUBLE via the
-    * codegen'd native expressions (identical to the brute baselines
-    * and the DuckDB oracle).
+    * on any run/partitioning. Assignment and probe generation are TWO
+    * LINEAR mapPartitions passes against the broadcast state: each
+    * vector scores all √N centroid cosines IN-ROW (double fold in
+    * array order — bit-identical to the codegen'd native expressions,
+    * the brute baselines and the DuckDB oracle) and emits one
+    * assignment row, then only its SURVIVING (vec_id, cell) probes.
+    * Nothing n×√n-sized is ever exchanged or persisted — the round-9
+    * shape cross-joined the centroid frame and ranked assignments
+    * with a row_number window, which hash-partitioned and cached the
+    * full n×√n probe frame (3×10^10 rows at 10M vectors, through one
+    * exchange: the one scale hazard of the round-9 banded family).
+    *
+    * Precondition (fail-fast, not silent): every embedding has a
+    * positive finite norm. A zero/NaN norm makes cosine undefined —
+    * the brute baselines sort those NaN cosines first while cap
+    * predicates would silently prune them, so the build REFUSES the
+    * corpus instead of letting the twins diverge on degenerate input.
+    *
+    * Cache ownership: the index persists `vn` and `memVec` (and the
+    * topk query its `within` frame). Callers that build many indexes
+    * in one session own cleanup via [[CellIndex.unpersist]]; the
+    * Verify/Bench harness clears all caches between queries.
     */
   private[graft] final case class CellIndex(vn: DataFrame, nVec: Long,
-      qc: DataFrame, assigned: DataFrame, radii: DataFrame,
-      memVec: DataFrame)
+      nCells: Int, memVec: DataFrame,
+      bcCent: org.apache.spark.broadcast.Broadcast[
+        Array[(Long, Array[Float], Double)]],
+      bcRadii: org.apache.spark.broadcast.Broadcast[Map[Long, Double]]) {
+
+    /** Pass 2: the surviving foreign-cell probe list (id1, cell),
+      * emitted in-row per vector against the broadcast centroid/radii
+      * state. `withFloor` is (vec_id, embedding, nrm, floor) — floor
+      * NULL means "prune nothing for this vector" (kNN vectors with
+      * fewer than k in-cell neighbours; the void global floor). A
+      * foreign live cell C survives for q iff its spherical cap
+      * cos(max(0, θ(q,c_C) − r_C)) ≥ floor − 1e-3 (the slack dominates
+      * the 4-dp rounding half-step plus acos/cos float error — see the
+      * per-operator proofs). Output is at most the survivor list —
+      * never a dense n×√n frame — and nothing here shuffles: the pass
+      * is a narrow map over the caller's frame.
+      */
+    def probes(withFloor: DataFrame): DataFrame = {
+      val sp = withFloor.sparkSession
+      import sp.implicits._
+      val bc = bcCent
+      val br = bcRadii
+      withFloor
+        .as[(Long, Array[Float], Double, Option[Double])]
+        .mapPartitions { it =>
+          val cs = bc.value
+          val rm = br.value
+          it.flatMap { case (id, e, n1, fl) =>
+            val cos = CellIndex.centroidCosines(e, n1, cs)
+            val own = CellIndex.ownCell(cos, cs)
+            val out = Seq.newBuilder[(Long, Long)]
+            var i = 0
+            while (i < cs.length) {
+              val cid = cs(i)._1
+              if (cid != own) rm.get(cid) match {
+                case Some(r) =>
+                  val keep = fl match {
+                    case Some(f) =>
+                      val theta = math.acos(
+                        math.min(1.0, math.max(-1.0, cos(i))))
+                      math.cos(math.max(0.0, theta - r)) >= f - 1e-3
+                    case None => true
+                  }
+                  if (keep) out += ((id, cid))
+                case None => () // dead cell: no members, no partners
+              }
+              i += 1
+            }
+            out.result()
+          }
+        }.toDF("id1", "cell")
+    }
+
+    /** Release the index's cached frames (the broadcasts are
+      * context-cleaner-collected once unreferenced). Only call after
+      * every derived result is materialized — the frames recompute
+      * correctly but un-cached if read again. */
+    def unpersist(): Unit = {
+      memVec.unpersist(blocking = false)
+      vn.unpersist(blocking = false)
+    }
+  }
+
+  private[graft] object CellIndex {
+    /** All √N centroid cosines of one vector, computed in-row: double
+      * fold in array order — bit-identical to ArrayDotProductF (and so
+      * to the brute baselines and the DuckDB oracle). */
+    private[graft] def centroidCosines(e: Array[Float], n1: Double,
+        cs: Array[(Long, Array[Float], Double)]): Array[Double] = {
+      val cos = new Array[Double](cs.length)
+      var i = 0
+      while (i < cs.length) {
+        val ce = cs(i)._2
+        var acc = 0.0
+        var j = 0
+        while (j < e.length) {
+          acc += e(j).toDouble * ce(j).toDouble
+          j += 1
+        }
+        cos(i) = acc / (n1 * cs(i)._3)
+        i += 1
+      }
+      cos
+    }
+
+    /** Nearest-centroid id under the assignment total order
+      * (cos DESC, cid ASC) — java.lang.Double.compare matches Spark's
+      * double sort semantics (NaN largest), so the in-row pick equals
+      * the round-9 row_number window decision on every input. */
+    private[graft] def ownCell(cos: Array[Double],
+        cs: Array[(Long, Array[Float], Double)]): Long = {
+      var bestCid = Long.MaxValue
+      var bestCos = Double.NegativeInfinity
+      var first = true
+      var i = 0
+      while (i < cs.length) {
+        val cmp = java.lang.Double.compare(cos(i), bestCos)
+        if (first || cmp > 0 || (cmp == 0 && cs(i)._1 < bestCid)) {
+          bestCos = cos(i)
+          bestCid = cs(i)._1
+          first = false
+        }
+        i += 1
+      }
+      bestCid
+    }
+  }
 
   private[graft] def buildCellIndex(s: SparkSession, dir: String)
       : CellIndex = {
-    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     val vn = t(s, dir, "embeddings").select(col("vec_id"),
         col("label"), col("embedding"),
         graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
       .persist()
     val nVec = vn.count()
     val nCells = math.max(16, math.ceil(math.sqrt(nVec.toDouble)).toInt)
-    val cent = vn.withColumn("mix", xxhash64(col("vec_id")))
-      .orderBy("mix").limit(nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        col("nrm").as("cn"))
-    val wAsg = Window.partitionBy("vec_id")
-      .orderBy(col("cosc").desc, col("cid"))
-    val qc = vn.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cid"),
-        (graft.functions.Native.dotF(col("embedding"), col("ce")) /
-          (col("nrm") * col("cn"))).as("cosc"))
-      .withColumn("theta", acos(least(lit(1.0),
-        greatest(lit(-1.0), col("cosc")))))
-      .withColumn("rk", row_number().over(wAsg))
-      .withColumn("own", first(col("cid")).over(wAsg))
+    // bounded collect (√N rows): every executor needs every centroid,
+    // so the broadcast IS the distribution plan — same posture as
+    // Ann.ivfCosineTopK. Nothing data-sized touches the driver.
+    // rdd.takeOrdered, NOT orderBy().limit(): under the Dataset
+    // deserializer the limit is no longer the plan root, so Catalyst
+    // cannot fuse it into TakeOrderedAndProject and falls back to a
+    // full range-sort exchange of all n wide rows (measured: the
+    // ShuffleMetricsSpec index-build pin caught n extra shuffled
+    // records). takeOrdered merges per-partition top-√N slices on the
+    // driver — zero shuffle at any corpus size. vec_id tie-break keeps
+    // the pick total even on a (2^-64-rare) mix collision.
+    val centroids = vn
+      .select(xxhash64(col("vec_id")).as("mix"), col("vec_id"),
+        col("embedding"), col("nrm"))
+      .as[(Long, Long, Array[Float], Double)]
+      .rdd
+      .takeOrdered(nCells)(Ordering.by(t => (t._1, t._2)))
+      .map(t => (t._2, t._3, t._4))
+    val bcCent = s.sparkContext.broadcast(centroids)
+    // pass 1: one linear in-row assignment pass — n rows out, no
+    // exchange (the radii aggregate below shuffles √N-keyed partials)
+    val memVec = vn.select(col("vec_id"), col("embedding"), col("nrm"))
+      .as[(Long, Array[Float], Double)]
+      .mapPartitions { it =>
+        val cs = bcCent.value
+        it.map { case (id, e, n1) =>
+          require(n1 > 0.0,
+            s"buildCellIndex refuses a zero/NaN-norm embedding " +
+              s"(vec_id=$id): cosine is undefined and the banded and " +
+              "brute paths would diverge silently on it")
+          val cos = CellIndex.centroidCosines(e, n1, cs)
+          val own = CellIndex.ownCell(cos, cs)
+          var best = 0.0
+          var i = 0
+          while (i < cs.length) {
+            if (cs(i)._1 == own) { best = cos(i); i = cs.length }
+            else i += 1
+          }
+          (id, own,
+            math.acos(math.min(1.0, math.max(-1.0, best))), e, n1)
+        }
+      }.toDF("vec_id", "cell", "own_theta", "embedding", "nrm")
       .persist()
-    val assigned = qc.filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid").as("cell"),
-        col("theta").as("own_theta"))
-    val radii = assigned.groupBy("cell").agg(max("own_theta").as("r"))
-    val memVec = assigned.select(col("vec_id"), col("cell"))
-      .join(vn, "vec_id")
-      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-      .persist()
-    CellIndex(vn, nVec, qc, assigned, radii, memVec)
+    // per-cell pruning radius: √N rows, collected onto the broadcast
+    // channel the probe pass already rides (this is also the job that
+    // populates the memVec cache)
+    val radii = memVec.groupBy("cell")
+      .agg(max(col("own_theta")).as("r"))
+      .as[(Long, Double)]
+      .collect()
+    CellIndex(vn, nVec, nCells, memVec,
+      bcCent, s.sparkContext.broadcast(radii.toMap))
   }
 
   /** The rounded pair cosine every banded operator scores with —
@@ -1146,8 +1299,10 @@ object DedupQueries extends QSet {
     * Union(within, cross) ⊇ every pair with rounded cosine ≥ the true
     * k-th best, ranked by the same (cos DESC, id1, id2) total order —
     * byte-identical to the guarded baseline, shared DuckDB oracle.
-    * The floor rides a 1-row broadcast; hints on the member frame
-    * follow the count-guard pattern.
+    * The floor is ONE scalar collected from the persisted within
+    * frame (the componentReps one-scalar-per-round posture) and rides
+    * the probe pass's closure; hints on the member frame follow the
+    * count-guard pattern.
     */
   def cosineTopKBanded(s: SparkSession, dir: String, k: Int,
       wideHintCap: Long = BroadcastHintMaxRows / 8): DataFrame = {
@@ -1166,16 +1321,17 @@ object DedupQueries extends QSet {
         pairCosCol(col("e1"), col("n1"), col("e2"), col("n2"))
           .as("cos"))
       .persist()
-    val floor = within.orderBy(col("cos").desc, col("id1"), col("id2"))
-      .limit(k)
+    val floorRow = within
+      .orderBy(col("cos").desc, col("id1"), col("id2")).limit(k)
       .agg(min(col("cos")).as("floor"), count(lit(1)).as("nw"))
-    val probes = ci.qc.filter(col("cid") =!= col("own"))
-      .join(broadcast(ci.radii.withColumnRenamed("cell", "cid")), "cid")
-      .crossJoin(broadcast(floor))
-      .filter(col("nw") < k ||
-        cos(greatest(lit(0.0), col("theta") - col("r"))) >=
-          col("floor") - lit(1e-3))
-      .select(col("vec_id").as("id1"), col("cid").as("cell"))
+      .head()
+    // fewer than k within-cell pairs → the floor is void: scan every
+    // live cell (NULL floor = prune nothing in the probe pass)
+    val floorOpt: Option[Double] =
+      if (floorRow.getLong(1) < k) None else Some(floorRow.getDouble(0))
+    val probes = ci.probes(ci.vn.select(col("vec_id"), col("embedding"),
+      col("nrm"), floorOpt.map(lit(_)).getOrElse(lit(null))
+        .cast(DoubleType).as("floor")))
     val cross = probes
       .join(bcWide(ci.memVec.select(col("vec_id").as("id1"),
         col("embedding").as("e1"), col("nrm").as("n1"))), "id1")
@@ -1256,11 +1412,8 @@ object DedupQueries extends QSet {
         col("cell") === col("c2") && col("id1") < col("id2") &&
           scoredGe(col("e1"), col("n1"), col("e2"), col("n2")))
       .select("id1", "id2")
-    val probes = ci.qc.filter(col("cid") =!= col("own"))
-      .join(broadcast(ci.radii.withColumnRenamed("cell", "cid")), "cid")
-      .filter(cos(greatest(lit(0.0), col("theta") - col("r"))) >=
-        lit(tau) - lit(1e-3))
-      .select(col("vec_id").as("id1"), col("cid").as("cell"))
+    val probes = ci.probes(ci.vn.select(col("vec_id"), col("embedding"),
+      col("nrm"), lit(tau).cast(DoubleType).as("floor")))
     val cross = probes
       .join(bcWide(ci.memVec.select(col("vec_id").as("id1"),
         col("embedding").as("e1"), col("nrm").as("n1"))), "id1")

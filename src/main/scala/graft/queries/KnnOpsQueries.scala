@@ -108,13 +108,15 @@ object KnnOpsQueries extends QSet {
   private[graft] def bandedKnnAccuracy(s: SparkSession, dir: String,
       wideHintCap: Long = DedupQueries.BroadcastHintMaxRows / 8)
       : DataFrame = {
-    // the shared √N-cell index (DedupQueries.buildCellIndex): ONE
-    // windowed pass over the n×√n probe frame yields assignment,
-    // own-cell and angle columns; memVec carries the embeddings so
-    // every cosine computes IN-ROW inside the pair-generating join
-    // (the pre-rework shape exchanged the PAIR-sized frame twice to
-    // attach them — n²-sized here, where isotropic geometry prunes
-    // nothing).
+    // the shared √N-cell index (DedupQueries.buildCellIndex): two
+    // LINEAR in-row passes against the broadcast centroid/radii state
+    // yield the n-row assignment frame and the surviving probe list —
+    // nothing n×√n-sized is exchanged or persisted (the round-9 shape
+    // cross-joined the centroid frame and ranked it through one
+    // row_number exchange). memVec carries the embeddings so every
+    // cosine computes IN-ROW inside the pair-generating join (the
+    // pre-rework shape exchanged the PAIR-sized frame twice to attach
+    // them — n²-sized here, where isotropic geometry prunes nothing).
     val ci = DedupQueries.buildCellIndex(s, dir)
     val vn = ci.vn
     def pairCos(e1: Column, n1: Column, e2: Column, n2: Column) =
@@ -132,8 +134,6 @@ object KnnOpsQueries extends QSet {
       DedupQueries.maybeBroadcast(df, ci.nVec, wideHintCap)
     def bcSkinny(df: DataFrame): DataFrame =
       DedupQueries.maybeBroadcast(df, ci.nVec, wideHintCap * 8)
-    val qc = ci.qc
-    val radii = ci.radii
     val memVec = ci.memVec
     val withinHalf = memVec
       .select(col("vec_id").as("id1"), col("cell"),
@@ -153,13 +153,15 @@ object KnnOpsQueries extends QSet {
         Window.partitionBy("id1").orderBy(col("cos").desc, col("id2"))))
       .filter(col("rk") === 5)
       .select(col("id1").as("vec_id"), col("cos").as("l5"))
-    val probes = qc.filter(col("cid") =!= col("own"))
-      .join(broadcast(radii.withColumnRenamed("cell", "cid")), "cid")
+    // per-vector floor attaches to the LINEAR corpus frame (skinny
+    // l5 hint-broadcast under the cap; past it an n-row SMJ — still
+    // the member-frame-width invariant), then the probe pass emits
+    // survivors in-row
+    val probes = ci.probes(vn
+      .select(col("vec_id"), col("embedding"), col("nrm"))
       .join(bcSkinny(l5), Seq("vec_id"), "left")
-      .filter(col("l5").isNull ||
-        cos(greatest(lit(0.0), col("theta") - col("r"))) >=
-          col("l5") - lit(1e-3))
-      .select(col("vec_id").as("id1"), col("cid").as("cell"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("l5").as("floor")))
     // Cross-cell candidates stay DIRECTIONAL and need no dedup:
     // probes is one row per surviving (q, cell) and cell members are
     // unique, so (q, x) appears at most once — a canonicalize+

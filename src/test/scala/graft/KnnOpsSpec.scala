@@ -6,9 +6,25 @@ import org.scalatest.funsuite.AnyFunSuite
   * pass): full local kNN-vote replay, freshness recomputation, TOST
   * recomputation, suppression-count agreement.
   */
-class KnnOpsSpec extends AnyFunSuite {
+class KnnOpsSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.Sf
+
+  // fixture parquet dirs are deleted after the suite (they used to
+  // accumulate one pair per test run)
+  private val fixtureDirs =
+    scala.collection.mutable.Buffer[java.nio.file.Path]()
+  private def fixtureDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    fixtureDirs += p
+    p.toString
+  }
+  override def afterAll(): Unit = {
+    fixtureDirs.foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+    super.afterAll()
+  }
 
   test("knn accuracy: local brute-force vote replay matches") {
     val rows = SparkEntry.queries("q_ml_knn_accuracy")(spark, sf)
@@ -64,24 +80,21 @@ class KnnOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     val past = graft.queries.KnnOpsQueries
       .bandedKnnAccuracy(spark, sf, wideHintCap = 0L)
-    // the un-hinted logical plan must carry NO user broadcast hint on
-    // the corpus-sized frames — every surviving hint must wrap one of
-    // the bounded-by-construction frames: the √N centroid frame (a
-    // GlobalLimit) or the per-cell radii aggregate (max(own_theta)).
-    // (The analyzed tree duplicates shared subtrees per reference, so
-    // hint COUNT is not assertable — the wrapped shape is.)
+    // past the cap NO plan-level broadcast hint survives at all: since
+    // the round-10 buildCellIndex rework the bounded centroid/radii
+    // state rides sc.broadcast into the two linear in-row passes (it
+    // never appears as a plan frame), and every remaining join input
+    // is corpus-sized — count-guarded, so flipped off here. A
+    // surviving ResolvedHint would mean an unbounded frame regained an
+    // unconditional hint (the driver-OOM-at-100× shape this pin
+    // exists to catch).
     val hints = past.queryExecution.analyzed.collect {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
         if h.hints.strategy.exists(
           _ == org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
     }
-    assert(hints.nonEmpty)
-    hints.foreach { h =>
-      val bounded = h.child.collectFirst {
-        case g: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => g
-      }.isDefined || h.child.toString.contains("max(own_theta")
-      assert(bounded, s"unbounded frame still hinted:\n${h.child}")
-    }
+    assert(hints.isEmpty,
+      s"corpus-sized frame still hinted past the cap:\n${hints.headOption}")
     assert(past.collect().map(_.toSeq).toSeq == declared)
 
     // same flip for the other two banded operators sharing the cell
@@ -127,8 +140,7 @@ class KnnOpsSpec extends AnyFunSuite {
       }
       (id, e.toSeq, c)
     }
-    val dir = java.nio.file.Files
-      .createTempDirectory("knn_clustered").toString
+    val dir = fixtureDir("knn_clustered")
     rows.toDF("vec_id", "embedding", "label")
       .selectExpr("vec_id", "cast(embedding as array<float>) embedding",
         "cast(label as int) label")
@@ -238,8 +250,7 @@ class KnnOpsSpec extends AnyFunSuite {
         (((id * 13 + j * 7) % 11) - 5).toFloat * 0.1f }
       (id, e.toSeq, (id % 2).toInt)
     }
-    val dir = java.nio.file.Files
-      .createTempDirectory("knn_tiny").toString
+    val dir = fixtureDir("knn_tiny")
     rows.toDF("vec_id", "embedding", "label")
       .selectExpr("vec_id", "cast(embedding as array<float>) embedding",
         "cast(label as int) label")

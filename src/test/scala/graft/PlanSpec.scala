@@ -315,9 +315,12 @@ class PlanSpec extends AnyFunSuite {
       "q_privacy_tcloseness" -> "broadcast of the 1-row corpus-total frame",
       "q_ml_cohen_kappa" -> "broadcast of the 1-row median-threshold frame",
       "q_ml_knn_accuracy" -> "exact brute-force baseline (guarded; banded swap = q_ml_knn_accuracy_banded)",
-      "q_ml_knn_accuracy_banded" -> "cross with the bounded-by-construction sqrt(N) centroid frame (the n x sqrt(n) IVF probe pass, never n^2)",
-      "q_dedup_embedding_banded" -> "cross with the bounded-by-construction sqrt(N) centroid frame (same probe pass as the banded kNN)",
-      "q_sim_cosine_topk_banded" -> "cross with the sqrt(N) centroid frame + broadcast of the 1-row global-floor frame",
+      // the three banded operators are deliberately ABSENT: since the
+      // round-10 buildCellIndex rework their centroid scoring runs
+      // in-row against broadcast state (two linear mapPartitions
+      // passes), so their plans contain NO cross/BNLJ at all — a
+      // reappearing CartesianProduct there is a regression this lint
+      // must catch, not an allowed baseline.
       "q_ts_freshness" -> "broadcast of the 1-row feed-head frame",
       "q_ts_pacf" -> "cross of two 1-row lag-moment frames",
       "q_text_term_burstiness" -> "broadcast of the 1-row source-count frame",
