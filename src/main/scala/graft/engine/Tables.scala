@@ -132,4 +132,25 @@ object Tables {
   /** SQL-side twin of [[d4]] for oracle strings. */
   def sqlD4(expr: String): String =
     s"CAST(CAST(CAST($expr AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE)"
+
+  /** Lineage cut for iterative loops (componentReps labels, the Lloyd
+    * rounds): values identical, only the plan tree is truncated so AQE
+    * stops re-optimizing every earlier round's subtree. On this
+    * single-JVM image `localCheckpoint` is safe (executor loss IS app
+    * loss), but on a real cluster it is lossy under executor failure —
+    * so a RELIABLE checkpoint dir is injectable via the
+    * `spark.graft.checkpointDir` conf (or `GRAFT_CHECKPOINT_DIR` env):
+    * when set, frames checkpoint through the filesystem instead.
+    */
+  def cutLineage(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.checkpointDir")
+      .orElse(sys.env.get("GRAFT_CHECKPOINT_DIR")) match {
+      case Some(d) =>
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(d)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+  }
 }

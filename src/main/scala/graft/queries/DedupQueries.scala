@@ -228,6 +228,24 @@ object DedupQueries extends QSet {
       maxRows: Long = BroadcastHintMaxRows): DataFrame =
     if (n <= maxRows) broadcast(df) else df
 
+  /** Default for the verify-tier candidate-frame hint toggles: a
+    * candidate frame that feeds exactly one join needs no persist, no
+    * count job and no hint — its own distinct/aggregate exchange
+    * already materializes runtime stats AQE broadcasts from when
+    * small, and the docArr/posting side reuses its aggregate
+    * partitioning when large. Flipped to false in round 10 on
+    * interleaved same-JVM A/B medians at sf0.1 (ABBench, 5 rounds):
+    * minhash_jaccard 2.46 s unhinted vs 2.84 s hinted, prefix_filter
+    * 2.58 vs 2.86, components 2.87 vs 3.53 — the count job and the
+    * extra cache materialization were pure overhead. The ONE site
+    * where the hint measurably wins — containmentPrefixPairs, whose
+    * unpruned candidate set AQE mis-sizes into a sort-merge join
+    * (3.63 s unhinted vs 2.84 hinted) — keeps its own default=true.
+    * The parameter stays so the A/B harness and pins can exercise
+    * both shapes.
+    */
+  private[graft] val HintVerifyCands = false
+
   /** Per-shingle document-frequency bound for the in-row grouped pair
     * generator in [[ngramPairs]]: a shingle group of frequency f holds
     * an f-length doc array in one row (linear — fine) but generates up
@@ -462,7 +480,8 @@ object DedupQueries extends QSet {
     * runs on candidates only. Same oracle as the ground truth —
     * exactness is the graded contract, not a recall target.
     */
-  def prefixFilterPairs(s: SparkSession, dir: String): DataFrame = {
+  def prefixFilterPairs(s: SparkSession, dir: String,
+      hintCands: Boolean = HintVerifyCands): DataFrame = {
     val (groups, members, repDocs) = textGroups(s, dir)
     val sh = shinglesOf(repDocs).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -511,13 +530,18 @@ object DedupQueries extends QSet {
           col("sz1") * 5 >= col("sz2") * 4 &&
           col("sz2") * 5 >= col("sz1") * 4)
       .select("r1", "r2").distinct()
-      .persist()
     // exact verify on candidates only — per-doc array intersect (the
     // shape the minhash-verified pipeline A/B'd at 3.03 s vs 3.60 s
     // against the double candidate-into-shingle-stream join this query
     // used before), reading the SAME persisted arrays the prefixes
-    // came from; candidate hint count-guarded like verifyJaccard
-    val repPairs = maybeBroadcast(cands, cands.count())
+    // came from; candidate frame feeds one join → no persist/count/
+    // hint, AQE broadcasts from the distinct's runtime stats (see
+    // HintVerifyCands)
+    val candsH = if (hintCands) {
+      val c = cands.persist()
+      maybeBroadcast(c, c.count())
+    } else cands
+    val repPairs = candsH
       .join(docArr.select(col("doc_id").as("r1"), col("arr").as("a1")),
         "r1")
       .join(docArr.select(col("doc_id").as("r2"), col("arr").as("a2")),
@@ -585,7 +609,8 @@ object DedupQueries extends QSet {
     * Exactness is the graded contract: shares q_dedup_containment's
     * exhaustive oracle.
     */
-  def containmentPrefixPairs(s: SparkSession, dir: String): DataFrame = {
+  def containmentPrefixPairs(s: SparkSession, dir: String,
+      hintCands: Boolean = true): DataFrame = {
     val (groups, members, repDocs) = textGroups(s, dir)
     val sh = shinglesOf(repDocs).persist()
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("dfq"))
@@ -622,13 +647,18 @@ object DedupQueries extends QSet {
       .select(least(col("dp"), col("dq")).as("r1"),
         greatest(col("dp"), col("dq")).as("r2"))
       .distinct()
-      .persist()
-    // Count-guarded hint (ADVICE r8): unlike the LSH verify stage no
-    // rarity argument bounds the containment candidate set — a
-    // boilerplate-heavy corpus can explode it — so the hint applies
-    // only under the row cap; past it the persisted frame joins
-    // shuffled, strategy chosen by AQE.
-    val repPairs = maybeBroadcast(cands, cands.count())
+    // THE one site where the count-guarded hint measurably beats bare
+    // AQE (interleaved A/B at sf0.1: 2.84 s hinted vs 3.63 unhinted):
+    // containment has no size-ratio prune, so the candidate set is
+    // large enough that AQE's estimate tips the verify join into a
+    // sort-merge of the wide docArr side — the hint (still
+    // count-guarded: a boilerplate-heavy corpus past the row cap joins
+    // shuffled) keeps it broadcast. default hintCands=true here.
+    val candsH = if (hintCands) {
+      val c = cands.persist()
+      maybeBroadcast(c, c.count())
+    } else cands
+    val repPairs = candsH
       .join(docArr.select(col("doc_id").as("r1"), col("arr").as("a1")),
         "r1")
       .join(docArr.select(col("doc_id").as("r2"), col("arr").as("a2")),
@@ -653,11 +683,14 @@ object DedupQueries extends QSet {
     * a strictly decreasing convergence witness). Per round this is one
     * hash join + one aggregate, the standard large-graph CC shape;
     * rounds ≈ cluster diameter (single digits for dedup graphs).
-    * localCheckpoint truncates the growing lineage each round (swap for
-    * a cluster checkpoint dir in deployment). The driver reads ONE
-    * scalar per round — no row data ever collects.
+    * Tables.cutLineage truncates the growing lineage each round
+    * (localCheckpoint in-image; set `spark.graft.checkpointDir` for a
+    * reliable filesystem checkpoint on a real cluster, where
+    * localCheckpoint is lossy under executor failure). The driver
+    * reads ONE scalar per round — no row data ever collects.
     */
-  def componentReps(s: SparkSession, dir: String): DataFrame = {
+  def componentReps(s: SparkSession, dir: String,
+      hintCands: Boolean = HintVerifyCands): DataFrame = {
     import org.apache.spark.HashPartitioner
     // the RDD cache below is the only materialization the loop needs —
     // a DF-level persist on top of it would build a second (columnar)
@@ -677,7 +710,8 @@ object DedupQueries extends QSet {
     // expand through the membership afterwards instead of iterating
     // over duplicate-inflated edges (the expansion pairs would multiply
     // edge volume by multiplicity² for zero extra information).
-    val (repPairs, groups, members, _) = verifiedRepContext(s, dir)
+    val (repPairs, groups, members, _) =
+      verifiedRepContext(s, dir, hintCands)
     val pairs = repPairs.select(col("r1").as("d1"), col("r2").as("d2"))
     // Iterate ONLY over edge-endpoint vertices: isolated documents are
     // their own singleton cluster by definition and re-labelling them
@@ -746,11 +780,13 @@ object DedupQueries extends QSet {
       prevSum = s2
       rounds += 1
     }
-    // localCheckpoint cuts the lineage back to the RDD caches so they
-    // can be freed here — catalog.clearCache() (what Bench/Verify call
-    // between queries) never sees raw RDD persists
-    val labelDf = s.createDataFrame(labels).toDF("doc_id", "label")
-      .localCheckpoint(true)
+    // cutLineage (localCheckpoint in-image; a reliable checkpoint dir
+    // via spark.graft.checkpointDir on a cluster) cuts the lineage
+    // back to the RDD caches so they can be freed here —
+    // catalog.clearCache() (what Bench/Verify call between queries)
+    // never sees raw RDD persists
+    val labelDf = cutLineage(
+      s.createDataFrame(labels).toDF("doc_id", "label"))
     labels.unpersist(blocking = false)
     edgesR.unpersist(blocking = false)
     pairRdd.unpersist(blocking = false)
@@ -879,19 +915,27 @@ object DedupQueries extends QSet {
     * identical, DuckDB-oracle-proven at sf0.001/0.01/0.1.
     */
   private[graft] def verifyJaccard(sh: DataFrame, cand: DataFrame,
-      a: String, b: String): DataFrame = {
+      a: String, b: String, hintCands: Boolean = HintVerifyCands)
+      : DataFrame = {
     val docArr = sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("sh"))).as("arr"))
-    // Count-guarded hint (ADVICE r8): "candidate pairs are rare" is an
-    // expectation, not an invariant — a boilerplate-heavy corpus can
-    // explode the candidate set past broadcast limits, so the hint
-    // applies only under the row cap (the persist makes the guard
-    // count and the join read one materialization). Past the cap the
-    // frame joins shuffled, strategy chosen by AQE. No trailing sort:
-    // every caller either feeds expandRepPairs (whose joins discard
-    // order) or sorts its own final output.
-    val c = cand.persist()
-    maybeBroadcast(c, c.count())
+    // The candidate frame feeds EXACTLY ONE join, so the r9
+    // persist + count + count-guarded hint bought nothing AQE does
+    // not already do: the distinct's exchange materializes the frame,
+    // AQE reads its runtime size and broadcasts it when small —
+    // identical physical join, one fewer job per dedup query (the
+    // docArr side reuses its groupBy(doc_id) partitioning either
+    // way, so no corpus-sized exchange appears in the unhinted plan;
+    // interleaved A/B medians in SCALING.md round-10 notes). The
+    // toggle keeps the old shape callable for the A/B harness and
+    // gate-flip pins. No trailing sort: every caller either feeds
+    // expandRepPairs (whose joins discard order) or sorts its own
+    // final output.
+    val c0 = if (hintCands) {
+      val c = cand.persist()
+      maybeBroadcast(c, c.count())
+    } else cand
+    c0
       .join(docArr.select(col("doc_id").as(a), col("arr").as("a1")), Seq(a))
       .join(docArr.select(col("doc_id").as(b), col("arr").as("a2")), Seq(b))
       .withColumn("inter",
@@ -950,7 +994,8 @@ object DedupQueries extends QSet {
     * 10×-duplicated sf1.0: 17.5 s raw vs ~5 s compressed, identical
     * pair set).
     */
-  private def verifiedRepContext(s: SparkSession, dir: String)
+  private def verifiedRepContext(s: SparkSession, dir: String,
+      hintCands: Boolean = HintVerifyCands)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (groups, members, repDocs) = textGroups(s, dir)
     val sh = shinglesOf(repDocs).persist()
@@ -963,12 +1008,14 @@ object DedupQueries extends QSet {
     val repPairs = verifyJaccard(sh,
       bucketPairs(minhashBuckets(sh, bands = 16))
         .select(col("d1").as("r1"), col("d2").as("r2")),
-      "r1", "r2")
+      "r1", "r2", hintCands)
     (repPairs, groups, members, sizes)
   }
 
-  def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val (repPairs, groups, members, sizes) = verifiedRepContext(s, dir)
+  def minhashVerifiedPairs(s: SparkSession, dir: String,
+      hintCands: Boolean = HintVerifyCands): DataFrame = {
+    val (repPairs, groups, members, sizes) =
+      verifiedRepContext(s, dir, hintCands)
     expandRepPairs(repPairs, groups, members, sizes, "jaccard")
       .orderBy("d1", "d2")
   }
@@ -1057,7 +1104,7 @@ object DedupQueries extends QSet {
           round(graft.functions.Native.dotF(col("e1"), col("e2")) /
             (col("n1") * col("n2")), 4) >= tau)
       .select("vid", "nbr")
-    repExpandEmbedding(s, dir, pairs)
+    repExpandEmbedding(t(s, dir, "embeddings"), pairs)
   }
 
   /** The shared √N-cell index every exact banded vector operator
@@ -1266,8 +1313,53 @@ object DedupQueries extends QSet {
       .agg(max(col("own_theta")).as("r"))
       .as[(Long, Double)]
       .collect()
-    CellIndex(vn, nVec, nCells, memVec,
+    CellIndex(vn, nVec, centroids.length, memVec,
       bcCent, s.sparkContext.broadcast(radii.toMap))
+  }
+
+  /** Persist the cell index as a parquet artifact — the repeated-query
+    * production shape: build once, [[loadCellIndex]] per query batch
+    * instead of re-paying the centroid/assignment build on every
+    * invocation (every banded query used to rebuild it from scratch).
+    * Stored: the n-row member frame, the corpus frame, the √N centroid
+    * rows. Radii re-derive from the member frame's own_theta on load;
+    * doubles round-trip parquet bit-for-bit, so banded outputs from a
+    * loaded index are byte-identical to the in-memory build
+    * (KnnOpsSpec pins all three operators).
+    */
+  private[graft] def writeCellIndex(ci: CellIndex, path: String): Unit = {
+    val s = ci.vn.sparkSession
+    import s.implicits._
+    ci.memVec.write.mode("overwrite").parquet(s"$path/member.parquet")
+    ci.vn.write.mode("overwrite").parquet(s"$path/corpus.parquet")
+    s.createDataset(ci.bcCent.value.toIndexedSeq)
+      .toDF("vec_id", "embedding", "nrm")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids.parquet")
+  }
+
+  /** Rebuild a [[CellIndex]] from a [[writeCellIndex]] artifact: two
+    * linear scans (persisted) + the two bounded collects every
+    * executor needs anyway (√N centroids, √N radii). No assignment
+    * recompute — the member frame IS the assignment.
+    */
+  private[graft] def loadCellIndex(s: SparkSession, path: String)
+      : CellIndex = {
+    import s.implicits._
+    val vn = s.read.parquet(s"$path/corpus.parquet").persist()
+    val memVec = s.read.parquet(s"$path/member.parquet").persist()
+    val nVec = memVec.count()
+    val centroids = s.read.parquet(s"$path/centroids.parquet")
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .as[(Long, Array[Float], Double)]
+      .collect()
+    val radii = memVec.groupBy("cell")
+      .agg(max(col("own_theta")).as("r"))
+      .as[(Long, Double)]
+      .collect()
+    CellIndex(vn, nVec, centroids.length, memVec,
+      s.sparkContext.broadcast(centroids),
+      s.sparkContext.broadcast(radii.toMap))
   }
 
   /** The rounded pair cosine every banded operator scores with —
@@ -1305,8 +1397,13 @@ object DedupQueries extends QSet {
     * count-guard pattern.
     */
   def cosineTopKBanded(s: SparkSession, dir: String, k: Int,
+      wideHintCap: Long = BroadcastHintMaxRows / 8): DataFrame =
+    cosineTopKBandedOn(buildCellIndex(s, dir), k, wideHintCap)
+
+  /** [[cosineTopKBanded]] against an already-built (or
+    * [[loadCellIndex]]-loaded) index — the repeated-query shape. */
+  private[graft] def cosineTopKBandedOn(ci: CellIndex, k: Int,
       wideHintCap: Long = BroadcastHintMaxRows / 8): DataFrame = {
-    val ci = buildCellIndex(s, dir)
     def bcWide(df: DataFrame): DataFrame =
       maybeBroadcast(df, ci.nVec, wideHintCap)
     // persisted: read by the floor aggregate AND the final union
@@ -1351,10 +1448,10 @@ object DedupQueries extends QSet {
     * each vector's representative is its minimum qualifying earlier
     * neighbour (itself if none).
     */
-  private def repExpandEmbedding(s: SparkSession, dir: String,
+  private def repExpandEmbedding(ids: DataFrame,
       pairs: DataFrame): DataFrame = {
     val rep = pairs.groupBy("vid").agg(min(col("nbr")).as("rep"))
-    t(s, dir, "embeddings").select(col("vec_id"))
+    ids.select(col("vec_id"))
       .join(rep, col("vec_id") === col("vid"), "left").drop("vid")
       .select(col("vec_id"),
         coalesce(col("rep"), col("vec_id")).as("rep_id"),
@@ -1397,8 +1494,13 @@ object DedupQueries extends QSet {
     * exchange is the wide n-row member frame, never a pair list.
     */
   def embeddingDedupBanded(s: SparkSession, dir: String, tau: Double,
+      wideHintCap: Long = BroadcastHintMaxRows / 8): DataFrame =
+    embeddingDedupBandedOn(buildCellIndex(s, dir), tau, wideHintCap)
+
+  /** [[embeddingDedupBanded]] against an already-built (or
+    * [[loadCellIndex]]-loaded) index — the repeated-query shape. */
+  private[graft] def embeddingDedupBandedOn(ci: CellIndex, tau: Double,
       wideHintCap: Long = BroadcastHintMaxRows / 8): DataFrame = {
-    val ci = buildCellIndex(s, dir)
     def bcWide(df: DataFrame): DataFrame =
       maybeBroadcast(df, ci.nVec, wideHintCap)
     def scoredGe(e1: Column, n1: Column, e2: Column, n2: Column) =
@@ -1423,7 +1525,7 @@ object DedupQueries extends QSet {
       .filter(col("id1") < col("id2") &&
         scoredGe(col("e1"), col("n1"), col("e2"), col("n2")))
       .select("id1", "id2")
-    repExpandEmbedding(s, dir, within.unionAll(cross)
+    repExpandEmbedding(ci.vn, within.unionAll(cross)
       .select(col("id2").as("vid"), col("id1").as("nbr")))
   }
 

@@ -107,6 +107,16 @@ object KnnOpsQueries extends QSet {
     */
   private[graft] def bandedKnnAccuracy(s: SparkSession, dir: String,
       wideHintCap: Long = DedupQueries.BroadcastHintMaxRows / 8)
+      : DataFrame =
+    bandedKnnAccuracyOn(DedupQueries.buildCellIndex(s, dir),
+      wideHintCap)
+
+  /** [[bandedKnnAccuracy]] against an already-built (or
+    * DedupQueries.loadCellIndex-loaded) index — the repeated-query
+    * shape. */
+  private[graft] def bandedKnnAccuracyOn(
+      ci: graft.queries.DedupQueries.CellIndex,
+      wideHintCap: Long = DedupQueries.BroadcastHintMaxRows / 8)
       : DataFrame = {
     // the shared √N-cell index (DedupQueries.buildCellIndex): two
     // LINEAR in-row passes against the broadcast centroid/radii state
@@ -117,7 +127,6 @@ object KnnOpsQueries extends QSet {
     // cosine computes IN-ROW inside the pair-generating join (the
     // pre-rework shape exchanged the PAIR-sized frame twice to attach
     // them — n²-sized here, where isotropic geometry prunes nothing).
-    val ci = DedupQueries.buildCellIndex(s, dir)
     val vn = ci.vn
     def pairCos(e1: Column, n1: Column, e2: Column, n2: Column) =
       DedupQueries.pairCosCol(e1, n1, e2, n2).as("cos")

@@ -164,7 +164,9 @@ object MlOpsQueries extends QSet {
       // at every stage of round 2 — single-sample cold time 6.8 s →
       // ~3 s on identical data (warm medians unchanged; the componentReps
       // lineage-truncation precedent applied to an unrolled loop)
-      val c1 = update(x, a1).localCheckpoint(true)
+      // cutLineage = localCheckpoint in-image, reliable checkpoint
+      // when spark.graft.checkpointDir is configured (cluster posture)
+      val c1 = cutLineage(update(x, a1))
       val a2 = assign(x, c1)
       a2.select(col("vec_id"), col("cl").as("cluster"), col("dist"))
         .orderBy("vec_id")

@@ -252,10 +252,17 @@ object ABBench {
         .select("d1", "d2", "inter", "jaccard")
         .orderBy("d1", "d2")
     }
+    // round-10 A/B: verify-tier candidate frames — persist+count+
+    // count-guarded hint (r9 shape) vs bare frame under AQE
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "ngram_now" -> (() => graft.SparkEntry.queries("q_dedup_near_ngram")(spark, sfDir)),
-      "ngram_tgp" -> (() => ngramTgPersist(spark, sfDir)),
-      "mj_now" -> (() => graft.SparkEntry.queries("q_dedup_minhash_jaccard")(spark, sfDir)),
+      "mj_hint" -> (() => DedupQueries.minhashVerifiedPairs(spark, sfDir, hintCands = true)),
+      "mj_aqe" -> (() => DedupQueries.minhashVerifiedPairs(spark, sfDir, hintCands = false)),
+      "pf_hint" -> (() => DedupQueries.prefixFilterPairs(spark, sfDir, hintCands = true)),
+      "pf_aqe" -> (() => DedupQueries.prefixFilterPairs(spark, sfDir, hintCands = false)),
+      "cp_hint" -> (() => DedupQueries.containmentPrefixPairs(spark, sfDir, hintCands = true)),
+      "cp_aqe" -> (() => DedupQueries.containmentPrefixPairs(spark, sfDir, hintCands = false)),
+      "cc_hint" -> (() => DedupQueries.componentReps(spark, sfDir, hintCands = true)),
+      "cc_aqe" -> (() => DedupQueries.componentReps(spark, sfDir, hintCands = false)),
     )
     // ---- round-robin medians ----
     val rounds = args.headOption.map(_.toInt).getOrElse(5)

@@ -267,6 +267,27 @@ class KnnOpsSpec extends AnyFunSuite
       == rt(graft.queries.DedupQueries.cosineTopK(spark, dir, 10)))
   }
 
+  test("cell-index artifact: banded operators from a LOADED index are " +
+    "byte-identical to the in-memory build") {
+    // the repeated-query production shape: build once, persist, load
+    // per query batch — no per-invocation centroid/assignment rebuild
+    import graft.queries.{DedupQueries, KnnOpsQueries}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val ci = DedupQueries.buildCellIndex(spark, sf)
+    val idx = fixtureDir("cell_index")
+    DedupQueries.writeCellIndex(ci, idx)
+    val knnMem = rows(KnnOpsQueries.bandedKnnAccuracyOn(ci))
+    val dedupMem = rows(DedupQueries.embeddingDedupBandedOn(ci, 0.40))
+    val topkMem = rows(DedupQueries.cosineTopKBandedOn(ci, 10))
+    spark.catalog.clearCache()
+    val li = DedupQueries.loadCellIndex(spark, idx)
+    assert(rows(KnnOpsQueries.bandedKnnAccuracyOn(li)) == knnMem)
+    assert(rows(DedupQueries.embeddingDedupBandedOn(li, 0.40)) == dedupMem)
+    assert(rows(DedupQueries.cosineTopKBandedOn(li, 10)) == topkMem)
+    spark.catalog.clearCache()
+  }
+
   test("freshness: last-seen per type recomputes; ALL types present") {
     val rows = SparkEntry.queries("q_ts_freshness")(spark, sf).collect()
     val ev = graft.engine.Tables.events(spark, sf)

@@ -774,6 +774,26 @@ class LibrarySpec extends AnyFunSuite {
         (r.getAs[Long]("rep_id"), r.getAs[Long]("cluster_size"))).toMap
     assert(comp == Map(1L -> (1L, 5L), 2L -> (1L, 5L), 4L -> (1L, 5L),
       5L -> (1L, 5L), 6L -> (1L, 5L), 3L -> (3L, 1L)), comp.toString)
+
+    // cutLineage's cluster posture: with spark.graft.checkpointDir set,
+    // the label frame goes through a RELIABLE filesystem checkpoint
+    // (localCheckpoint is lossy under executor failure on a real
+    // cluster) — outputs identical both ways
+    spark.catalog.clearCache()
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", ckDir)
+    try {
+      val comp2 = DedupQueries.componentReps(spark, dir)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("rep_id"), r.getAs[Long]("cluster_size"))).toMap
+      assert(comp2 == comp, s"checkpointed run diverged: $comp2")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(ckDir))
+    }
   }
 
   test("containment dedup: finds a doc embedded in a longer one that " +
