@@ -1012,6 +1012,29 @@ object DedupQueries extends QSet {
     (repPairs, groups, members, sizes)
   }
 
+  /** Group-level output of the verified LSH pipeline: one row per
+    * qualifying REPRESENTATIVE pair with both groups' multiplicities,
+    * for consumers that do not need the doc-level expansion. The
+    * expansion's output grows with duplicate multiplicity² (the sf1.0
+    * rehearsal's one 3× wall-clock mover is exactly its 250,600-pair
+    * doc-level blow-up of ~2.5k group pairs); a dedup pipeline that
+    * only drops duplicates needs the group pairs + `gn` counts, not
+    * every (d1, d2) combination. Doc-level `q_dedup_minhash_jaccard`
+    * stays the declared oracle query; LibrarySpec pins the exact
+    * arithmetic between the two (declared rows = Σ n1·n2 over these
+    * pairs + Σ gn·(gn−1)/2 over exact-dup cliques).
+    */
+  def minhashVerifiedGroupPairs(s: SparkSession, dir: String,
+      hintCands: Boolean = HintVerifyCands): DataFrame = {
+    val (repPairs, groups, _, _) = verifiedRepContext(s, dir, hintCands)
+    repPairs
+      .join(groups.select(col("rep").as("r1"), col("gn").as("n1")), "r1")
+      .join(groups.select(col("rep").as("r2"), col("gn").as("n2")), "r2")
+      .select(col("r1"), col("r2"), col("inter"), col("jaccard"),
+        col("n1"), col("n2"))
+      .orderBy("r1", "r2")
+  }
+
   def minhashVerifiedPairs(s: SparkSession, dir: String,
       hintCands: Boolean = HintVerifyCands): DataFrame = {
     val (repPairs, groups, members, sizes) =

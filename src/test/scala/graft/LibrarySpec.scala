@@ -796,6 +796,36 @@ class LibrarySpec extends AnyFunSuite {
     }
   }
 
+  test("group-level verified-LSH pairs: multiplicity arithmetic " +
+    "reproduces the declared doc-level output exactly") {
+    // the scale-consumer shape: rep pairs + group multiplicities
+    // instead of the multiplicity²-growing doc expansion. Exact
+    // relationship pinned: declared rows = Σ n1·n2 (cross-group
+    // combinations) + Σ gn·(gn−1)/2 (exact-dup cliques, jaccard 1.0)
+    import graft.queries.DedupQueries
+    val grp = DedupQueries.minhashVerifiedGroupPairs(spark, sf).collect()
+    val crossPairs = grp.map(r =>
+      r.getAs[Long]("n1") * r.getAs[Long]("n2")).sum
+    val withinPairs = Tables.t(spark, sf, "documents")
+      .select(md5(col("text")).as("g")).groupBy("g").count()
+      .collect().map(_.getLong(1)).map(n => n * (n - 1) / 2).sum
+    spark.catalog.clearCache()
+    val declared = SparkEntry
+      .queries("q_dedup_minhash_jaccard")(spark, sf).collect()
+    assert(crossPairs + withinPairs == declared.length.toLong,
+      s"$crossPairs cross + $withinPairs within != ${declared.length}")
+    // and each group pair's (inter, jaccard) must equal the declared
+    // row of its representative doc pair
+    val declaredMap = declared.map(r => ((r.getLong(0), r.getLong(1)),
+      (r.getAs[Long]("inter"), r.getAs[Double]("jaccard")))).toMap
+    grp.foreach { r =>
+      val k = (r.getAs[Long]("r1"), r.getAs[Long]("r2"))
+      assert(declaredMap(k) ==
+        (r.getAs[Long]("inter"), r.getAs[Double]("jaccard")), k.toString)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("containment dedup: finds a doc embedded in a longer one that " +
     "jaccard misses") {
     import graft.queries.DedupQueries
