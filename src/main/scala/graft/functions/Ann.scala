@@ -155,13 +155,20 @@ object Ann {
     val vn = withNorm(df, idCol, vecCol).persist()
     // nCentroids <= 0 = auto: √n cells keeps candidate work ~n^1.5
     val nC = if (nCentroids > 0) nCentroids else autoCentroids(vn.count())
+    // rdd.takeOrdered, not orderBy().limit(): under the Dataset
+    // deserializer the limit loses TakeOrderedAndProject fusion and
+    // the pick pays a full range-sort exchange of all n wide rows
+    // (the buildCellIndex find, applied here for the same reason);
+    // takeOrdered merges per-partition top-nC slices on the driver —
+    // zero shuffle at any corpus size, id tie-break keeps the pick
+    // total on a mix collision
     val centroids = vn
-      .withColumn("mix", xxhash64(col("id")))
-      .orderBy("mix")
-      .limit(nC)
-      .select("id", "e", "nrm")
-      .as[(Long, Array[Float], Double)]
-      .collect()
+      .select(xxhash64(col("id")).as("mix"), col("id"), col("e"),
+        col("nrm"))
+      .as[(Long, Long, Array[Float], Double)]
+      .rdd
+      .takeOrdered(nC)(Ordering.by(t => (t._1, t._2)))
+      .map(t => (t._2, t._3, t._4))
     val bcC = spark.sparkContext.broadcast(centroids)
     // assignment: nprobe nearest cells per vector (cos desc, cell asc).
     // The assignment rows CARRY (e, nrm) — the mapPartitions pass has
