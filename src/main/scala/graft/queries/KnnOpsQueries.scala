@@ -37,7 +37,7 @@ object KnnOpsQueries extends QSet {
     * geometry cannot prune — an n²-row exchange for a column the
     * vote tail only needs post-filter).
     */
-  private def knnVoteTail(pairs: DataFrame, labels: DataFrame)
+  private[graft] def knnVoteTail(pairs: DataFrame, labels: DataFrame)
       : DataFrame = {
     val top = pairs.withColumn("rnk", row_number().over(
         Window.partitionBy("id1")
@@ -111,12 +111,27 @@ object KnnOpsQueries extends QSet {
     bandedKnnAccuracyOn(DedupQueries.buildCellIndex(s, dir),
       wideHintCap)
 
+  /** Corpus size above which the vote tail applies the in-row l5
+    * floor filter (see bandedKnnAccuracyOn). Both sides measured
+    * (interleaved same-JVM medians): at 2k vectors the filter's fixed
+    * costs — three broadcasts of the l5 frame plus its cache
+    * population — LOSE ~0.7 s against a sort that is already small
+    * (3.95 vs 3.21 s); at 20k vectors the ~n²-row vote-tail sort
+    * dominates and the filter wins 2.6× (18.0 vs 46.7 s). The
+    * crossover sits between; output is identical on both sides by the
+    * pruning proof (KnnOpsSpec pins the forced-on branch against the
+    * declared output at fixture scale; ScaleKnnCheck pins the
+    * natural-on branch row-for-row against cap-lifted brute at 20k).
+    */
+  private[graft] val KnnFloorFilterMinRows = 8192L
+
   /** [[bandedKnnAccuracy]] against an already-built (or
     * DedupQueries.loadCellIndex-loaded) index — the repeated-query
     * shape. */
   private[graft] def bandedKnnAccuracyOn(
       ci: graft.queries.DedupQueries.CellIndex,
-      wideHintCap: Long = DedupQueries.BroadcastHintMaxRows / 8)
+      wideHintCap: Long = DedupQueries.BroadcastHintMaxRows / 8,
+      floorFilterMinRows: Long = KnnFloorFilterMinRows)
       : DataFrame = {
     // the shared √N-cell index (DedupQueries.buildCellIndex): two
     // LINEAR in-row passes against the broadcast centroid/radii state
@@ -158,10 +173,19 @@ object KnnOpsQueries extends QSet {
       col("id2").as("id1"), col("id1").as("id2"), col("cos")))
     // the pruning floor: 5th-best rounded within-cell cosine (absent
     // → fewer than 5 in-cell neighbours → no pruning for that q)
-    val l5 = withinDir.withColumn("rk", row_number().over(
+    // size-adaptive vote-tail prune (see KnnFloorFilterMinRows): past
+    // the crossover the l5 floor ALSO filters the scored candidates
+    // in-row, so the ~n²-row vote-tail sort only sees rows that can
+    // reach a top-5
+    val useFloor = ci.nVec >= floorFilterMinRows
+    val l5base = withinDir.withColumn("rk", row_number().over(
         Window.partitionBy("id1").orderBy(col("cos").desc, col("id2"))))
       .filter(col("rk") === 5)
       .select(col("id1").as("vec_id"), col("cos").as("l5"))
+    // persisted only on the filtered branch, where it is consumed
+    // three times (probe input, cross-tier attach, within-tier
+    // attach) — unpersisted, each consumer re-ran the ranking window
+    val l5 = if (useFloor) l5base.persist() else l5base
     // per-vector floor attaches to the LINEAR corpus frame (skinny
     // l5 hint-broadcast under the cap; past it an n-row SMJ — still
     // the member-frame-width invariant), then the probe pass emits
@@ -176,18 +200,39 @@ object KnnOpsQueries extends QSet {
     // unique, so (q, x) appears at most once — a canonicalize+
     // distinct variant was measured SLOWER here (the distinct's
     // extra exchange outweighs halving the codegen'd dot products).
-    // e1 attaches BEFORE the cell fan-out (probes is n·cells-sized,
-    // the fan-out is pair-sized): the scored pair rows are born
-    // complete inside the cell join and never shuffle again until
-    // the vote tail's WindowGroupLimit-pruned exchange.
-    val crossDir = probes
+    // e1 AND the l5 floor attach BEFORE the cell fan-out (probes is
+    // n·cells-sized, the fan-out is pair-sized): the scored pair
+    // rows are born complete inside the cell join, the floor filter
+    // drops them IN-ROW at birth, and survivors never shuffle again
+    // until the vote tail's WindowGroupLimit-pruned exchange.
+    //
+    // The in-row floor filter (useFloor branch): a cross candidate
+    // with rounded cos STRICTLY below l5 provably cannot enter q's
+    // top-5 — five within-cell entries with cos ≥ l5 already exist
+    // and the vote ranks by (cos DESC, id2), so it sits at rank ≥ 6
+    // and the rnk ≤ 5 filter was dropping it anyway; ties at exactly
+    // l5 are KEPT (>=) because the id2 tie-break can rank them above
+    // the within l5-holder. On the isotropic fixture this cuts the
+    // vote tail's sort input from ~n² rows to the ~top-decile that
+    // can matter, without touching the dot-product count (the filter
+    // evaluates in the same codegen stage the score is born in).
+    def floorPrune(scored: DataFrame): DataFrame =
+      if (!useFloor) scored
+      else scored
+        .join(bcSkinny(l5.withColumnRenamed("vec_id", "id1")),
+          Seq("id1"), "left")
+        .filter(col("l5").isNull || col("cos") >= col("l5"))
+        .select("id1", "id2", "cos")
+    val crossDir = floorPrune(probes
       .join(bcWide(memVec.select(col("vec_id").as("id1"),
         col("embedding").as("e1"), col("nrm").as("n1"))), "id1")
       .join(bcWide(memVec.select(col("vec_id").as("id2"), col("cell"),
         col("embedding").as("e2"), col("nrm").as("n2"))), "cell")
       .select(col("id1"), col("id2"),
-        pairCos(col("e1"), col("n1"), col("e2"), col("n2")))
-    knnVoteTail(withinDir.unionAll(crossDir),
+        pairCos(col("e1"), col("n1"), col("e2"), col("n2"))))
+    // same provably-safe prune on the within tier (l5 is already in
+    // hand by construction — its own top-5 all satisfy cos ≥ l5)
+    knnVoteTail(floorPrune(withinDir).unionAll(crossDir),
       bcSkinny(vn.select(col("vec_id"), col("label"))))
   }
 

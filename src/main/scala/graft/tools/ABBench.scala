@@ -252,17 +252,59 @@ object ABBench {
         .select("d1", "d2", "inter", "jaccard")
         .orderBy("d1", "d2")
     }
-    // round-10 A/B: verify-tier candidate frames — persist+count+
-    // count-guarded hint (r9 shape) vs bare frame under AQE
+    // knn_nofloor: the pre-round-10 vote-tail shape — NO in-row l5
+    // floor filter on the scored candidates, full ~n² rows into the
+    // WindowGroupLimit sort
+    def knnNoFloor(s: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      import graft.queries.{KnnOpsQueries => KQ}
+      val ci = DedupQueries.buildCellIndex(s, dir)
+      val cap = DedupQueries.BroadcastHintMaxRows / 8
+      def bcWide(df: DataFrame) = DedupQueries.maybeBroadcast(df, ci.nVec, cap)
+      def bcSkinny(df: DataFrame) = DedupQueries.maybeBroadcast(df, ci.nVec, cap * 8)
+      def pairCos(e1: org.apache.spark.sql.Column,
+          n1: org.apache.spark.sql.Column,
+          e2: org.apache.spark.sql.Column,
+          n2: org.apache.spark.sql.Column) =
+        DedupQueries.pairCosCol(e1, n1, e2, n2).as("cos")
+      val memVec = ci.memVec
+      val withinHalf = memVec
+        .select(col("vec_id").as("id1"), col("cell"),
+          col("embedding").as("e1"), col("nrm").as("n1"))
+        .join(bcWide(memVec.select(col("vec_id").as("id2"),
+          col("cell").as("c2"), col("embedding").as("e2"),
+          col("nrm").as("n2"))),
+          col("cell") === col("c2") && col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          pairCos(col("e1"), col("n1"), col("e2"), col("n2")))
+        .persist()
+      val withinDir = withinHalf.unionAll(withinHalf.select(
+        col("id2").as("id1"), col("id1").as("id2"), col("cos")))
+      val l5 = withinDir.withColumn("rk", row_number().over(
+          Window.partitionBy("id1").orderBy(col("cos").desc, col("id2"))))
+        .filter(col("rk") === 5)
+        .select(col("id1").as("vec_id"), col("cos").as("l5"))
+      val probes = ci.probes(ci.vn
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .join(bcSkinny(l5), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("l5").as("floor")))
+      val crossDir = probes
+        .join(bcWide(memVec.select(col("vec_id").as("id1"),
+          col("embedding").as("e1"), col("nrm").as("n1"))), "id1")
+        .join(bcWide(memVec.select(col("vec_id").as("id2"), col("cell"),
+          col("embedding").as("e2"), col("nrm").as("n2"))), "cell")
+        .select(col("id1"), col("id2"),
+          pairCos(col("e1"), col("n1"), col("e2"), col("n2")))
+      KQ.knnVoteTail(withinDir.unionAll(crossDir),
+        bcSkinny(ci.vn.select(col("vec_id"), col("label"))))
+    }
+
+    // round-10 A/B: the in-row l5 floor filter on the banded kNN vote
+    // tail (declared shape) vs the unfiltered pre-round-10 tail
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "mj_hint" -> (() => DedupQueries.minhashVerifiedPairs(spark, sfDir, hintCands = true)),
-      "mj_aqe" -> (() => DedupQueries.minhashVerifiedPairs(spark, sfDir, hintCands = false)),
-      "pf_hint" -> (() => DedupQueries.prefixFilterPairs(spark, sfDir, hintCands = true)),
-      "pf_aqe" -> (() => DedupQueries.prefixFilterPairs(spark, sfDir, hintCands = false)),
-      "cp_hint" -> (() => DedupQueries.containmentPrefixPairs(spark, sfDir, hintCands = true)),
-      "cp_aqe" -> (() => DedupQueries.containmentPrefixPairs(spark, sfDir, hintCands = false)),
-      "cc_hint" -> (() => DedupQueries.componentReps(spark, sfDir, hintCands = true)),
-      "cc_aqe" -> (() => DedupQueries.componentReps(spark, sfDir, hintCands = false)),
+      "knn_floor" -> (() => graft.SparkEntry.queries("q_ml_knn_accuracy_banded")(spark, sfDir)),
+      "knn_nofloor" -> (() => knnNoFloor(spark, sfDir)),
     )
     // ---- round-robin medians ----
     val rounds = args.headOption.map(_.toInt).getOrElse(5)

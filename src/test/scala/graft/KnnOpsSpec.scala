@@ -208,6 +208,17 @@ class KnnOpsSpec extends AnyFunSuite
     // sanity: tight orthogonal clusters ⇒ perfect 5-NN accuracy
     assert(banded.forall(_.last == 1.0), banded.toString)
     spark.catalog.clearCache()
+    // both sides of the size-adaptive vote-tail floor filter
+    // (KnnFloorFilterMinRows): this 600-vector fixture takes the
+    // plain branch naturally; force the filtered branch on and the
+    // output must stay byte-identical (the l5 prune is provably
+    // lossless — KEPT ties at exactly l5, dropped only strictly-below)
+    val forcedFloor = graft.queries.KnnOpsQueries.bandedKnnAccuracyOn(
+        graft.queries.DedupQueries.buildCellIndex(spark, dir),
+        floorFilterMinRows = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(forcedFloor == brute, s"floor-filtered branch diverged")
+    spark.catalog.clearCache()
 
     // same fixture pins the banded THRESHOLD dedup (its cross-cluster
     // cells must prune at τ=0.9 — within-cluster cosines are ~0.99,
