@@ -278,6 +278,57 @@ class KnnOpsSpec extends AnyFunSuite
       == rt(graft.queries.DedupQueries.cosineTopK(spark, dir, 10)))
   }
 
+  test("banded family on a DETERMINISTIC pseudo-random corpus (mixed " +
+    "cluster tightness, scattered vectors, ANTIPODAL members → " +
+    "negative cosines): every operator equals its brute baseline") {
+    // the graded fixture is isotropic, the clustered fixture is three
+    // tight orthogonal clusters — this one sweeps the in-between:
+    // 7 clusters of varying looseness, 20% high-noise scatter, and
+    // every 11th vector NEGATED (cosine ≈ −1 to its cluster mates, so
+    // cap/floor arithmetic runs through the negative-cosine regime the
+    // other fixtures never reach). Hash-mix generator, no RNG
+    // (SURVEY A.6 posture), norms provably nonzero.
+    import spark.implicits._
+    def mix(a: Long, b: Long): Long = {
+      var x = a * 0x9E3779B97F4A7C15L + (b + 1L) * 0xC2B2AE3D27D4EB4FL
+      x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^ (x >>> 29)
+    }
+    def u01(a: Long, b: Long): Float =
+      ((mix(a, b) >>> 11).toDouble / (1L << 53).toDouble).toFloat
+    val dim = 64
+    val rows = (0L until 500L).map { id =>
+      val cl = (id % 7).toInt
+      val noiseAmp = if (id % 5 == 0) 1.5f else 0.3f
+      val v = Array.tabulate(dim) { j =>
+        val axis = if (j % 7 == cl) 0.8f + u01(cl.toLong, j.toLong)
+                   else 0.0f
+        axis + (u01(id, j.toLong) - 0.5f) * noiseAmp
+      }
+      val signed = if (id % 11 == 0) v.map(x => -x) else v
+      (id, signed.toSeq, cl)
+    }
+    val dir = fixtureDir("knn_pseudo")
+    rows.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "cast(embedding as array<float>) embedding",
+        "cast(label as int) label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def rt(df: org.apache.spark.sql.DataFrame) =
+      { val r = df.collect().map(_.toSeq).toSeq
+        spark.catalog.clearCache(); r }
+    import graft.queries.{DedupQueries, KnnOpsQueries}
+    for (tau <- Seq(0.3, 0.8))
+      assert(rt(DedupQueries.embeddingDedupBanded(spark, dir, tau)) ==
+        rt(DedupQueries.embeddingDedup(spark, dir, tau)), s"tau=$tau")
+    assert(rt(DedupQueries.cosineTopKBanded(spark, dir, 10)) ==
+      rt(DedupQueries.cosineTopK(spark, dir, 10)))
+    val brute = rt(KnnOpsQueries.bruteKnnAccuracy(spark, dir))
+    assert(rt(KnnOpsQueries.bandedKnnAccuracy(spark, dir)) == brute)
+    // and the floor-filtered vote-tail branch on the same geometry
+    assert(rt(KnnOpsQueries.bandedKnnAccuracyOn(
+      DedupQueries.buildCellIndex(spark, dir),
+      floorFilterMinRows = 0L)) == brute)
+  }
+
   test("cell-index artifact: banded operators from a LOADED index are " +
     "byte-identical to the in-memory build") {
     // the repeated-query production shape: build once, persist, load
