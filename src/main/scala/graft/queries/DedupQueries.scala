@@ -1174,19 +1174,25 @@ object DedupQueries extends QSet {
         Array[(Long, Array[Float], Double)]],
       bcRadii: org.apache.spark.broadcast.Broadcast[Map[Long, Double]]) {
 
-    /** Pass 2: the surviving foreign-cell probe list (id1, cell),
-      * emitted in-row per vector against the broadcast centroid/radii
-      * state. `withFloor` is (vec_id, embedding, nrm, floor) — floor
-      * NULL means "prune nothing for this vector" (kNN vectors with
-      * fewer than k in-cell neighbours; the void global floor). A
-      * foreign live cell C survives for q iff its spherical cap
+    /** Pass 2: the surviving probe list (id1, cell), emitted in-row
+      * per vector against the broadcast centroid/radii state.
+      * `withFloor` is (vec_id, embedding, nrm, floor) — floor NULL
+      * means "prune nothing for this vector" (kNN vectors with fewer
+      * than k in-cell neighbours; the void global floor). A live cell
+      * C survives for q iff its spherical cap
       * cos(max(0, θ(q,c_C) − r_C)) ≥ floor − 1e-3 (the slack dominates
       * the 4-dp rounding half-step plus acos/cos float error — see the
-      * per-operator proofs). Output is at most the survivor list —
-      * never a dense n×√n frame — and nothing here shuffles: the pass
-      * is a narrow map over the caller's frame.
+      * per-operator proofs). `includeOwn=false` (the member-frame
+      * default) skips q's own cell — its members are scanned by the
+      * within tier; external query vectors (incoming dedup, kNN
+      * serving) pass true, since they are not members and their
+      * nearest cell is a candidate like any other. Output is at most
+      * the survivor list — never a dense n×√n frame — and nothing
+      * here shuffles: the pass is a narrow map over the caller's
+      * frame.
       */
-    def probes(withFloor: DataFrame): DataFrame = {
+    def probes(withFloor: DataFrame,
+        includeOwn: Boolean = false): DataFrame = {
       val sp = withFloor.sparkSession
       import sp.implicits._
       val bc = bcCent
@@ -1203,7 +1209,7 @@ object DedupQueries extends QSet {
             var i = 0
             while (i < cs.length) {
               val cid = cs(i)._1
-              if (cid != own) rm.get(cid) match {
+              if (includeOwn || cid != own) rm.get(cid) match {
                 case Some(r) =>
                   val keep = fl match {
                     case Some(f) =>
@@ -1220,6 +1226,29 @@ object DedupQueries extends QSet {
             out.result()
           }
         }.toDF("id1", "cell")
+    }
+
+    /** In-row assignment of EXTERNAL vectors to their nearest cell —
+      * the serving-side twin of the build's pass 1. `vecs` is
+      * (vec_id, embedding, nrm); output (vec_id, cell). Same
+      * deterministic (cos DESC, cid ASC) pick, same zero-norm
+      * fail-fast posture, no shuffle.
+      */
+    def assign(vecs: DataFrame): DataFrame = {
+      val sp = vecs.sparkSession
+      import sp.implicits._
+      val bc = bcCent
+      vecs.as[(Long, Array[Float], Double)]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (id, e, n1) =>
+            require(n1 > 0.0,
+              s"CellIndex.assign refuses a zero/NaN-norm vector " +
+                s"(vec_id=$id): cosine is undefined")
+            (id, CellIndex.ownCell(
+              CellIndex.centroidCosines(e, n1, cs), cs))
+          }
+        }.toDF("vec_id", "cell")
     }
 
     /** Release the index's cached frames (the broadcasts are
@@ -1390,6 +1419,51 @@ object DedupQueries extends QSet {
   private[graft] def pairCosCol(e1: Column, n1: Column,
       e2: Column, n2: Column): Column =
     round(graft.functions.Native.dotF(e1, e2) / (n1 * n2), 4)
+
+  /** Incremental (against-existing) EMBEDDING dedup — the vector twin
+    * of the LSH text path (q_dedup_incremental) and the serving half
+    * of the persisted cell index: INCOMING vectors (vec_id, embedding)
+    * check against an already-built or [[loadCellIndex]]-loaded corpus
+    * only, never against each other and never all-pairs. Per incoming
+    * q the in-row cap pass keeps only cells that can hold a τ-partner
+    * (own cell INCLUDED — q is not a member, so there is no self pair
+    * and its nearest cell is a candidate like any other); surviving
+    * cells' members score exactly with the same rounded-cosine ≥ τ
+    * predicate; the min-id existing match is the rep. Zero false
+    * negatives by the cap bound: round(cos(q,x),4) ≥ τ ⇒
+    * cap_q(C_x) ≥ cos(q,x) ≥ τ − ε ⇒ C_x survives the probe filter
+    * (LibrarySpec-pinned against the exhaustive incoming×existing
+    * scan). Output: (vec_id, match_id NULL-able, is_dup).
+    */
+  def embeddingDedupIncoming(ci: CellIndex, incoming: DataFrame,
+      tau: Double,
+      wideHintCap: Long = BroadcastHintMaxRows / 8): DataFrame = {
+    val inc = incoming.select(col("vec_id"), col("embedding"),
+        graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
+      .persist()
+    val nInc = inc.count()
+    def bcInc(df: DataFrame): DataFrame =
+      maybeBroadcast(df, nInc, wideHintCap)
+    def bcWide(df: DataFrame): DataFrame =
+      maybeBroadcast(df, ci.nVec, wideHintCap)
+    val probes = ci.probes(inc.select(col("vec_id"), col("embedding"),
+      col("nrm"), lit(tau).cast(DoubleType).as("floor")),
+      includeOwn = true)
+    val matched = probes
+      .join(bcInc(inc.select(col("vec_id").as("id1"),
+        col("embedding").as("e1"), col("nrm").as("n1"))), "id1")
+      .join(bcWide(ci.memVec.select(col("vec_id").as("id2"), col("cell"),
+        col("embedding").as("e2"), col("nrm").as("n2"))), "cell")
+      .filter(pairCosCol(col("e1"), col("n1"),
+        col("e2"), col("n2")) >= tau)
+      .groupBy(col("id1").as("vec_id"))
+      .agg(min(col("id2")).as("match_id"))
+    inc.select(col("vec_id"))
+      .join(matched, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("match_id"),
+        col("match_id").isNotNull.cast(LongType).as("is_dup"))
+      .orderBy("vec_id")
+  }
 
   /** EXACT global cosine top-k at the banded shape — the scale
     * companion to [[cosineTopK]] (which refuses corpora past its

@@ -237,6 +237,75 @@ object KnnOpsQueries extends QSet {
   }
 
 
+  /** Per-query EXACT k-NN against a built (or loaded) cell index —
+    * the ANN-serving shape with an exactness proof instead of a
+    * recall target, and the query-time payoff of the persisted index
+    * (build once with DedupQueries.buildCellIndex / loadCellIndex,
+    * serve many query batches). `queries` is (vec_id, embedding) of
+    * EXTERNAL vectors (not corpus members — no self-pair exclusion).
+    * Phase 1 scans each query's nearest cell exhaustively; its k-th
+    * best rounded cosine is a floor L_q (void when the cell holds
+    * fewer than k members). Phase 2 probes every other cell whose
+    * spherical cap clears L_q − 1e-3 and scores its members exactly.
+    * Exactness: the true k-th best overall T ≥ L_q (the own-cell
+    * top-k is a subset), so any member of the true top-k in a foreign
+    * cell C has cap_q(C) ≥ cos ≥ T ≥ L_q — its cell survives; the
+    * 1e-3 slack dominates the 4-dp rounding half-step, so nothing
+    * that could tie into the top-k is pruned. Output
+    * (qid, rank, vec_id, cos) ranked by (cos DESC, vec_id).
+    */
+  def knnQueryOn(ci: graft.queries.DedupQueries.CellIndex,
+      queries: DataFrame, k: Int,
+      wideHintCap: Long = DedupQueries.BroadcastHintMaxRows / 8)
+      : DataFrame = {
+    val qv = queries.select(col("vec_id").as("qid"), col("embedding"),
+        graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
+      .persist()
+    val nQ = qv.count()
+    def bcQ(df: DataFrame): DataFrame =
+      DedupQueries.maybeBroadcast(df, nQ, wideHintCap)
+    def bcWide(df: DataFrame): DataFrame =
+      DedupQueries.maybeBroadcast(df, ci.nVec, wideHintCap)
+    val qWide = qv.select(col("qid"), col("embedding").as("e1"),
+      col("nrm").as("n1"))
+    val members = ci.memVec.select(col("vec_id").as("nbr"), col("cell"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    // phase 1: exact own-cell scan (persisted — read by the floor
+    // rank AND the final union)
+    val ownScored = bcQ(ci.assign(qv.select(col("qid").as("vec_id"),
+        col("embedding"), col("nrm")))
+        .select(col("vec_id").as("qid"), col("cell"))
+        .join(qv.select(col("qid"), col("embedding").as("e1"),
+          col("nrm").as("n1")), "qid"))
+      .join(bcWide(members), "cell")
+      .select(col("qid"), col("nbr"),
+        DedupQueries.pairCosCol(col("e1"), col("n1"),
+          col("e2"), col("n2")).as("cos"))
+      .persist()
+    val lk = ownScored.withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr"))))
+      .filter(col("rk") === k)
+      .select(col("qid").as("vec_id"), col("cos").as("floor"))
+    val probes = ci.probes(qv.select(col("qid").as("vec_id"),
+        col("embedding"), col("nrm"))
+      .join(bcQ(lk), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("floor")))
+    val crossScored = probes
+      .join(bcQ(qWide.withColumnRenamed("qid", "id1")), "id1")
+      .join(bcWide(members), "cell")
+      .select(col("id1").as("qid"), col("nbr"),
+        DedupQueries.pairCosCol(col("e1"), col("n1"),
+          col("e2"), col("n2")).as("cos"))
+    ownScored.unionAll(crossScored)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"),
+        col("nbr").as("vec_id"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
   private def hop38(c: Column) =
     c.cast(DecimalType(38, 8)).cast(StringType).cast(DoubleType)
   private def sqlHop38(e: String) =

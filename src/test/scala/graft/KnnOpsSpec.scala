@@ -350,6 +350,81 @@ class KnnOpsSpec extends AnyFunSuite
     spark.catalog.clearCache()
   }
 
+  test("index serving: incoming-vs-index dedup and per-query exact " +
+    "kNN both match the exhaustive brute scan") {
+    // the query-time payoff of the persisted index: external vectors
+    // (near-copies of corpus members + unrelated hash-random ones)
+    // dedup and k-NN against the index without ever joining each
+    // other or running all-pairs — outputs must equal the local
+    // exhaustive scan exactly (4-dp HALF_UP rounding, id tie-breaks)
+    import graft.queries.{DedupQueries, KnnOpsQueries}
+    import spark.implicits._
+    import graft.engine.Tables
+    val ci = DedupQueries.buildCellIndex(spark, sf)
+    val raw = Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def mix(a: Long, b: Long): Long = {
+      var x = a * 0x9E3779B97F4A7C15L + (b + 1L) * 0xC2B2AE3D27D4EB4FL
+      x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^ (x >>> 29)
+    }
+    val qRows = (0L until 40L).map { i =>
+      val e: Array[Float] =
+        if (i < 20)
+          raw(((i * 13L) % raw.length).toInt)._2
+            .zipWithIndex.map { case (x, j) =>
+              x + ((mix(i, j.toLong) % 5).toInt * 1e-4f) }
+        else Array.tabulate(64)(j =>
+          ((mix(i, j.toLong) % 9).toInt - 4).toFloat * 0.2f + 0.9f)
+      (100000L + i, e)
+    }
+    val qDf = qRows.map { case (id, e) => (id, e.toSeq) }
+      .toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "cast(embedding as array<float>) embedding")
+    // local exhaustive oracle
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val corpus = raw.map { case (id, e) =>
+      (id, e.map(_.toDouble)) }
+    val cNrm = corpus.map { case (id, e) =>
+      id -> math.sqrt(e.map(x => x * x).sum) }.toMap
+    def scored(qe: Array[Double]): Array[(Long, Double)] = {
+      val qn = math.sqrt(qe.map(x => x * x).sum)
+      corpus.map { case (cid, ce) =>
+        val dot = (0 until ce.length).map(j => qe(j) * ce(j)).sum
+        (cid, r4(dot / (qn * cNrm(cid))))
+      }
+    }
+    val qLocal = qRows.map { case (id, e) => (id, e.map(_.toDouble)) }
+
+    // (a) incoming dedup at tau = 0.8
+    val expDedup = qLocal.map { case (qid, qe) =>
+      val ms = scored(qe).filter(_._2 >= 0.8).map(_._1)
+      (qid, if (ms.isEmpty) None else Some(ms.min))
+    }.toMap
+    assert(expDedup.values.exists(_.isDefined) &&
+      expDedup.values.exists(_.isEmpty),
+      "fixture must exercise both matched and unmatched incoming rows")
+    val gotDedup = DedupQueries.embeddingDedupIncoming(ci, qDf, 0.8)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]))).toMap
+    assert(gotDedup == expDedup,
+      s"diff=${(gotDedup.toSet diff expDedup.toSet).take(5)}")
+
+    // (b) per-query exact 5-NN
+    val expKnn = qLocal.flatMap { case (qid, qe) =>
+      scored(qe).sortBy { case (cid, c) => (-c, cid) }.take(5)
+        .zipWithIndex.map { case ((cid, c), r) =>
+          (qid, (r + 1).toLong, cid, c) }
+    }.toSet
+    val gotKnn = KnnOpsQueries.knnQueryOn(ci, qDf, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(gotKnn == expKnn,
+      s"diff=${(gotKnn diff expKnn).take(5)} / ${(expKnn diff gotKnn).take(5)}")
+    spark.catalog.clearCache()
+  }
+
   test("freshness: last-seen per type recomputes; ALL types present") {
     val rows = SparkEntry.queries("q_ts_freshness")(spark, sf).collect()
     val ev = graft.engine.Tables.events(spark, sf)
