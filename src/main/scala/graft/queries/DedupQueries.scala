@@ -1174,8 +1174,8 @@ object DedupQueries extends QSet {
         Array[(Long, Array[Float], Double)]],
       bcRadii: org.apache.spark.broadcast.Broadcast[Map[Long, Double]]) {
 
-    /** Pass 2: the surviving probe list (id1, cell), emitted in-row
-      * per vector against the broadcast centroid/radii state.
+    /** Pass 2: the surviving probe list (id1, cell, e1, n1), emitted
+      * in-row per vector against the broadcast centroid/radii state.
       * `withFloor` is (vec_id, embedding, nrm, floor) — floor NULL
       * means "prune nothing for this vector" (kNN vectors with fewer
       * than k in-cell neighbours; the void global floor). A live cell
@@ -1186,10 +1186,16 @@ object DedupQueries extends QSet {
       * default) skips q's own cell — its members are scanned by the
       * within tier; external query vectors (incoming dedup, kNN
       * serving) pass true, since they are not members and their
-      * nearest cell is a candidate like any other. Output is at most
-      * the survivor list — never a dense n×√n frame — and nothing
-      * here shuffles: the pass is a narrow map over the caller's
-      * frame.
+      * nearest cell is a candidate like any other. Each probe row
+      * CARRIES the querying vector (e1, n1): the scoring join
+      * consumes it in-row, so consumers never re-join a frame by id
+      * just to re-attach what this pass already held — one less join
+      * (and one less potential exchange) per operator, and on a
+      * STREAMING source the re-join would be an illegal stream-stream
+      * self-join, so carrying it is what keeps the serve path
+      * stateless. Output is at most the survivor list — never a dense
+      * n×√n frame — and nothing here shuffles: the pass is a narrow
+      * map over the caller's frame.
       */
     def probes(withFloor: DataFrame,
         includeOwn: Boolean = false): DataFrame = {
@@ -1205,7 +1211,8 @@ object DedupQueries extends QSet {
           it.flatMap { case (id, e, n1, fl) =>
             val cos = CellIndex.centroidCosines(e, n1, cs)
             val own = CellIndex.ownCell(cos, cs)
-            val out = Seq.newBuilder[(Long, Long)]
+            val out =
+              Seq.newBuilder[(Long, Long, Array[Float], Double)]
             var i = 0
             while (i < cs.length) {
               val cid = cs(i)._1
@@ -1218,21 +1225,23 @@ object DedupQueries extends QSet {
                       math.cos(math.max(0.0, theta - r)) >= f - 1e-3
                     case None => true
                   }
-                  if (keep) out += ((id, cid))
+                  if (keep) out += ((id, cid, e, n1))
                 case None => () // dead cell: no members, no partners
               }
               i += 1
             }
             out.result()
           }
-        }.toDF("id1", "cell")
+        }.toDF("id1", "cell", "e1", "n1")
     }
 
     /** In-row assignment of EXTERNAL vectors to their nearest cell —
       * the serving-side twin of the build's pass 1. `vecs` is
-      * (vec_id, embedding, nrm); output (vec_id, cell). Same
-      * deterministic (cos DESC, cid ASC) pick, same zero-norm
-      * fail-fast posture, no shuffle.
+      * (vec_id, embedding, nrm); output (vec_id, cell, embedding,
+      * nrm) — the vector rides along like [[probes]]' rows so the
+      * own-cell scoring join consumes it in-row. Same deterministic
+      * (cos DESC, cid ASC) pick, same zero-norm fail-fast posture, no
+      * shuffle.
       */
     def assign(vecs: DataFrame): DataFrame = {
       val sp = vecs.sparkSession
@@ -1246,9 +1255,9 @@ object DedupQueries extends QSet {
               s"CellIndex.assign refuses a zero/NaN-norm vector " +
                 s"(vec_id=$id): cosine is undefined")
             (id, CellIndex.ownCell(
-              CellIndex.centroidCosines(e, n1, cs), cs))
+              CellIndex.centroidCosines(e, n1, cs), cs), e, n1)
           }
-        }.toDF("vec_id", "cell")
+        }.toDF("vec_id", "cell", "embedding", "nrm")
     }
 
     /** Release the index's cached frames (the broadcasts are
@@ -1441,17 +1450,14 @@ object DedupQueries extends QSet {
     val inc = incoming.select(col("vec_id"), col("embedding"),
         graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
       .persist()
-    val nInc = inc.count()
-    def bcInc(df: DataFrame): DataFrame =
-      maybeBroadcast(df, nInc, wideHintCap)
     def bcWide(df: DataFrame): DataFrame =
       maybeBroadcast(df, ci.nVec, wideHintCap)
+    // probe rows carry the incoming vector — the scoring join below is
+    // the ONLY place incoming and corpus meet (stream-static-friendly)
     val probes = ci.probes(inc.select(col("vec_id"), col("embedding"),
       col("nrm"), lit(tau).cast(DoubleType).as("floor")),
       includeOwn = true)
     val matched = probes
-      .join(bcInc(inc.select(col("vec_id").as("id1"),
-        col("embedding").as("e1"), col("nrm").as("n1"))), "id1")
       .join(bcWide(ci.memVec.select(col("vec_id").as("id2"), col("cell"),
         col("embedding").as("e2"), col("nrm").as("n2"))), "cell")
       .filter(pairCosCol(col("e1"), col("n1"),
@@ -1526,9 +1532,9 @@ object DedupQueries extends QSet {
     val probes = ci.probes(ci.vn.select(col("vec_id"), col("embedding"),
       col("nrm"), floorOpt.map(lit(_)).getOrElse(lit(null))
         .cast(DoubleType).as("floor")))
+    // probe rows carry (e1, n1) — the scoring join consumes them
+    // in-row, no id1 re-attach join
     val cross = probes
-      .join(bcWide(ci.memVec.select(col("vec_id").as("id1"),
-        col("embedding").as("e1"), col("nrm").as("n1"))), "id1")
       .join(bcWide(ci.memVec.select(col("vec_id").as("id2"), col("cell"),
         col("embedding").as("e2"), col("nrm").as("n2"))), Seq("cell"))
       .filter(col("id1") < col("id2"))
@@ -1613,9 +1619,8 @@ object DedupQueries extends QSet {
       .select("id1", "id2")
     val probes = ci.probes(ci.vn.select(col("vec_id"), col("embedding"),
       col("nrm"), lit(tau).cast(DoubleType).as("floor")))
+    // probe rows carry (e1, n1) — scored in-row, no id1 re-attach join
     val cross = probes
-      .join(bcWide(ci.memVec.select(col("vec_id").as("id1"),
-        col("embedding").as("e1"), col("nrm").as("n1"))), "id1")
       .join(bcWide(ci.memVec.select(col("vec_id").as("id2"), col("cell"),
         col("embedding").as("e2"), col("nrm").as("n2"))),
         Seq("cell"))

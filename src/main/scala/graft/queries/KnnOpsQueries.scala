@@ -200,11 +200,12 @@ object KnnOpsQueries extends QSet {
     // unique, so (q, x) appears at most once — a canonicalize+
     // distinct variant was measured SLOWER here (the distinct's
     // extra exchange outweighs halving the codegen'd dot products).
-    // e1 AND the l5 floor attach BEFORE the cell fan-out (probes is
-    // n·cells-sized, the fan-out is pair-sized): the scored pair
-    // rows are born complete inside the cell join, the floor filter
-    // drops them IN-ROW at birth, and survivors never shuffle again
-    // until the vote tail's WindowGroupLimit-pruned exchange.
+    // probe rows CARRY e1 (and the l5 floor attaches before the cell
+    // fan-out — probes is n·cells-sized, the fan-out is pair-sized):
+    // the scored pair rows are born complete inside the cell join,
+    // the floor filter drops them IN-ROW at birth, and survivors
+    // never shuffle again until the vote tail's
+    // WindowGroupLimit-pruned exchange.
     //
     // The in-row floor filter (useFloor branch): a cross candidate
     // with rounded cos STRICTLY below l5 provably cannot enter q's
@@ -224,8 +225,6 @@ object KnnOpsQueries extends QSet {
         .filter(col("l5").isNull || col("cos") >= col("l5"))
         .select("id1", "id2", "cos")
     val crossDir = floorPrune(probes
-      .join(bcWide(memVec.select(col("vec_id").as("id1"),
-        col("embedding").as("e1"), col("nrm").as("n1"))), "id1")
       .join(bcWide(memVec.select(col("vec_id").as("id2"), col("cell"),
         col("embedding").as("e2"), col("nrm").as("n2"))), "cell")
       .select(col("id1"), col("id2"),
@@ -266,17 +265,15 @@ object KnnOpsQueries extends QSet {
       DedupQueries.maybeBroadcast(df, nQ, wideHintCap)
     def bcWide(df: DataFrame): DataFrame =
       DedupQueries.maybeBroadcast(df, ci.nVec, wideHintCap)
-    val qWide = qv.select(col("qid"), col("embedding").as("e1"),
-      col("nrm").as("n1"))
     val members = ci.memVec.select(col("vec_id").as("nbr"), col("cell"),
       col("embedding").as("e2"), col("nrm").as("n2"))
-    // phase 1: exact own-cell scan (persisted — read by the floor
-    // rank AND the final union)
+    // phase 1: exact own-cell scan — assign rows carry the query
+    // vector, so the scoring join consumes it in-row (persisted: read
+    // by the floor rank AND the final union)
     val ownScored = bcQ(ci.assign(qv.select(col("qid").as("vec_id"),
         col("embedding"), col("nrm")))
-        .select(col("vec_id").as("qid"), col("cell"))
-        .join(qv.select(col("qid"), col("embedding").as("e1"),
-          col("nrm").as("n1")), "qid"))
+        .select(col("vec_id").as("qid"), col("cell"),
+          col("embedding").as("e1"), col("nrm").as("n1")))
       .join(bcWide(members), "cell")
       .select(col("qid"), col("nbr"),
         DedupQueries.pairCosCol(col("e1"), col("n1"),
@@ -292,7 +289,6 @@ object KnnOpsQueries extends QSet {
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("floor")))
     val crossScored = probes
-      .join(bcQ(qWide.withColumnRenamed("qid", "id1")), "id1")
       .join(bcWide(members), "cell")
       .select(col("id1").as("qid"), col("nbr"),
         DedupQueries.pairCosCol(col("e1"), col("n1"),

@@ -12,6 +12,8 @@ case class EvRow(event_id: Long, user_id: Long, event_type: String,
   value: Double, ts_us: java.sql.Timestamp)
 /** One incoming document for the streaming dedup firehose. */
 case class DocRow(doc_id: Long, text: String)
+/** One incoming embedding for the streaming vector-dedup firehose. */
+case class VecRow(vec_id: Long, embedding: Seq[Float])
 case class CounterState(n: Long)
 case class PurchaseCount(user_id: Long, event_id: Long,
   purchases_since_error: Long)
@@ -257,6 +259,38 @@ object StreamTransforms {
     * exact Jaccard on the carried shingle arrays → ≥ 0.8 pairs, one row
     * per (d_in, d_ex). Output schema matches q_dedup_incremental.
     */
+  /** Near-dup pairs of an incoming EMBEDDING frame (batch OR
+    * streaming) against a static cell index
+    * (DedupQueries.buildCellIndex / loadCellIndex) — the vector twin
+    * of [[dedupIncoming]], and strictly more stream-friendly: each
+    * qualifying (incoming, existing) pair emits EXACTLY once (one row
+    * per surviving (q, cell) probe × unique cell members), so there
+    * is NO collapse aggregate and no state store at all — an in-row
+    * probe pass against broadcast index state, then one stream-static
+    * join; runs in append mode. The probe rows carry the incoming
+    * vector (a re-join by id would be an illegal stream-stream
+    * self-join). Exactness: round(cos,4) ≥ τ ⇒ the partner's cell
+    * survives the cap filter (the embeddingDedupIncoming proof);
+    * StreamingSpec pins stream == batch.
+    */
+  def dedupIncomingVec(incoming: DataFrame,
+      ci: graft.queries.DedupQueries.CellIndex,
+      tau: Double): DataFrame = {
+    import graft.queries.DedupQueries
+    val inc = incoming.select(col("vec_id"), col("embedding"),
+      graft.functions.Native.l2NormF(col("embedding")).as("nrm"),
+      lit(tau).cast(DoubleType).as("floor"))
+    ci.probes(inc, includeOwn = true)
+      .join(DedupQueries.maybeBroadcast(
+        ci.memVec.select(col("vec_id").as("match_id"), col("cell"),
+          col("embedding").as("e2"), col("nrm").as("n2")),
+        ci.nVec, DedupQueries.BroadcastHintMaxRows / 8), "cell")
+      .withColumn("cos", DedupQueries.pairCosCol(col("e1"), col("n1"),
+        col("e2"), col("n2")))
+      .filter(col("cos") >= tau)
+      .select(col("id1").as("vec_id"), col("match_id"), col("cos"))
+  }
+
   def dedupIncoming(incoming: DataFrame, index: DataFrame): DataFrame =
     shingleArrays(incoming)
       .select(col("doc_id").as("d_in"), col("shs"),

@@ -160,6 +160,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming VECTOR dedup against the static cell index: " +
+    "stream == batch, stateless append mode") {
+    // the embedding twin of the LSH incremental path — no collapse
+    // aggregate, no state store: probe pass (carrying the incoming
+    // vector) + one stream-static join, append-mode clean
+    val ci = graft.queries.DedupQueries.buildCellIndex(
+      spark, TestSpark.Sf)
+    val incoming = graft.engine.Tables.t(spark, TestSpark.Sf,
+        "embeddings")
+      .filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val batch = StreamTransforms.dedupIncomingVec(incoming, ci, 0.8)
+      .collect()
+    // every re-submitted vector matches its own source at cos 1.0
+    val selfPairs = batch.filter(r =>
+      r.getLong(0) - 100000L == r.getLong(1)).map(_.getDouble(2))
+    assert(selfPairs.length == incoming.count() &&
+      selfPairs.forall(_ == 1.0),
+      s"${selfPairs.length} self matches of ${incoming.count()}")
+    val rows = incoming.selectExpr("vec_id",
+        "cast(embedding as array<float>) embedding")
+      .as[VecRow].collect().toSeq.sortBy(_.vec_id)
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[VecRow]
+    val q = StreamTransforms.dedupIncomingVec(ms.toDF, ci, 0.8)
+      .writeStream.format("memory").queryName("s_dedup_vec")
+      .outputMode("append").start()
+    try {
+      val size = math.max(1, rows.size / 4)
+      rows.grouped(size).foreach { g =>
+        ms.addData(g); q.processAllAvailable() }
+      assert(canon(spark.table("s_dedup_vec").collect()) == canon(batch))
+    } finally q.stop()
+    spark.catalog.clearCache()
+  }
+
   test("incremental dedup: incoming stream vs static index == declared batch") {
     val docs = graft.engine.Tables.t(spark, TestSpark.Sf, "documents")
       .select("doc_id", "text")
