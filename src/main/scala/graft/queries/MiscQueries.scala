@@ -97,7 +97,7 @@ object MiscQueries extends QSet {
         "doc_id", "payload", "image", width = 64, height = 64)
         .as[graft.multimodal.Multimodal.MediaRow]
       graft.multimodal.Multimodal.extractFeatures(media, batchSize = 64,
-        dim = 16).toDF
+        dim = 16).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
           round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
         .orderBy("media_id")

@@ -170,7 +170,7 @@ object StreamTransforms {
         val conf = spark.sparkContext.hadoopConfiguration
         val target = new org.apache.hadoop.fs.Path(targetPath)
         val fs = target.getFileSystem(conf)
-        val b = batch.toDF
+        val b = batch.toDF()
           .withColumn("bucket", pmod(xxhash64(col("key")), lit(buckets)))
           .localCheckpoint(true) // batch frame is consumed twice below
         // the touched-bucket list is bounded by `buckets` — a scalar-
@@ -180,7 +180,7 @@ object StreamTransforms {
         val cur =
           if (fs.exists(target))
             spark.read.parquet(targetPath)
-              .filter(col("bucket").isin(touched: _*))
+              .filter(col("bucket").isin(touched.toIndexedSeq: _*))
               .unionByName(b)
           else b
         cdcCompact(cur)

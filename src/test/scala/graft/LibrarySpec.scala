@@ -316,7 +316,7 @@ class LibrarySpec extends AnyFunSuite {
     assert(rows(3).getString(1) == "")
     // NULL-intolerant like every string builtin
     val nullRow = Seq(Option.empty[String]).toDF("s")
-      .select(Native.nfc(col("s"))).head
+      .select(Native.nfc(col("s"))).head()
     assert(nullRow.isNullAt(0))
   }
 
@@ -337,7 +337,7 @@ class LibrarySpec extends AnyFunSuite {
       val r = s2.sql(
         "SELECT array_dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
           "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
-        .head.getDouble(0)
+        .head().getDouble(0)
       assert(r == 11.0)
     } finally {
       SparkSession.clearActiveSession()
