@@ -946,30 +946,116 @@ object DedupQueries extends QSet {
       .select(col(a), col(b), col("inter"), col("jaccard"))
   }
 
-  /** Incremental (against-existing) near-dedup — the production shape
-    * for a continuously-ingesting corpus: new documents are checked
-    * against the ALREADY-ACCEPTED corpus only, never against each
-    * other or all-pairs. Here "incoming" = doc_id % 10 == 0 (a
-    * deterministic 10% batch), "existing" = the rest. Candidates come
-    * from the same 16-band MinHash buckets the in-corpus pipeline uses
-    * — an equi-join of the incoming side's buckets against the
-    * existing side's (at deployment the existing side's (band, key,
-    * doc_id) index is a persisted table that only ever appends) — then
-    * exact Jaccard verifies, so the output equals the exhaustive
-    * cross-set ground truth (same < 1e-7 miss bound) and is
-    * DuckDB-oracle-compared.
+  /** The persisted text-LSH index of an accepted corpus — the
+    * artifact [[incrementalDedup]] serves against, the text twin of
+    * [[CellIndex]]:
+    *  - `buckets` (band, key, doc_id): the 16-band MinHash bucket
+    *    assignments candidate generation equi-joins against.
+    *  - `arrs` (doc_id, arr): each doc's SORTED distinct-shingle
+    *    array, the exact-Jaccard verify side (string arrays — the
+    *    verifyJaccard docArr shape, so verification is by string
+    *    equality, never by hash).
+    * Both frames are per-doc computations, so the artifact ONLY EVER
+    * APPENDS as documents are accepted ([[appendLshIndex]] is a
+    * parquet append — no rebuild, no rewrite of existing rows), and
+    * an index assembled by any sequence of appends equals the
+    * from-scratch build on the union corpus row-for-row.
     */
-  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val bk = minhashBuckets(shingles(s, dir), bands = 16)
-    val cand = bk.filter(col("doc_id") % 10 === 0)
+  private[graft] final case class LshIndex(buckets: DataFrame,
+      arrs: DataFrame)
+
+  /** Build the LSH index frames from a (doc_id, text) corpus: one
+    * fused tokenize→shingle→hash pass for the signatures (the
+    * minhashBuckets posture — feeding it a persisted string-shingle
+    * cache was measured slower than letting codegen fuse and prune),
+    * one grouped pass for the verify arrays.
+    */
+  private[graft] def buildLshIndex(docs: DataFrame): LshIndex =
+    LshIndex(
+      minhashBuckets(shinglesOf(docs), bands = 16),
+      shinglesOf(docs).groupBy("doc_id")
+        .agg(sort_array(collect_list(col("sh"))).as("arr")))
+
+  /** Persist the index as a parquet artifact (build-once shape). */
+  private[graft] def writeLshIndex(idx: LshIndex, path: String): Unit = {
+    idx.buckets.write.mode("overwrite").parquet(s"$path/buckets.parquet")
+    idx.arrs.write.mode("overwrite").parquet(s"$path/arrs.parquet")
+  }
+
+  /** Append newly-accepted documents to a persisted artifact: both
+    * index frames are per-doc, so this is a pure parquet APPEND —
+    * existing rows are never rewritten, and the artifact after any
+    * append sequence equals a from-scratch [[writeLshIndex]] of the
+    * union corpus (IndexLifecycleSpec pins the served output). The
+    * caller owns dedup of re-submitted doc_ids (append twice and the
+    * doc banding/verification rows double).
+    */
+  private[graft] def appendLshIndex(path: String, docs: DataFrame): Unit = {
+    val idx = buildLshIndex(docs)
+    idx.buckets.write.mode("append").parquet(s"$path/buckets.parquet")
+    idx.arrs.write.mode("append").parquet(s"$path/arrs.parquet")
+  }
+
+  private[graft] def loadLshIndex(s: SparkSession, path: String): LshIndex =
+    LshIndex(s.read.parquet(s"$path/buckets.parquet"),
+      s.read.parquet(s"$path/arrs.parquet"))
+
+  /** Incremental (against-existing) near-dedup of an incoming batch
+    * against a built (or [[loadLshIndex]]-loaded) index — the
+    * production serve path: incoming docs band themselves (per-doc,
+    * bit-identical hash chain to the index build), candidates come
+    * from the (band, key) equi-join against the index buckets, and
+    * exact Jaccard verifies on the incoming arrays vs the index
+    * arrays. Incoming docs never join each other and nothing is ever
+    * all-pairs; the index side is only ever probed, never rebuilt.
+    */
+  private[graft] def incrementalDedupOn(idx: LshIndex,
+      incoming: DataFrame): DataFrame = {
+    // persisted: banding and the verify arrays both read the incoming
+    // shingles (a bounded batch, not the corpus)
+    val shIn = shinglesOf(incoming).persist()
+    val cand = minhashBuckets(shIn, bands = 16)
       .select(col("doc_id").as("d_in"), col("band"), col("key"))
-      .join(bk.filter(col("doc_id") % 10 =!= 0)
+      .join(idx.buckets
         .select(col("doc_id").as("d_ex"), col("band").as("band2"),
           col("key").as("key2")),
         col("band") === col("band2") && col("key") === col("key2"))
       .select("d_in", "d_ex").distinct()
-    verifyJaccard(shingles(s, dir).persist(), cand, "d_in", "d_ex")
+    val inArr = shIn.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("arr"))
+    cand
+      .join(inArr.select(col("doc_id").as("d_in"), col("arr").as("a1")),
+        Seq("d_in"))
+      .join(idx.arrs.select(col("doc_id").as("d_ex"),
+        col("arr").as("a2")), Seq("d_ex"))
+      .withColumn("inter",
+        size(array_intersect(col("a1"), col("a2"))).cast(LongType))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("a1")) + size(col("a2")) - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("d_in"), col("d_ex"), col("inter"), col("jaccard"))
       .orderBy("d_in", "d_ex")
+  }
+
+  /** Incremental (against-existing) near-dedup — the production shape
+    * for a continuously-ingesting corpus: new documents are checked
+    * against the ALREADY-ACCEPTED corpus only, never against each
+    * other or all-pairs. Here "incoming" = doc_id % 10 == 0 (a
+    * deterministic 10% batch), "existing" = the rest; the declared
+    * query builds the existing side's [[LshIndex]] in place and
+    * serves the batch through [[incrementalDedupOn]] — the exact code
+    * path a deployment runs against a [[loadLshIndex]]-loaded
+    * artifact (IndexLifecycleSpec pins loaded == in-corpus
+    * byte-identically). Candidates come from the same 16-band MinHash
+    * buckets the in-corpus pipeline uses, then exact Jaccard
+    * verifies, so the output equals the exhaustive cross-set ground
+    * truth (same < 1e-7 miss bound) and is DuckDB-oracle-compared.
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    incrementalDedupOn(
+      buildLshIndex(docs.filter(col("doc_id") % 10 =!= 0)),
+      docs.filter(col("doc_id") % 10 === 0))
   }
 
   /** The full LSH dedup pipeline at its 100 TB shape, made
@@ -1209,6 +1295,15 @@ object DedupQueries extends QSet {
           val cs = bc.value
           val rm = br.value
           it.flatMap { case (id, e, n1, fl) =>
+            // same fail-fast posture as assign/build: on the
+            // probes-only serving paths (embeddingDedupIncoming,
+            // StreamTransforms.dedupIncomingVec) a zero/NaN-norm
+            // incoming vector would score NaN centroid cosines, fail
+            // every cap test, and surface as a silent is_dup=0 — the
+            // exact divergence the build's docstring refuses
+            require(n1 > 0.0,
+              s"CellIndex.probes refuses a zero/NaN-norm vector " +
+                s"(vec_id=$id): cosine is undefined")
             val cos = CellIndex.centroidCosines(e, n1, cs)
             val own = CellIndex.ownCell(cos, cs)
             val out =

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The build-once / serve-many index lifecycle, end to end: both
+  * persisted artifacts (the text-LSH index and the vector cell index)
+  * must serve outputs identical to their in-memory builds, and the
+  * maintenance paths (parquet append for text, assign-and-merge for
+  * vectors) must equal a from-scratch build on the union corpus.
+  */
+class IndexLifecycleSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf
+
+  private val fixtureDirs =
+    scala.collection.mutable.Buffer[java.nio.file.Path]()
+  private def fixtureDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    fixtureDirs += p
+    p.toString
+  }
+  override def afterAll(): Unit = {
+    fixtureDirs.foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+    super.afterAll()
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSeq
+
+  test("text-LSH artifact: loaded-index incremental dedup is " +
+    "byte-identical to the declared in-corpus build") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    val docs = graft.engine.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text")
+    val declared = rows(
+      SparkEntry.queries("q_dedup_incremental")(spark, sf))
+    assert(declared.nonEmpty, "fixture must produce incremental pairs")
+    spark.catalog.clearCache()
+    val p = fixtureDir("lsh_index")
+    DedupQueries.writeLshIndex(
+      DedupQueries.buildLshIndex(docs.filter($"doc_id" % 10 =!= 0)), p)
+    spark.catalog.clearCache()
+    val served = rows(DedupQueries.incrementalDedupOn(
+      DedupQueries.loadLshIndex(spark, p),
+      docs.filter($"doc_id" % 10 === 0)))
+    assert(served == declared,
+      s"served=${served.take(3)} declared=${declared.take(3)}")
+    spark.catalog.clearCache()
+  }
+
+  test("text-LSH artifact is append-only: any append sequence equals " +
+    "the from-scratch build on the union corpus") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    val docs = graft.engine.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text")
+    val existing = docs.filter($"doc_id" % 10 =!= 0)
+    val declared = rows(
+      SparkEntry.queries("q_dedup_incremental")(spark, sf))
+    spark.catalog.clearCache()
+    // write a third of the corpus, append the rest in two batches —
+    // both index frames are per-doc, so parquet append IS the merge
+    val p = fixtureDir("lsh_index_append")
+    DedupQueries.writeLshIndex(
+      DedupQueries.buildLshIndex(existing.filter($"doc_id" % 3 === 0)), p)
+    DedupQueries.appendLshIndex(p, existing.filter($"doc_id" % 3 === 1))
+    DedupQueries.appendLshIndex(p, existing.filter($"doc_id" % 3 === 2))
+    spark.catalog.clearCache()
+    val served = rows(DedupQueries.incrementalDedupOn(
+      DedupQueries.loadLshIndex(spark, p),
+      docs.filter($"doc_id" % 10 === 0)))
+    assert(served == declared)
+    spark.catalog.clearCache()
+  }
+}
