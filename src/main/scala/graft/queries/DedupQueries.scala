@@ -1230,6 +1230,10 @@ object DedupQueries extends QSet {
     *              precedent), so the collect is the point, not a leak
     *  - `bcRadii` cell → max member angle (the pruning radius), √N
     *              entries riding the same broadcast channel
+    *  - `cellSizes` cell → member count, √N entries, DRIVER-side only
+    *              (floor-cell selection in the banded top-k): derived
+    *              in the same single stats pass as the radii, never
+    *              broadcast — executors don't read it
     * Centroids are the √N smallest xxhash64(id) mixes — deterministic
     * on any run/partitioning. Assignment and probe generation are TWO
     * LINEAR mapPartitions passes against the broadcast state: each
@@ -1258,7 +1262,8 @@ object DedupQueries extends QSet {
       nCells: Int, memVec: DataFrame,
       bcCent: org.apache.spark.broadcast.Broadcast[
         Array[(Long, Array[Float], Double)]],
-      bcRadii: org.apache.spark.broadcast.Broadcast[Map[Long, Double]]) {
+      bcRadii: org.apache.spark.broadcast.Broadcast[Map[Long, Double]],
+      cellSizes: Map[Long, Long]) {
 
     /** Pass 2: the surviving probe list (id1, cell, e1, n1), emitted
       * in-row per vector against the broadcast centroid/radii state.
@@ -1355,6 +1360,30 @@ object DedupQueries extends QSet {
         }.toDF("vec_id", "cell", "embedding", "nrm")
     }
 
+    /** [[assign]] plus the member angle to the assigned centroid —
+      * exactly the build pass's per-row computation against THIS
+      * index's frozen centroids, emitting the memVec schema. This is
+      * the append-maintenance primitive: new members join the member
+      * frame with an own_theta the merged radii stay an upper bound
+      * over. No shuffle, same fail-fast posture.
+      */
+    def assignTheta(vecs: DataFrame): DataFrame = {
+      val sp = vecs.sparkSession
+      import sp.implicits._
+      val bc = bcCent
+      vecs.as[(Long, Array[Float], Double)]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (id, e, n1) =>
+            require(n1 > 0.0,
+              s"CellIndex.assignTheta refuses a zero/NaN-norm vector " +
+                s"(vec_id=$id): cosine is undefined and the banded " +
+                "and brute paths would diverge silently on it")
+            CellIndex.assignRow(id, e, n1, cs)
+          }
+        }.toDF("vec_id", "cell", "own_theta", "embedding", "nrm")
+    }
+
     /** Release the index's cached frames (the broadcasts are
       * context-cleaner-collected once unreferenced). Only call after
       * every derived result is materialized — the frames recompute
@@ -1408,6 +1437,53 @@ object DedupQueries extends QSet {
       }
       bestCid
     }
+
+    /** One memVec row from one vector: nearest cell + the member's
+      * angle to its centroid — shared by the index build's pass 1 and
+      * [[CellIndex.assignTheta]] so append-maintenance assignments
+      * are bit-identical to build-time ones. */
+    private[graft] def assignRow(id: Long, e: Array[Float], n1: Double,
+        cs: Array[(Long, Array[Float], Double)])
+        : (Long, Long, Double, Array[Float], Double) = {
+      val cos = centroidCosines(e, n1, cs)
+      val own = ownCell(cos, cs)
+      var best = 0.0
+      var i = 0
+      while (i < cs.length) {
+        if (cs(i)._1 == own) { best = cos(i); i = cs.length }
+        else i += 1
+      }
+      (id, own, math.acos(math.min(1.0, math.max(-1.0, best))), e, n1)
+    }
+  }
+
+  /** Per-cell (max own_theta, member count) of a memVec-shaped frame
+    * in ONE pass and ZERO shuffle: per-partition hash maps (√N entries
+    * each) collect to the driver and merge there — the same bounded
+    * channel the centroid/radii broadcasts ride. Running it is also
+    * the action that materializes the frame's cache (it replaced the
+    * former groupBy(cell).agg(max) job, whose exchange shipped the
+    * √N-keyed partials the maps now carry). Exactly-once by
+    * construction — the maps are the job's RESULT, not accumulators,
+    * so task retries cannot double-count.
+    */
+  private def cellStats(mem: DataFrame): Map[Long, (Double, Long)] = {
+    val sp = mem.sparkSession
+    import sp.implicits._
+    mem.select(col("cell"), col("own_theta")).as[(Long, Double)]
+      .rdd
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[Long, (Double, Long)]
+        it.foreach { case (c, th) =>
+          val cur = m.getOrElse(c, (0.0, 0L))
+          m(c) = (math.max(cur._1, th), cur._2 + 1L)
+        }
+        Iterator(m)
+      }
+      .collect()
+      .flatten
+      .groupMapReduce(_._1)(_._2)((a, b) =>
+        (math.max(a._1, b._1), a._2 + b._2))
   }
 
   private[graft] def buildCellIndex(s: SparkSession, dir: String)
@@ -1417,7 +1493,12 @@ object DedupQueries extends QSet {
         col("label"), col("embedding"),
         graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
       .persist()
-    val nVec = vn.count()
+    // metadata-only count on the RAW scan: no filter sits between the
+    // footer and vn's projection, so the counts are equal — and unlike
+    // vn.count() this deserializes no embedding arrays (Spark answers
+    // it from the parquet row-group metadata). The vn cache
+    // materializes under the takeOrdered pass below instead.
+    val nVec = s.read.parquet(s"$dir/embeddings.parquet").count()
     val nCells = math.max(16, math.ceil(math.sqrt(nVec.toDouble)).toInt)
     // bounded collect (√N rows): every executor needs every centroid,
     // so the broadcast IS the distribution plan — same posture as
@@ -1449,28 +1530,18 @@ object DedupQueries extends QSet {
             s"buildCellIndex refuses a zero/NaN-norm embedding " +
               s"(vec_id=$id): cosine is undefined and the banded and " +
               "brute paths would diverge silently on it")
-          val cos = CellIndex.centroidCosines(e, n1, cs)
-          val own = CellIndex.ownCell(cos, cs)
-          var best = 0.0
-          var i = 0
-          while (i < cs.length) {
-            if (cs(i)._1 == own) { best = cos(i); i = cs.length }
-            else i += 1
-          }
-          (id, own,
-            math.acos(math.min(1.0, math.max(-1.0, best))), e, n1)
+          CellIndex.assignRow(id, e, n1, cs)
         }
       }.toDF("vec_id", "cell", "own_theta", "embedding", "nrm")
       .persist()
-    // per-cell pruning radius: √N rows, collected onto the broadcast
-    // channel the probe pass already rides (this is also the job that
-    // populates the memVec cache)
-    val radii = memVec.groupBy("cell")
-      .agg(max(col("own_theta")).as("r"))
-      .as[(Long, Double)]
-      .collect()
+    // per-cell pruning radius + member count in one shuffle-free pass,
+    // collected onto the broadcast channel the probe pass already
+    // rides (this is also the job that populates the memVec cache)
+    val stats = cellStats(memVec)
     CellIndex(vn, nVec, centroids.length, memVec,
-      bcCent, s.sparkContext.broadcast(radii.toMap))
+      bcCent,
+      s.sparkContext.broadcast(stats.map { case (c, (r, _)) => (c, r) }),
+      stats.map { case (c, (_, n)) => (c, n) })
   }
 
   /** Persist the cell index as a parquet artifact — the repeated-query
@@ -1504,18 +1575,68 @@ object DedupQueries extends QSet {
     import s.implicits._
     val vn = s.read.parquet(s"$path/corpus.parquet").persist()
     val memVec = s.read.parquet(s"$path/member.parquet").persist()
-    val nVec = memVec.count()
     val centroids = s.read.parquet(s"$path/centroids.parquet")
       .select(col("vec_id"), col("embedding"), col("nrm"))
       .as[(Long, Array[Float], Double)]
       .collect()
-    val radii = memVec.groupBy("cell")
-      .agg(max(col("own_theta")).as("r"))
-      .as[(Long, Double)]
-      .collect()
-    CellIndex(vn, nVec, centroids.length, memVec,
+    // the one stats pass yields radii, sizes AND the total count — the
+    // former separate memVec.count() job folds into it
+    val stats = cellStats(memVec)
+    CellIndex(vn, stats.valuesIterator.map(_._2).sum, centroids.length,
+      memVec,
       s.sparkContext.broadcast(centroids),
-      s.sparkContext.broadcast(radii.toMap))
+      s.sparkContext.broadcast(stats.map { case (c, (r, _)) => (c, r) }),
+      stats.map { case (c, (_, n)) => (c, n) })
+  }
+
+  /** Append newly-accepted vectors to a built (or loaded) index — the
+    * maintenance half of the vector serving story. The cell GEOMETRY
+    * is frozen at build time: incoming vectors assign against the
+    * EXISTING centroids (CellIndex.assignTheta — bit-identical to the
+    * build pass), the member/corpus frames grow by union, and only
+    * TOUCHED cells' radii/sizes update (radius = max(old, batch max) —
+    * radii stay upper bounds over every member, so all three banded
+    * operators' pruning proofs hold unchanged on the appended index:
+    * IndexLifecycleSpec pins their outputs against the brute
+    * baselines on the union corpus). `vecs` is the corpus-table shape
+    * (vec_id, label, embedding); the caller owns id uniqueness.
+    *
+    * Rebuild policy (document, not code): radii grow MONOTONICALLY
+    * under append — a drifting corpus inflates them past what fresh
+    * √N' centroids would measure, so pruning weakens (never breaks)
+    * and nCells stays √N of the ORIGINAL corpus. Trigger a fresh
+    * [[buildCellIndex]] when the appended fraction reaches ~1× the
+    * built corpus (nVec ≥ 2× the build-time count — cell occupancy
+    * doubles, so within-cell work does too) or when monitoring shows
+    * mean radius growth > ~20%: both are cheap driver-side checks on
+    * `nVec`/`bcRadii`. Persisting: [[writeCellIndex]] the RETURNED
+    * index to a FRESH path (writing over the path a loaded index is
+    * still reading is a read-under-overwrite hazard), then swap.
+    *
+    * Cache note: the returned index's unions re-read the parent's
+    * cached frames plus a recomputed (narrow, deterministic)
+    * assignment of the batch; [[CellIndex.unpersist]] on the returned
+    * index releases the union caches, the parent's remain the
+    * caller's.
+    */
+  private[graft] def appendToCellIndex(ci: CellIndex, vecs: DataFrame)
+      : CellIndex = {
+    val s = ci.vn.sparkSession
+    val vnNew = vecs.select(col("vec_id"), col("label"), col("embedding"),
+      graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
+    val memNew = ci.assignTheta(
+      vnNew.select(col("vec_id"), col("embedding"), col("nrm")))
+    // touched-cell stats: bounded by the batch, one shuffle-free job
+    val batchStats = cellStats(memNew)
+    val nNew = batchStats.valuesIterator.map(_._2).sum
+    val radii = ci.bcRadii.value
+    val mergedRadii = radii ++ batchStats.map { case (c, (r, _)) =>
+      (c, math.max(r, radii.getOrElse(c, 0.0))) }
+    val mergedSizes = ci.cellSizes ++ batchStats.map { case (c, (_, n)) =>
+      (c, n + ci.cellSizes.getOrElse(c, 0L)) }
+    CellIndex(ci.vn.unionByName(vnNew).persist(), ci.nVec + nNew,
+      ci.nCells, ci.memVec.unionByName(memNew).persist(), ci.bcCent,
+      s.sparkContext.broadcast(mergedRadii), mergedSizes)
   }
 
   /** The rounded pair cosine every banded operator scores with —

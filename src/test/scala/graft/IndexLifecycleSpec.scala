@@ -75,4 +75,58 @@ class IndexLifecycleSpec extends AnyFunSuite
     assert(served == declared)
     spark.catalog.clearCache()
   }
+
+  test("cell-index append maintenance: banded operators on an appended " +
+    "index exactly match the brute baselines on the union corpus") {
+    import spark.implicits._
+    import graft.queries.{DedupQueries, KnnOpsQueries}
+    // build the index on 3/4 of the corpus, append the remaining 1/4 —
+    // the union is the full graded table, so the brute baselines on
+    // the original dir ARE the ground truth for the appended index
+    val full = graft.engine.Tables.t(spark, sf, "embeddings")
+    val base = fixtureDir("cell_append_base")
+    full.filter($"vec_id" % 4 =!= 0)
+      .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    val extra = full.filter($"vec_id" % 4 === 0)
+      .select("vec_id", "label", "embedding")
+    val ci = DedupQueries.appendToCellIndex(
+      DedupQueries.buildCellIndex(spark, base), extra)
+    // bookkeeping: count and per-cell sizes track the union exactly
+    assert(ci.nVec == full.count())
+    assert(ci.cellSizes.values.sum == ci.nVec)
+    val knnApp = rows(KnnOpsQueries.bandedKnnAccuracyOn(ci))
+    val dedupApp = rows(DedupQueries.embeddingDedupBandedOn(ci, 0.40))
+    val topkApp = rows(DedupQueries.cosineTopKBandedOn(ci, 10))
+    spark.catalog.clearCache()
+    assert(knnApp == rows(KnnOpsQueries.bruteKnnAccuracy(spark, sf)))
+    spark.catalog.clearCache()
+    assert(dedupApp == rows(DedupQueries.embeddingDedup(spark, sf, 0.40)))
+    spark.catalog.clearCache()
+    assert(topkApp == rows(DedupQueries.cosineTopK(spark, sf, 10)))
+    spark.catalog.clearCache()
+  }
+
+  test("appended cell index round-trips through the parquet artifact " +
+    "byte-identically (write to a FRESH path, reload, serve)") {
+    import spark.implicits._
+    import graft.queries.{DedupQueries, KnnOpsQueries}
+    val full = graft.engine.Tables.t(spark, sf, "embeddings")
+    val base = fixtureDir("cell_append_rt_base")
+    full.filter($"vec_id" % 4 =!= 0)
+      .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    val ci = DedupQueries.appendToCellIndex(
+      DedupQueries.buildCellIndex(spark, base),
+      full.filter($"vec_id" % 4 === 0)
+        .select("vec_id", "label", "embedding"))
+    val mem = rows(KnnOpsQueries.bandedKnnAccuracyOn(ci))
+    val memTopk = rows(DedupQueries.cosineTopKBandedOn(ci, 10))
+    val fresh = fixtureDir("cell_append_rt_idx")
+    DedupQueries.writeCellIndex(ci, fresh)
+    spark.catalog.clearCache()
+    val li = DedupQueries.loadCellIndex(spark, fresh)
+    assert(li.nVec == ci.nVec && li.cellSizes == ci.cellSizes)
+    assert(rows(KnnOpsQueries.bandedKnnAccuracyOn(li)) == mem)
+    assert(rows(DedupQueries.cosineTopKBandedOn(li, 10)) == memTopk)
+    spark.catalog.clearCache()
+  }
 }
