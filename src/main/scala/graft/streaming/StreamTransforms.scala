@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -14,6 +14,10 @@ case class EvRow(event_id: Long, user_id: Long, event_type: String,
 case class DocRow(doc_id: Long, text: String)
 /** One incoming embedding for the streaming vector-dedup firehose. */
 case class VecRow(vec_id: Long, embedding: Seq[Float])
+/** One scored kNN candidate row feeding the per-query merge. */
+case class KnnCand(qid: Long, nbr: Long, cos: Double)
+/** One ranked kNN result row (the knnQueryOn output schema). */
+case class KnnHit(qid: Long, rank: Long, vec_id: Long, cos: Double)
 case class CounterState(n: Long)
 case class PurchaseCount(user_id: Long, event_id: Long,
   purchases_since_error: Long)
@@ -289,6 +293,105 @@ object StreamTransforms {
         col("e2"), col("n2")))
       .filter(col("cos") >= tau)
       .select(col("id1").as("vec_id"), col("match_id"), col("cos"))
+  }
+
+  /** Streaming per-query EXACT k-NN against a static cell index — the
+    * serving twin of KnnOpsQueries.knnQueryOn, with the same
+    * floor/cap exactness proof and the dedupIncomingVec legality
+    * recipe: every stage is either a narrow in-row pass against
+    * broadcast index state, a stream-static equi-join, or (the one
+    * stateful step) a per-query merge whose group is born complete
+    * inside a single micro-batch. The batch shape's per-query
+    * row_number windows are illegal on a stream, so ranking moves
+    * in-row and into the group merge:
+    *  1. assign (narrow map) attaches each query's own cell; a
+    *     stream-static LEFT join on the √N-row (cell, members-array)
+    *     frame brings the whole own cell INTO the row, where the
+    *     top-k (cos DESC, nbr ASC — same rounded-4dp cosine, same
+    *     tie order as knnQueryOn) computes as an array sort. The
+    *     query's floor is its k-th own-cell cosine (null when the
+    *     cell holds fewer — or the cell is dead and the left join
+    *     found nothing: prune nothing, exactly the batch fallback).
+    *  2. CellIndex.probes (narrow flatMap, carrying the query vector)
+    *     emits the surviving foreign cells; the same stream-static
+    *     join + in-row top-k scores each of them. Keeping only each
+    *     cell's top-k loses nothing: a member outside its own cell's
+    *     top-k has ≥ k cell-mates ahead of it in the global
+    *     (cos DESC, nbr ASC) order too.
+    *  3. The per-cell candidate arrays collapse to the final top-k in
+    *     flatMapGroupsWithState keyed by query id — all of a query's
+    *     candidate rows derive from its one input row, so the group
+    *     is complete within its micro-batch; no state is carried
+    *     (NoTimeout, never updated) and append mode stays legal.
+    * The members-array frame is √N rows (one per live cell, each
+    * ~√N wide) — n total bytes but never a pair-sized or n×√n frame;
+    * it persists for the life of the serving query (caller owns
+    * cleanup per the cache-lifecycle contract). StreamingSpec pins
+    * stream == knnQueryOn batch output.
+    */
+  def knnQueryStream(queries: DataFrame,
+      ci: graft.queries.DedupQueries.CellIndex, k: Int)
+      : Dataset[KnnHit] = {
+    import graft.functions.Native
+    val sp = queries.sparkSession
+    import sp.implicits._
+    val cellArr = ci.memVec
+      .groupBy("cell")
+      .agg(collect_list(struct(col("vec_id").as("nbr"),
+        col("embedding").as("e2"), col("nrm").as("n2"))).as("ms"))
+      .persist()
+    // in-row scored top-k of one cell's member array for one query
+    // vector: the same rounded-4dp cosine expression shape as
+    // pairCosCol, ranked by the same (cos DESC, nbr ASC) total order
+    def topkCol(ms: Column, e1: Column, n1: Column): Column = {
+      val scored = transform(ms, m =>
+        struct(
+          round(Native.dotF(e1, m.getField("e2")) /
+            (n1 * m.getField("n2")), 4).as("cos"),
+          m.getField("nbr").as("nbr")))
+      slice(array_sort(scored, (a, b) =>
+        when(a.getField("cos") > b.getField("cos"), -1)
+          .when(a.getField("cos") < b.getField("cos"), 1)
+          .when(a.getField("nbr") < b.getField("nbr"), -1)
+          .when(a.getField("nbr") > b.getField("nbr"), 1)
+          .otherwise(0)), 1, k)
+    }
+    val emptyMs = expr(
+      "CAST(array() AS array<struct<nbr:bigint,e2:array<float>,n2:double>>)")
+    val own = ci.assign(queries.select(col("vec_id"), col("embedding"),
+        Native.l2NormF(col("embedding")).as("nrm")))
+      .join(cellArr, Seq("cell"), "left")
+      .withColumn("topk", topkCol(coalesce(col("ms"), emptyMs),
+        col("embedding"), col("nrm")))
+      .withColumn("floor", when(size(col("topk")) >= k,
+        element_at(col("topk"), k).getField("cos")))
+    val ownCands = own.select(col("vec_id").as("qid"),
+        explode(col("topk")).as("c"))
+      .select(col("qid"), col("c.nbr").as("nbr"), col("c.cos").as("cos"))
+    val crossCands = ci.probes(own.select(col("vec_id"), col("embedding"),
+        col("nrm"), col("floor")), includeOwn = false)
+      .join(cellArr, Seq("cell"))
+      .select(col("id1").as("qid"),
+        explode(topkCol(col("ms"), col("e1"), col("n1"))).as("c"))
+      .select(col("qid"), col("c.nbr").as("nbr"), col("c.cos").as("cos"))
+    ownCands.unionAll(crossCands).as[KnnCand]
+      .groupByKey(_.qid)
+      .flatMapGroupsWithState[CounterState, KnnHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (qid: Long, it: Iterator[KnnCand], _: GroupState[CounterState]) =>
+          // the candidate multiset is bounded by k × surviving cells;
+          // the merge replays knnQueryOn's (cos DESC, nbr ASC) ranking
+          it.toArray
+            .sortWith { (x, y) =>
+              val c = java.lang.Double.compare(x.cos, y.cos)
+              c > 0 || (c == 0 && x.nbr < y.nbr)
+            }
+            .take(k)
+            .zipWithIndex
+            .map { case (c, i) =>
+              KnnHit(qid, (i + 1).toLong, c.nbr, c.cos) }
+            .iterator
+      }
   }
 
   def dedupIncoming(incoming: DataFrame, index: DataFrame): DataFrame =

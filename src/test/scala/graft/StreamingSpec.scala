@@ -196,6 +196,41 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("streaming kNN serving against the static cell index: " +
+    "stream == knnQueryOn batch, per-query merge complete within " +
+    "each micro-batch") {
+    val ci = graft.queries.DedupQueries.buildCellIndex(
+      spark, TestSpark.Sf)
+    val incoming = graft.engine.Tables.t(spark, TestSpark.Sf,
+        "embeddings")
+      .filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    // the EXACT per-query kNN batch surface is the ground truth (it is
+    // itself pinned against the exhaustive scan in KnnOpsSpec)
+    val batch = graft.queries.KnnOpsQueries.knnQueryOn(ci, incoming, 5)
+      .collect()
+    assert(batch.nonEmpty)
+    // shared-code batch path of the stream function agrees first
+    val viaFn = StreamTransforms.knnQueryStream(incoming, ci, 5)
+      .toDF.collect()
+    assert(canon(viaFn) == canon(batch))
+    val rows = incoming.selectExpr("vec_id",
+        "cast(embedding as array<float>) embedding")
+      .as[VecRow].collect().toSeq.sortBy(_.vec_id)
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[VecRow]
+    val q = StreamTransforms.knnQueryStream(ms.toDF, ci, 5)
+      .toDF.writeStream.format("memory").queryName("s_knn_serve")
+      .outputMode("append").start()
+    try {
+      val size = math.max(1, rows.size / 4)
+      rows.grouped(size).foreach { g =>
+        ms.addData(g); q.processAllAvailable() }
+      assert(canon(spark.table("s_knn_serve").collect()) == canon(batch))
+    } finally q.stop()
+    spark.catalog.clearCache()
+  }
+
   test("incremental dedup: incoming stream vs static index == declared batch") {
     val docs = graft.engine.Tables.t(spark, TestSpark.Sf, "documents")
       .select("doc_id", "text")
