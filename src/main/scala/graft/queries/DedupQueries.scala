@@ -1725,7 +1725,6 @@ object DedupQueries extends QSet {
       wideHintCap: Long = BroadcastHintMaxRows / 8): DataFrame = {
     def bcWide(df: DataFrame): DataFrame =
       maybeBroadcast(df, ci.nVec, wideHintCap)
-    // persisted: read by the floor aggregate AND the final union
     val within = ci.memVec
       .select(col("vec_id").as("id1"), col("cell"),
         col("embedding").as("e1"), col("nrm").as("n1"))
@@ -1736,15 +1735,55 @@ object DedupQueries extends QSet {
       .select(col("id1"), col("id2"),
         pairCosCol(col("e1"), col("n1"), col("e2"), col("n2"))
           .as("cos"))
-      .persist()
-    val floorRow = within
-      .orderBy(col("cos").desc, col("id1"), col("id2")).limit(k)
-      .agg(min(col("cos")).as("floor"), count(lit(1)).as("nw"))
-      .head()
-    // fewer than k within-cell pairs → the floor is void: scan every
-    // live cell (NULL floor = prune nothing in the probe pass)
+    // The floor derives from a BOUNDED subset of within-cell pairs —
+    // the densest cells, picked driver-side from the index's sizes
+    // map until they cover 16·k pairs (any subset's k-th best is a
+    // valid global floor: k pairs ≥ it exist, so nothing scoring
+    // below it can displace them; only pruning STRENGTH varies, and
+    // dense cells are where near-dup geometry concentrates its best
+    // cosines). The former shape took the k-th best of ALL within
+    // pairs, which persisted the ENTIRE within self-join before the
+    // probe pass could start; now the floor job self-joins only the
+    // selected cells' members, the within frame computes ONCE inside
+    // the final union, and the void-floor decision (prune nothing
+    // when fewer than k within pairs exist anywhere) costs zero jobs —
+    // it reads the sizes map. Interleaved same-JVM A/B medians
+    // (ABBench r11): 1.28 s vs 1.50 s at sf0.1; a TIE at the
+    // 10×-duplicated sf1.0 (9.8 s both) — decomposition there shows
+    // index 0.66 s + within 0.82 s, i.e. the family's slow sf1.0
+    // member is the CROSS tier's no-prune scoring on isotropic
+    // geometry (radii ≈ π/2 make every cap ≈ 1, the documented
+    // information-theoretic floor no exact method beats), not the
+    // floor derivation.
+    val totalPairs = ci.cellSizes.valuesIterator
+      .map(n => n * (n - 1) / 2).sum
     val floorOpt: Option[Double] =
-      if (floorRow.getLong(1) < k) None else Some(floorRow.getDouble(0))
+      if (totalPairs < k) None
+      else {
+        val ordered = ci.cellSizes.toSeq
+          .sortBy { case (c, n) => (-n, c) }
+        val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var acc = 0L
+        val it = ordered.iterator
+        while (acc < 16L * k && it.hasNext) {
+          val (c, n) = it.next()
+          if (n >= 2) { sel += c; acc += n * (n - 1) / 2 }
+        }
+        val fm = ci.memVec.filter(col("cell").isin(sel.toSeq: _*))
+        val fw = fm
+          .select(col("vec_id").as("id1"), col("cell"),
+            col("embedding").as("e1"), col("nrm").as("n1"))
+          .join(fm.select(col("vec_id").as("id2"),
+            col("cell").as("c2"), col("embedding").as("e2"),
+            col("nrm").as("n2")),
+            col("cell") === col("c2") && col("id1") < col("id2"))
+          .select(pairCosCol(col("e1"), col("n1"),
+            col("e2"), col("n2")).as("cos"))
+        // totalPairs ≥ k and the selection covers ≥ min(16k, total)
+        // pairs ≥ k, so the k-th best exists
+        Some(fw.orderBy(col("cos").desc).limit(k)
+          .agg(min(col("cos"))).head().getDouble(0))
+      }
     val probes = ci.probes(ci.vn.select(col("vec_id"), col("embedding"),
       col("nrm"), floorOpt.map(lit(_)).getOrElse(lit(null))
         .cast(DoubleType).as("floor")))

@@ -300,11 +300,71 @@ object ABBench {
         bcSkinny(ci.vn.select(col("vec_id"), col("label"))))
     }
 
-    // round-10 A/B: the in-row l5 floor filter on the banded kNN vote
-    // tail (declared shape) vs the unfiltered pre-round-10 tail
+    // topk_old: the round-10 banded top-k floor — k-th best of ALL
+    // within-cell pairs, forcing the full within self-join to
+    // materialize (persisted) before the probe pass can start
+    def topkOldFloor(s: SparkSession, dir: String): DataFrame = {
+      val ci = DedupQueries.buildCellIndex(s, dir)
+      def bcWide(df: DataFrame): DataFrame =
+        DedupQueries.maybeBroadcast(df, ci.nVec,
+          DedupQueries.BroadcastHintMaxRows / 8)
+      val within = ci.memVec
+        .select(col("vec_id").as("id1"), col("cell"),
+          col("embedding").as("e1"), col("nrm").as("n1"))
+        .join(bcWide(ci.memVec.select(col("vec_id").as("id2"),
+          col("cell").as("c2"), col("embedding").as("e2"),
+          col("nrm").as("n2"))),
+          col("cell") === col("c2") && col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          DedupQueries.pairCosCol(col("e1"), col("n1"),
+            col("e2"), col("n2")).as("cos"))
+        .persist()
+      val floorRow = within
+        .orderBy(col("cos").desc, col("id1"), col("id2")).limit(10)
+        .agg(min(col("cos")).as("floor"), count(lit(1)).as("nw"))
+        .head()
+      val floorOpt: Option[Double] =
+        if (floorRow.getLong(1) < 10) None
+        else Some(floorRow.getDouble(0))
+      val probes = ci.probes(ci.vn.select(col("vec_id"),
+        col("embedding"), col("nrm"),
+        floorOpt.map(lit(_)).getOrElse(lit(null))
+          .cast(DoubleType).as("floor")))
+      val cross = probes
+        .join(bcWide(ci.memVec.select(col("vec_id").as("id2"),
+          col("cell"), col("embedding").as("e2"),
+          col("nrm").as("n2"))), Seq("cell"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          DedupQueries.pairCosCol(col("e1"), col("n1"),
+            col("e2"), col("n2")).as("cos"))
+      within.unionAll(cross)
+        .orderBy(col("cos").desc, col("id1"), col("id2"))
+        .limit(10)
+    }
+
+    // round-11 A/B: bounded densest-cells top-k floor (declared) vs
+    // the round-10 full-within floor
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "knn_floor" -> (() => graft.SparkEntry.queries("q_ml_knn_accuracy_banded")(spark, sfDir)),
-      "knn_nofloor" -> (() => knnNoFloor(spark, sfDir)),
+      "topk_new" -> (() => graft.SparkEntry.queries("q_sim_cosine_topk_banded")(spark, sfDir)),
+      "topk_old" -> (() => topkOldFloor(spark, sfDir)),
+      "idx_only" -> (() => DedupQueries.buildCellIndex(spark, sfDir).memVec),
+      "within_only" -> (() => {
+        val ci = DedupQueries.buildCellIndex(spark, sfDir)
+        def bcWide(df: DataFrame): DataFrame =
+          DedupQueries.maybeBroadcast(df, ci.nVec,
+            DedupQueries.BroadcastHintMaxRows / 8)
+        ci.memVec
+          .select(col("vec_id").as("id1"), col("cell"),
+            col("embedding").as("e1"), col("nrm").as("n1"))
+          .join(bcWide(ci.memVec.select(col("vec_id").as("id2"),
+            col("cell").as("c2"), col("embedding").as("e2"),
+            col("nrm").as("n2"))),
+            col("cell") === col("c2") && col("id1") < col("id2"))
+          .select(col("id1"), col("id2"),
+            DedupQueries.pairCosCol(col("e1"), col("n1"),
+              col("e2"), col("n2")).as("cos"))
+      }),
     )
     // ---- round-robin medians ----
     val rounds = args.headOption.map(_.toInt).getOrElse(5)
