@@ -343,28 +343,112 @@ object ABBench {
         .limit(10)
     }
 
-    // round-11 A/B: bounded densest-cells top-k floor (declared) vs
-    // the round-10 full-within floor
+    // cp_old: the round-10 containment-prefix candidate stage — no
+    // positional filter, distinct() instead of the bounding groupBy,
+    // count-guarded hint on the verify join (its one winning site)
+    def cpOld(s: SparkSession, dir: String, shjHint: Boolean = false)
+        : DataFrame = {
+      val (groups, members, repDocs) = DedupQueries.textGroups(s, dir)
+      val sh = DedupQueries.shinglesOf(repDocs).persist()
+      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("dfq"))
+      val docArr = sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("dfq"), col("sh"))))
+          .as("fa"))
+        .select(col("doc_id"),
+          expr("transform(fa, x -> x.sh)").as("arr"),
+          expr("slice(fa, 1, size(fa) - (9 * size(fa) + 9) div 10 + 1)")
+            .as("pa"))
+        .persist()
+      val prefix = docArr
+        .select(col("doc_id").as("dp"),
+          size(col("arr")).cast(LongType).as("szp"),
+          explode(col("pa")).as("p"))
+        .select(col("dp"), xxhash64(col("p.sh")).as("hb"),
+          col("p.sh").as("sh"), col("szp"))
+      val full = docArr
+        .select(col("doc_id").as("dq"), size(col("arr")).cast(LongType)
+          .as("szq"), explode(col("arr")).as("sh2"))
+        .withColumn("hb2", xxhash64(col("sh2")))
+      val cands = prefix.join(full,
+          col("hb") === col("hb2") && col("sh") === col("sh2") &&
+            col("dp") =!= col("dq") && col("szp") <= col("szq"))
+        .select(least(col("dp"), col("dq")).as("r1"),
+          greatest(col("dp"), col("dq")).as("r2"))
+        .distinct()
+      val candsH = if (shjHint) cands.hint("shuffle_hash") else {
+        val c = cands.persist()
+        DedupQueries.maybeBroadcast(c, c.count())
+      }
+      val repPairs = candsH
+        .join(docArr.select(col("doc_id").as("r1"), col("arr").as("a1")),
+          "r1")
+        .join(docArr.select(col("doc_id").as("r2"), col("arr").as("a2")),
+          "r2")
+        .withColumn("inter",
+          size(array_intersect(col("a1"), col("a2"))).cast(LongType))
+        .withColumn("containment", col("inter").cast(DoubleType) /
+          least(size(col("a1")), size(col("a2"))))
+        .filter(col("containment") >= 0.9)
+        .select("r1", "r2", "inter", "containment")
+      val sizes = docArr.select(col("doc_id"),
+        size(col("arr")).cast(LongType).as("sz"))
+      DedupQueries.expandRepPairs(repPairs, groups, members, sizes,
+          "containment")
+        .select(col("d1"), col("d2"), col("inter"), col("containment"))
+        .orderBy("d1", "d2")
+    }
+
+    // one-off candidate-count probe: unpruned distinct vs positional
+    {
+      val sh = DedupQueries.shinglesOf(
+        DedupQueries.textGroups(spark, sfDir)._3).persist()
+      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("dfq"))
+      val docArr = sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("dfq"), col("sh"))))
+          .as("fa"))
+        .select(col("doc_id"),
+          expr("transform(fa, x -> x.sh)").as("arr"),
+          expr("slice(fa, 1, size(fa) - (9 * size(fa) + 9) div 10 + 1)")
+            .as("pa"))
+        .persist()
+      val prefix = docArr
+        .select(col("doc_id").as("dp"),
+          size(col("arr")).cast(LongType).as("szp"),
+          posexplode(col("pa")))
+        .select(col("dp"), xxhash64(col("col.sh")).as("hb"),
+          col("col.sh").as("sh"), col("szp"),
+          (col("pos") + 1).cast(LongType).as("ip"))
+      val full = docArr
+        .select(col("doc_id").as("dq"), size(col("arr")).cast(LongType)
+          .as("szq"), posexplode(col("arr")))
+        .select(col("dq"), xxhash64(col("col")).as("hb2"),
+          col("col").as("sh2"), col("szq"),
+          (col("pos") + 1).cast(LongType).as("jq"))
+      val joined = prefix.join(full,
+          col("hb") === col("hb2") && col("sh") === col("sh2") &&
+            col("dp") =!= col("dq") && col("szp") <= col("szq"))
+        .select(least(col("dp"), col("dq")).as("r1"),
+          greatest(col("dp"), col("dq")).as("r2"), col("szp"),
+          (lit(1L) + least(col("szp") - col("ip"),
+            col("szq") - col("jq"))).as("ub"))
+        .persist()
+      val unpruned = joined.select("r1", "r2").distinct().count()
+      val pruned = joined.groupBy("r1", "r2", "szp")
+        .agg(max(col("ub")).as("ub"))
+        .filter(col("ub") >= expr("(9 * szp + 9) div 10"))
+        .count()
+      println(s"CANDS unpruned=$unpruned pruned=$pruned " +
+        s"joinRows=${joined.count()}")
+      spark.catalog.clearCache()
+    }
+
+    // round-11 A/B: positional-pruned unhinted (declared) vs
+    // positional-pruned hinted vs the round-10 unpruned hinted shape
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "topk_new" -> (() => graft.SparkEntry.queries("q_sim_cosine_topk_banded")(spark, sfDir)),
-      "topk_old" -> (() => topkOldFloor(spark, sfDir)),
-      "idx_only" -> (() => DedupQueries.buildCellIndex(spark, sfDir).memVec),
-      "within_only" -> (() => {
-        val ci = DedupQueries.buildCellIndex(spark, sfDir)
-        def bcWide(df: DataFrame): DataFrame =
-          DedupQueries.maybeBroadcast(df, ci.nVec,
-            DedupQueries.BroadcastHintMaxRows / 8)
-        ci.memVec
-          .select(col("vec_id").as("id1"), col("cell"),
-            col("embedding").as("e1"), col("nrm").as("n1"))
-          .join(bcWide(ci.memVec.select(col("vec_id").as("id2"),
-            col("cell").as("c2"), col("embedding").as("e2"),
-            col("nrm").as("n2"))),
-            col("cell") === col("c2") && col("id1") < col("id2"))
-          .select(col("id1"), col("id2"),
-            DedupQueries.pairCosCol(col("e1"), col("n1"),
-              col("e2"), col("n2")).as("cos"))
-      }),
+      "cp_old" -> (() => cpOld(spark, sfDir)),
+      "cp_shj" -> (() => cpOld(spark, sfDir, shjHint = true)),
     )
     // ---- round-robin medians ----
     val rounds = args.headOption.map(_.toInt).getOrElse(5)

@@ -98,6 +98,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("containment-prefix verify join runs as SHUFFLED HASH — the " +
+    "ungated scale strategy (no count job, no driver broadcast, no " +
+    "SMJ sort of the wide docArr side)") {
+    val p = plan("q_dedup_containment_prefix")
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("simhash and ANN banding joins are equi-joins, never all-pairs") {
     for (q <- Seq("q_dedup_simhash", "q_sim_ann_lsh")) {
       val p = plan(q)
