@@ -141,14 +141,34 @@ object Tables {
     * so a RELIABLE checkpoint dir is injectable via the
     * `spark.graft.checkpointDir` conf (or `GRAFT_CHECKPOINT_DIR` env):
     * when set, frames checkpoint through the filesystem instead.
+    *
+    * Reliable-checkpoint caveats a deployment owns:
+    *  - Spark does NOT delete checkpoint data by default
+    *    (`spark.cleaner.referenceTracking.cleanCheckpoints` is false),
+    *    so iterative callers accumulate checkpoint dirs across runs —
+    *    enable that cleaner conf at session build, or clean the dir
+    *    after the consuming job completes.
+    *  - If the context's checkpoint dir was ALREADY set to a different
+    *    location, Spark keeps using it; this helper logs the conflict
+    *    instead of silently ignoring `spark.graft.checkpointDir`
+    *    (re-pointing mid-application would also re-route every other
+    *    checkpoint user).
     */
   def cutLineage(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption("spark.graft.checkpointDir")
       .orElse(sys.env.get("GRAFT_CHECKPOINT_DIR")) match {
       case Some(d) =>
-        if (s.sparkContext.getCheckpointDir.isEmpty)
-          s.sparkContext.setCheckpointDir(d)
+        s.sparkContext.getCheckpointDir match {
+          case None => s.sparkContext.setCheckpointDir(d)
+          case Some(cur) if cur != d && !cur.startsWith(d) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"spark.graft.checkpointDir=$d requested but the context " +
+                s"checkpoint dir is already $cur; keeping the existing " +
+                "one (checkpoints stay reliable, only the location " +
+                "differs)")
+          case _ => ()
+        }
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }

@@ -698,7 +698,8 @@ object DedupQueries extends QSet {
     * reads ONE scalar per round — no row data ever collects.
     */
   def componentReps(s: SparkSession, dir: String,
-      hintCands: Boolean = HintVerifyCands): DataFrame = {
+      hintCands: Boolean = HintVerifyCands,
+      countSizedParts: Boolean = false): DataFrame = {
     import org.apache.spark.HashPartitioner
     // the RDD cache below is the only materialization the loop needs —
     // a DF-level persist on top of it would build a second (columnar)
@@ -746,8 +747,25 @@ object DedupQueries extends QSet {
     // Self-loops (v, v) fold "keep your own label" into the same join.
     val pairRdd = pairs.rdd
       .map(r => (r.getLong(0), r.getLong(1))).cache()
-    val nParts = math.max(1, math.min(s.sparkContext.defaultParallelism,
-      (pairRdd.count() / 100000L).toInt + 1))
+    // Partitioner width (countSizedParts=false, the default since
+    // r11): AQE's OWN runtime sizing, read for free. Materializing
+    // `pairs.rdd` finalizes the adaptive plan (intermediate stages
+    // execute either way — the loop's first action pays them under
+    // both shapes), after which getNumPartitions is the COALESCED
+    // result-stage width: 1 on a fixture-sized dup graph (the width
+    // the r10 count-sizing computed with a dedicated pairRdd.count()
+    // job), growing with edge volume at AQE's target partition size
+    // on a real corpus — the same data-adaptive signal, no job.
+    // A flat defaultParallelism default was tried first and LOST the
+    // A/B (ABBench r11, same-JVM interleaved medians at sf0.1:
+    // 5.16 s vs 4.10 counted — ~6 rounds × 3 shuffles of 32
+    // near-empty tasks cost more than the count job they avoided).
+    // The toggle keeps the counted shape for the A/B harness.
+    val nParts =
+      if (countSizedParts)
+        math.max(1, math.min(s.sparkContext.defaultParallelism,
+          (pairRdd.count() / 100000L).toInt + 1))
+      else math.max(1, pairRdd.getNumPartitions)
     val part = new HashPartitioner(nParts)
     // initial labels fold round 1's neighbor-min in for free: label(v)
     // starts at min(v, neighbors(v)) from one reduceByKey — one round
@@ -1667,6 +1685,14 @@ object DedupQueries extends QSet {
     * cap_q(C_x) ≥ cos(q,x) ≥ τ − ε ⇒ C_x survives the probe filter
     * (LibrarySpec-pinned against the exhaustive incoming×existing
     * scan). Output: (vec_id, match_id NULL-able, is_dup).
+    *
+    * Cache ownership (the serving APIs' contract): this call persists
+    * the derived `inc` frame for its own two reads; in the
+    * build-once/serve-many-batches loop those per-call caches
+    * accumulate (CellIndex.unpersist covers only the index's frames),
+    * so the serving caller owns per-batch release — clearCache()
+    * between batches like Verify/Bench do, or LRU eviction (the
+    * persist is MEMORY_AND_DISK and an optimization only).
     */
   def embeddingDedupIncoming(ci: CellIndex, incoming: DataFrame,
       tau: Double,

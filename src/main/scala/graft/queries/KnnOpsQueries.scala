@@ -252,15 +252,28 @@ object KnnOpsQueries extends QSet {
     * 1e-3 slack dominates the 4-dp rounding half-step, so nothing
     * that could tie into the top-k is pruned. Output
     * (qid, rank, vec_id, cos) ranked by (cos DESC, vec_id).
+    *
+    * `nQueriesHint`: the query-batch row count, if the caller already
+    * knows it (serving layers usually do) — saves the one qv.count()
+    * job this entry point otherwise pays per batch to gate its
+    * broadcast hints; an over-estimate only disables hints, never
+    * changes output. Cache ownership: this call persists the derived
+    * qv/ownScored frames for its own two reads of each; in the
+    * build-once/serve-many-batches loop those per-call caches
+    * accumulate (CellIndex.unpersist covers only the index's frames),
+    * so the serving caller owns per-batch release — clearCache()
+    * between batches like Verify/Bench do, or LRU eviction (every
+    * persist here is MEMORY_AND_DISK and an optimization only).
     */
   def knnQueryOn(ci: graft.queries.DedupQueries.CellIndex,
       queries: DataFrame, k: Int,
-      wideHintCap: Long = DedupQueries.BroadcastHintMaxRows / 8)
+      wideHintCap: Long = DedupQueries.BroadcastHintMaxRows / 8,
+      nQueriesHint: Option[Long] = None)
       : DataFrame = {
     val qv = queries.select(col("vec_id").as("qid"), col("embedding"),
         graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
       .persist()
-    val nQ = qv.count()
+    val nQ = nQueriesHint.getOrElse(qv.count())
     def bcQ(df: DataFrame): DataFrame =
       DedupQueries.maybeBroadcast(df, nQ, wideHintCap)
     def bcWide(df: DataFrame): DataFrame =

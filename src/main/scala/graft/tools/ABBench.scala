@@ -399,56 +399,12 @@ object ABBench {
         .orderBy("d1", "d2")
     }
 
-    // one-off candidate-count probe: unpruned distinct vs positional
-    {
-      val sh = DedupQueries.shinglesOf(
-        DedupQueries.textGroups(spark, sfDir)._3).persist()
-      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("dfq"))
-      val docArr = sh.join(dfreq, "sh")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("dfq"), col("sh"))))
-          .as("fa"))
-        .select(col("doc_id"),
-          expr("transform(fa, x -> x.sh)").as("arr"),
-          expr("slice(fa, 1, size(fa) - (9 * size(fa) + 9) div 10 + 1)")
-            .as("pa"))
-        .persist()
-      val prefix = docArr
-        .select(col("doc_id").as("dp"),
-          size(col("arr")).cast(LongType).as("szp"),
-          posexplode(col("pa")))
-        .select(col("dp"), xxhash64(col("col.sh")).as("hb"),
-          col("col.sh").as("sh"), col("szp"),
-          (col("pos") + 1).cast(LongType).as("ip"))
-      val full = docArr
-        .select(col("doc_id").as("dq"), size(col("arr")).cast(LongType)
-          .as("szq"), posexplode(col("arr")))
-        .select(col("dq"), xxhash64(col("col")).as("hb2"),
-          col("col").as("sh2"), col("szq"),
-          (col("pos") + 1).cast(LongType).as("jq"))
-      val joined = prefix.join(full,
-          col("hb") === col("hb2") && col("sh") === col("sh2") &&
-            col("dp") =!= col("dq") && col("szp") <= col("szq"))
-        .select(least(col("dp"), col("dq")).as("r1"),
-          greatest(col("dp"), col("dq")).as("r2"), col("szp"),
-          (lit(1L) + least(col("szp") - col("ip"),
-            col("szq") - col("jq"))).as("ub"))
-        .persist()
-      val unpruned = joined.select("r1", "r2").distinct().count()
-      val pruned = joined.groupBy("r1", "r2", "szp")
-        .agg(max(col("ub")).as("ub"))
-        .filter(col("ub") >= expr("(9 * szp + 9) div 10"))
-        .count()
-      println(s"CANDS unpruned=$unpruned pruned=$pruned " +
-        s"joinRows=${joined.count()}")
-      spark.catalog.clearCache()
-    }
-
-    // round-11 A/B: positional-pruned unhinted (declared) vs
-    // positional-pruned hinted vs the round-10 unpruned hinted shape
+    // round-11 A/B: flat defaultParallelism CC partitioner (declared)
+    // vs the round-10 count-sized one
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "cp_old" -> (() => cpOld(spark, sfDir)),
-      "cp_shj" -> (() => cpOld(spark, sfDir, shjHint = true)),
+      "cc_flat" -> (() => DedupQueries.componentReps(spark, sfDir)),
+      "cc_counted" -> (() => DedupQueries.componentReps(spark, sfDir,
+        countSizedParts = true)),
     )
     // ---- round-robin medians ----
     val rounds = args.headOption.map(_.toInt).getOrElse(5)
