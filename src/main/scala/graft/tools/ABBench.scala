@@ -399,13 +399,79 @@ object ABBench {
         .orderBy("d1", "d2")
     }
 
-    // round-11 A/B: flat defaultParallelism CC partitioner (declared)
-    // vs the round-10 count-sized one
+    // build_old: the round-10 cell-index bookkeeping — full-scan
+    // vn.count() (deserializes every embedding into the cache) +
+    // takeOrdered + a groupBy(cell) radii aggregate job with its
+    // √N-keyed exchange
+    def buildOld(s: SparkSession, dir: String): DataFrame = {
+      import s.implicits._
+      val vn = t(s, dir, "embeddings").select(col("vec_id"),
+          col("label"), col("embedding"),
+          graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
+        .persist()
+      val nVec = vn.count()
+      val nCells = math.max(16, math.ceil(math.sqrt(nVec.toDouble)).toInt)
+      val centroids = vn
+        .select(xxhash64(col("vec_id")).as("mix"), col("vec_id"),
+          col("embedding"), col("nrm"))
+        .as[(Long, Long, Array[Float], Double)]
+        .rdd
+        .takeOrdered(nCells)(Ordering.by(t => (t._1, t._2)))
+        .map(t => (t._2, t._3, t._4))
+      val bcCent = s.sparkContext.broadcast(centroids)
+      val memVec = vn.select(col("vec_id"), col("embedding"), col("nrm"))
+        .as[(Long, Array[Float], Double)]
+        .mapPartitions { it =>
+          val cs = bcCent.value
+          it.map { case (id, e, n1) =>
+            val cos = new Array[Double](cs.length)
+            var i = 0
+            while (i < cs.length) {
+              val ce = cs(i)._2
+              var acc = 0.0
+              var j = 0
+              while (j < e.length) {
+                acc += e(j).toDouble * ce(j).toDouble; j += 1 }
+              cos(i) = acc / (n1 * cs(i)._3); i += 1
+            }
+            var bestCid = Long.MaxValue
+            var bestCos = Double.NegativeInfinity
+            var first = true
+            i = 0
+            while (i < cs.length) {
+              val cmp = java.lang.Double.compare(cos(i), bestCos)
+              if (first || cmp > 0 || (cmp == 0 && cs(i)._1 < bestCid)) {
+                bestCos = cos(i); bestCid = cs(i)._1; first = false }
+              i += 1
+            }
+            (id, bestCid,
+              math.acos(math.min(1.0, math.max(-1.0, bestCos))), e, n1)
+          }
+        }.toDF("vec_id", "cell", "own_theta", "embedding", "nrm")
+        .persist()
+      val radii = memVec.groupBy("cell")
+        .agg(max(col("own_theta")).as("r"))
+        .as[(Long, Double)]
+        .collect()
+      val _ = (s.sparkContext.broadcast(radii.toMap), nVec)
+      memVec
+    }
+
+    // round-11 A/B: reworked index bookkeeping (metadata count +
+    // fused shuffle-free stats) vs the round-10 build, build-only —
+    // plus the driver-window spike set (q_ts_anomaly / q_tpch_q11 /
+    // q_stats_gini / q_tpch_q2 hit 30-46× single-sample spikes in the
+    // round-10 driver run): 5+ consecutive same-JVM samples each, to
+    // separate code-side allocation pathology (would repeat here)
+    // from host noise (would not)
+    val spikeSet = Seq("q_ts_anomaly", "q_tpch_q11", "q_stats_gini",
+      "q_tpch_q2")
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "cc_flat" -> (() => DedupQueries.componentReps(spark, sfDir)),
-      "cc_counted" -> (() => DedupQueries.componentReps(spark, sfDir,
-        countSizedParts = true)),
-    )
+      "build_new" -> (() => DedupQueries.buildCellIndex(spark, sfDir).memVec),
+      "build_old" -> (() => buildOld(spark, sfDir)),
+      "knn_banded" -> (() => graft.SparkEntry.queries("q_ml_knn_accuracy_banded")(spark, sfDir)),
+    ) ++ spikeSet.map(q =>
+      q -> (() => graft.SparkEntry.queries(q)(spark, sfDir)))
     // ---- round-robin medians ----
     val rounds = args.headOption.map(_.toInt).getOrElse(5)
     // warmup

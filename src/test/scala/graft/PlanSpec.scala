@@ -98,6 +98,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("serving surfaces carry the query vector through probe rows: " +
+    "every join is keyed on cell or the output id — never a re-attach " +
+    "of the query frame by probe id (stream-illegal and one extra " +
+    "exchange)") {
+    // the carried-vector invariant, as lint instead of by construction:
+    // probes emit (id1, cell, e1, n1), so a plan that joins by id1 to
+    // re-fetch the query vector has regressed to the pre-rework shape —
+    // on a streaming source that join is an illegal stream-stream self
+    // join, and in batch it is a needless exchange of the probe frame
+    import graft.queries.{DedupQueries, KnnOpsQueries}
+    import graft.engine.Tables
+    val ci = DedupQueries.buildCellIndex(spark, sf)
+    val incoming = Tables.t(spark, sf, "embeddings")
+      .selectExpr("vec_id + 100000 AS vec_id", "embedding")
+    val surfaces = Seq(
+      "knnQueryOn" -> KnnOpsQueries.knnQueryOn(ci, incoming, 5),
+      "embeddingDedupIncoming" ->
+        DedupQueries.embeddingDedupIncoming(ci, incoming, 0.8),
+      "dedupIncomingVec" -> graft.streaming.StreamTransforms
+        .dedupIncomingVec(incoming, ci, 0.8))
+    for ((name, df) <- surfaces) {
+      val joinLines = df.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("Join")).toSeq
+      assert(joinLines.exists(_.contains("cell#")),
+        s"$name: expected a cell-keyed scoring join:\n" +
+          joinLines.mkString("\n"))
+      assert(!joinLines.exists(_.contains("id1#")),
+        s"$name: a join references the probe id — the query frame is " +
+          s"being re-attached by id:\n${joinLines.mkString("\n")}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("containment-prefix verify join runs as SHUFFLED HASH — the " +
     "ungated scale strategy (no count job, no driver broadcast, no " +
     "SMJ sort of the wide docArr side)") {
