@@ -258,6 +258,25 @@ object StreamTransforms {
         size(col("shs_ex")).as("sz_ex"),
         col("b.band").as("band"), col("b.key").as("key"))
 
+  /** The same streaming-dedup index ASSEMBLED from a persisted
+    * DedupQueries.LshIndex artifact (loadLshIndex) instead of
+    * re-deriving signatures from the raw corpus: one equi-join of the
+    * artifact's bucket rows with its per-doc shingle arrays. The
+    * artifact's MinHash chain is bit-identical to [[bandKeys]]
+    * (hb = xxhash64(sh); x_i = xxhash64(hb, i); band key = xxhash64
+    * over the band's minima — StreamingSpec pins the equality), and
+    * array_intersect is order-insensitive, so a stream served from
+    * the loaded artifact equals one served from [[dedupIndex]] row
+    * for row. This closes the text half of the serve loop: build +
+    * append with the batch artifact API, serve the firehose from it.
+    */
+  def dedupIndexFrom(
+      idx: graft.queries.DedupQueries.LshIndex): DataFrame =
+    idx.buckets
+      .join(idx.arrs, Seq("doc_id"))
+      .select(col("doc_id").as("d_ex"), col("arr").as("shs_ex"),
+        size(col("arr")).as("sz_ex"), col("band"), col("key"))
+
   /** Near-dup pairs of an incoming doc frame (batch OR streaming)
     * against a static [[dedupIndex]]: LSH-bucket equi-join → per-row
     * exact Jaccard on the carried shingle arrays → ≥ 0.8 pairs, one row

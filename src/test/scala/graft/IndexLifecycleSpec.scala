@@ -76,6 +76,30 @@ class IndexLifecycleSpec extends AnyFunSuite
     spark.catalog.clearCache()
   }
 
+  test("streaming text-dedup serves from the loaded LSH artifact: " +
+    "dedupIndexFrom(loadLshIndex) == the declared incremental batch") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    import graft.streaming.StreamTransforms
+    val docs = graft.engine.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text")
+    val declared = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+      .select("d_in", "d_ex", "inter", "jaccard")
+      .collect().map(_.toSeq).toSet
+    spark.catalog.clearCache()
+    val p = fixtureDir("lsh_index_stream")
+    DedupQueries.writeLshIndex(
+      DedupQueries.buildLshIndex(docs.filter($"doc_id" % 10 =!= 0)), p)
+    spark.catalog.clearCache()
+    val served = StreamTransforms.dedupIncoming(
+        docs.filter($"doc_id" % 10 === 0),
+        StreamTransforms.dedupIndexFrom(
+          DedupQueries.loadLshIndex(spark, p)))
+      .collect().map(_.toSeq).toSet
+    assert(served == declared)
+    spark.catalog.clearCache()
+  }
+
   test("cell-index append maintenance: banded operators on an appended " +
     "index exactly match the brute baselines on the union corpus") {
     import spark.implicits._
