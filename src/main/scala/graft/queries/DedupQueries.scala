@@ -1513,18 +1513,44 @@ object DedupQueries extends QSet {
   }
 
   private[graft] def buildCellIndex(s: SparkSession, dir: String)
-      : CellIndex = {
+      : CellIndex =
+    // metadata-only count on the RAW scan: no filter sits between the
+    // footer and the corpus projection, so the counts are equal — and
+    // unlike vn.count() this deserializes no embedding arrays (Spark
+    // answers it from the parquet row-group metadata). The vn cache
+    // materializes under the takeOrdered pass instead.
+    buildCellIndexOf(
+      t(s, dir, "embeddings").select("vec_id", "label", "embedding"),
+      Some(s.read.parquet(s"$dir/embeddings.parquet").count()))
+
+  /** Rebuild an index from its OWN corpus frame — the documented
+    * response to append-driven radius drift ([[appendToCellIndex]]'s
+    * rebuild policy), for deployments whose corpus lives as the index
+    * artifact rather than a raw directory: fresh √nVec centroids,
+    * fresh assignment, fresh (tight) radii, zero count jobs (nVec is
+    * already bookkept). Centroid choice depends only on the SET of
+    * vec_ids (smallest xxhash64 mixes, takeOrdered — partitioning- and
+    * source-independent), so rebuilding an appended index equals a
+    * from-scratch [[buildCellIndex]] of the union corpus
+    * byte-identically (IndexLifecycleSpec pins it).
+    */
+  private[graft] def rebuildCellIndex(ci: CellIndex): CellIndex =
+    buildCellIndexOf(ci.vn.select("vec_id", "label", "embedding"),
+      Some(ci.nVec))
+
+  /** [[buildCellIndex]] over an arbitrary (vec_id, label, embedding)
+    * corpus frame. `nVecHint`: the corpus row count when the caller
+    * already holds it (parquet footer, index bookkeeping) — otherwise
+    * one count job on the persisted corpus pays for it. */
+  private[graft] def buildCellIndexOf(corpus: DataFrame,
+      nVecHint: Option[Long] = None): CellIndex = {
+    val s = corpus.sparkSession
     import s.implicits._
-    val vn = t(s, dir, "embeddings").select(col("vec_id"),
+    val vn = corpus.select(col("vec_id"),
         col("label"), col("embedding"),
         graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
       .persist()
-    // metadata-only count on the RAW scan: no filter sits between the
-    // footer and vn's projection, so the counts are equal — and unlike
-    // vn.count() this deserializes no embedding arrays (Spark answers
-    // it from the parquet row-group metadata). The vn cache
-    // materializes under the takeOrdered pass below instead.
-    val nVec = s.read.parquet(s"$dir/embeddings.parquet").count()
+    val nVec = nVecHint.getOrElse(vn.count())
     val nCells = math.max(16, math.ceil(math.sqrt(nVec.toDouble)).toInt)
     // bounded collect (√N rows): every executor needs every centroid,
     // so the broadcast IS the distribution plan — same posture as

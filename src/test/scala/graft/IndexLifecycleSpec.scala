@@ -130,6 +130,33 @@ class IndexLifecycleSpec extends AnyFunSuite
     spark.catalog.clearCache()
   }
 
+  test("rebuilding an appended index from its own corpus frame equals " +
+    "a from-scratch build of the union dir byte-identically (the " +
+    "radius-drift response needs no raw corpus directory)") {
+    import spark.implicits._
+    import graft.queries.{DedupQueries, KnnOpsQueries}
+    val full = graft.engine.Tables.t(spark, sf, "embeddings")
+    val base = fixtureDir("cell_rebuild_base")
+    full.filter($"vec_id" % 4 =!= 0)
+      .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    val appended = DedupQueries.appendToCellIndex(
+      DedupQueries.buildCellIndex(spark, base),
+      full.filter($"vec_id" % 4 === 0)
+        .select("vec_id", "label", "embedding"))
+    val rb = DedupQueries.rebuildCellIndex(appended)
+    // fresh centroids/radii: the rebuilt index has full-corpus-sized
+    // cell geometry again (the appended one kept the base's √N)
+    assert(rb.nCells > appended.nCells)
+    assert(rb.nVec == appended.nVec)
+    val knnRb = rows(KnnOpsQueries.bandedKnnAccuracyOn(rb))
+    val topkRb = rows(DedupQueries.cosineTopKBandedOn(rb, 10))
+    spark.catalog.clearCache()
+    val fresh = DedupQueries.buildCellIndex(spark, sf)
+    assert(rows(KnnOpsQueries.bandedKnnAccuracyOn(fresh)) == knnRb)
+    assert(rows(DedupQueries.cosineTopKBandedOn(fresh, 10)) == topkRb)
+    spark.catalog.clearCache()
+  }
+
   test("appended cell index round-trips through the parquet artifact " +
     "byte-identically (write to a FRESH path, reload, serve)") {
     import spark.implicits._
