@@ -218,6 +218,15 @@ object SearchStatsQueries extends QSet {
       val train = docs.filter(col("doc_id") % 5 =!= 0)
       val ttoks = train.select(col("lang"),
         explode(split(col("text"), " ")).as("term"))
+      // Deliberately FOUR independent aggregations over the re-fused
+      // token stream, not one materialized (term, class) grid with
+      // vocab-sized derivations: tried in r11 and REJECTED on the A/B
+      // (3.65 s vs 3.19 at sf0.1, same-JVM interleaved medians).
+      // Each aggregate fuses tokenize→explode with its map-side
+      // partial combine, so the "extra corpus passes" each shuffle
+      // only vocab-sized partials — cheaper than serializing the
+      // whole model pipeline behind one persisted grid (the
+      // minhashBuckets don't-cache-the-string-stream lesson again).
       val cls = ttoks.groupBy("lang").agg(count(lit(1)).as("tot_l"))
       val nd = train.groupBy("lang").agg(count(lit(1)).as("n_docs_l"))
       val vc = ttoks.agg(countDistinct(col("term")).as("v"))

@@ -466,11 +466,52 @@ object ABBench {
     // from host noise (would not)
     val spikeSet = Seq("q_ts_anomaly", "q_tpch_q11", "q_stats_gini",
       "q_tpch_q2")
+    val nbOld: (SparkSession, String) => DataFrame = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val Dec6 = DecimalType(18, 6)
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val ttoks = train.select(col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+      val cls = ttoks.groupBy("lang").agg(count(lit(1)).as("tot_l"))
+      val nd = train.groupBy("lang").agg(count(lit(1)).as("n_docs_l"))
+      val vc = ttoks.agg(countDistinct(col("term")).as("v"))
+      val all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val cls5 = cls.join(nd, "lang")
+        .withColumn("n_train", sum(col("n_docs_l")).over(all))
+        .crossJoin(broadcast(vc))
+        .withColumn("logprior", round(log(
+          col("n_docs_l").cast(DoubleType) / col("n_train")), 6))
+      val cnt = ttoks.groupBy("term", "lang").agg(count(lit(1)).as("c"))
+      val logp = ttoks.select("term").distinct()
+        .crossJoin(broadcast(cls5.select("lang", "tot_l", "v")))
+        .join(cnt, Seq("term", "lang"), "left")
+        .withColumn("logp", round(log(
+          (coalesce(col("c"), lit(0L)) + lit(1.0)) /
+            (col("tot_l") + col("v"))), 6))
+        .select("term", "lang", "logp")
+      val stoks = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang").as("lang_actual"),
+          explode(split(col("text"), " ")).as("term"))
+      stoks.join(logp, "term")
+        .groupBy("doc_id", "lang_actual", "lang")
+        .agg(sum(col("logp").cast(Dec6)).as("sum_logp"))
+        .join(broadcast(cls5.select(col("lang"), col("logprior"))), "lang")
+        .withColumn("score", col("sum_logp") + col("logprior").cast(Dec6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang_actual"),
+          col("lang").as("lang_pred"),
+          col("score").cast(StringType).cast(DoubleType).as("score"))
+        .orderBy("doc_id")
+    }
+
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "build_new" -> (() => DedupQueries.buildCellIndex(spark, sfDir).memVec),
-      "build_old" -> (() => buildOld(spark, sfDir)),
-      "knn_banded" -> (() => graft.SparkEntry.queries("q_ml_knn_accuracy_banded")(spark, sfDir)),
-    ) ++ spikeSet.map(q =>
+      "nb_new" -> (() => graft.SparkEntry.queries("q_ml_naive_bayes")(spark, sfDir)),
+      "nb_old" -> (() => nbOld(spark, sfDir)),
+    ) ++ spikeSet.take(0).map(q =>
       q -> (() => graft.SparkEntry.queries(q)(spark, sfDir)))
     // ---- round-robin medians ----
     val rounds = args.headOption.map(_.toInt).getOrElse(5)
