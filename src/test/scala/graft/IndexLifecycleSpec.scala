@@ -130,6 +130,82 @@ class IndexLifecycleSpec extends AnyFunSuite
     spark.catalog.clearCache()
   }
 
+  test("degenerate maintenance inputs: empty vector batch is a no-op " +
+    "append; shingle-less docs vanish from the LSH artifact; serving " +
+    "surfaces work against an appended index") {
+    import spark.implicits._
+    import graft.queries.{DedupQueries, KnnOpsQueries}
+    val full = graft.engine.Tables.t(spark, sf, "embeddings")
+    val base = fixtureDir("cell_append_edge")
+    full.filter($"vec_id" % 4 =!= 0)
+      .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    val ci = DedupQueries.buildCellIndex(spark, base)
+    // empty append: bookkeeping unchanged, outputs unchanged
+    val before = rows(DedupQueries.cosineTopKBandedOn(ci, 10))
+    val ciEmpty = DedupQueries.appendToCellIndex(ci,
+      full.filter("1 = 0").select("vec_id", "label", "embedding"))
+    assert(ciEmpty.nVec == ci.nVec &&
+      ciEmpty.cellSizes == ci.cellSizes)
+    assert(rows(DedupQueries.cosineTopKBandedOn(ciEmpty, 10)) == before)
+    // the PER-QUERY serving surfaces work against an APPENDED index:
+    // queries that are near-copies of the appended quarter must find
+    // their sources (they are only in the index via the append path)
+    val ciApp = DedupQueries.appendToCellIndex(ci,
+      full.filter($"vec_id" % 4 === 0)
+        .select("vec_id", "label", "embedding"))
+    val q = full.filter($"vec_id" % 4 === 0).limit(5)
+      .selectExpr("vec_id + 100000 AS vec_id", "embedding")
+    val dd = DedupQueries.embeddingDedupIncoming(ciApp, q, 0.9999)
+      .collect()
+    assert(dd.length == 5 && dd.forall(r =>
+      !r.isNullAt(1) && r.getLong(1) == r.getLong(0) - 100000L),
+      dd.mkString(","))
+    val knn = KnnOpsQueries.knnQueryOn(ciApp, q, 1).collect()
+    assert(knn.forall(r => r.getLong(2) == r.getLong(0) - 100000L &&
+      r.getDouble(3) == 1.0), knn.mkString(","))
+    spark.catalog.clearCache()
+
+    // LSH artifact: a batch of only shingle-less docs appends nothing
+    import graft.queries.DedupQueries.{buildLshIndex, loadLshIndex,
+      writeLshIndex, appendLshIndex, incrementalDedupOn}
+    val docs = graft.engine.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text")
+    val p = fixtureDir("lsh_edge")
+    writeLshIndex(buildLshIndex(docs.filter($"doc_id" % 10 =!= 0)), p)
+    appendLshIndex(p, Seq((999999L, "one two")).toDF("doc_id", "text"))
+    val declared = rows(
+      SparkEntry.queries("q_dedup_incremental")(spark, sf))
+    spark.catalog.clearCache()
+    assert(rows(incrementalDedupOn(loadLshIndex(spark, p),
+      docs.filter($"doc_id" % 10 === 0))) == declared)
+    spark.catalog.clearCache()
+  }
+
+  test("streaming kNN against a TINY index (singleton cells, void " +
+    "floors, dead own cells): stream function still equals knnQueryOn") {
+    import spark.implicits._
+    import graft.queries.{DedupQueries, KnnOpsQueries}
+    val dir = fixtureDir("knn_stream_tiny")
+    (0L until 6L).map { id =>
+      val e = Array.tabulate(64) { j =>
+        (((id * 13 + j * 7) % 11) - 5).toFloat * 0.1f }
+      (id, e.toSeq, (id % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "cast(embedding as array<float>) embedding",
+        "cast(label as int) label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ci = DedupQueries.buildCellIndex(spark, dir)
+    val q = graft.engine.Tables.t(spark, sf, "embeddings").limit(7)
+      .selectExpr("vec_id + 100000 AS vec_id", "embedding")
+    val batch = rows(KnnOpsQueries.knnQueryOn(ci, q, 5))
+    assert(batch.nonEmpty)
+    val viaStreamFn = graft.streaming.StreamTransforms
+      .knnQueryStream(q, ci, 5).toDF
+      .orderBy("qid", "rank")
+    assert(rows(viaStreamFn) == batch)
+    spark.catalog.clearCache()
+  }
+
   test("rebuilding an appended index from its own corpus frame equals " +
     "a from-scratch build of the union dir byte-identically (the " +
     "radius-drift response needs no raw corpus directory)") {
