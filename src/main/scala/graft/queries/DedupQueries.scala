@@ -1022,9 +1022,39 @@ object DedupQueries extends QSet {
     idx.arrs.write.mode("append").parquet(s"$path/arrs.parquet")
   }
 
-  private[graft] def loadLshIndex(s: SparkSession, path: String): LshIndex =
-    LshIndex(s.read.parquet(s"$path/buckets.parquet"),
-      s.read.parquet(s"$path/arrs.parquet"))
+  /** Remove documents from a persisted artifact — the takedown path
+    * (a training corpus must honor deletion requests). The artifact
+    * stays append-only: removal writes doc_ids to a TOMBSTONE table;
+    * [[loadLshIndex]] anti-joins both index frames against it, so a
+    * tombstoned doc can never again surface as a dedup partner.
+    * Tombstones are permanent for that doc_id (re-admission under the
+    * same id requires [[compactLshIndex]] first — takedown semantics,
+    * documented rather than guessed); they accumulate until
+    * compaction, costing one bounded anti-join per load.
+    */
+  private[graft] def removeFromLshIndex(path: String,
+      ids: DataFrame): Unit =
+    ids.select(col("doc_id"))
+      .write.mode("append").parquet(s"$path/tombstones.parquet")
+
+  /** Rewrite an artifact to a FRESH path with tombstones applied and
+    * dropped — reclaims space and re-opens tombstoned ids. */
+  private[graft] def compactLshIndex(s: SparkSession, src: String,
+      dst: String): Unit =
+    writeLshIndex(loadLshIndex(s, src), dst)
+
+  private[graft] def loadLshIndex(s: SparkSession, path: String)
+      : LshIndex = {
+    val buckets = s.read.parquet(s"$path/buckets.parquet")
+    val arrs = s.read.parquet(s"$path/arrs.parquet")
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet")
+    if (tomb.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(tomb)) {
+      val ts = s.read.parquet(tomb.toString).select("doc_id").distinct()
+      LshIndex(buckets.join(ts, Seq("doc_id"), "left_anti"),
+        arrs.join(ts, Seq("doc_id"), "left_anti"))
+    } else LshIndex(buckets, arrs)
+  }
 
   /** Incremental (against-existing) near-dedup of an incoming batch
     * against a built (or [[loadLshIndex]]-loaded) index — the
@@ -1689,6 +1719,37 @@ object DedupQueries extends QSet {
     CellIndex(ci.vn.unionByName(vnNew).persist(), ci.nVec + nNew,
       ci.nCells, ci.memVec.unionByName(memNew).persist(), ci.bcCent,
       s.sparkContext.broadcast(mergedRadii), mergedSizes)
+  }
+
+  /** Remove vectors from a built (or loaded) index — the takedown
+    * twin of [[appendToCellIndex]]. `ids` is a (vec_id) frame. The
+    * member/corpus frames shrink by anti-join; per-cell sizes
+    * decrement from one bounded stats pass over the REMOVED members;
+    * surviving cells KEEP their old radius — removal can only shrink
+    * a cell's true max member angle, so the stored radius stays a
+    * valid (looser) upper bound and every pruning proof holds;
+    * emptied cells drop out of the radii map entirely (probes treats
+    * them as dead). Like append, removal weakens pruning but never
+    * correctness — the documented rebuild policy
+    * ([[rebuildCellIndex]]) is what re-tightens geometry. Outputs on
+    * the shrunk index exactly match brute baselines on the remaining
+    * corpus (IndexLifecycleSpec pin).
+    */
+  private[graft] def removeFromCellIndex(ci: CellIndex, ids: DataFrame)
+      : CellIndex = {
+    val s = ci.vn.sparkSession
+    val key = ids.select(col("vec_id"))
+    val removedStats = cellStats(
+      ci.memVec.join(key, Seq("vec_id"), "left_semi"))
+    val nGone = removedStats.valuesIterator.map(_._2).sum
+    val sizes2 = (ci.cellSizes ++ removedStats.map { case (c, (_, n)) =>
+      (c, ci.cellSizes.getOrElse(c, 0L) - n) }).filter(_._2 > 0)
+    val radii2 = ci.bcRadii.value.filter { case (c, _) =>
+      sizes2.contains(c) }
+    CellIndex(ci.vn.join(key, Seq("vec_id"), "left_anti").persist(),
+      ci.nVec - nGone, ci.nCells,
+      ci.memVec.join(key, Seq("vec_id"), "left_anti").persist(),
+      ci.bcCent, s.sparkContext.broadcast(radii2), sizes2)
   }
 
   /** The rounded pair cosine every banded operator scores with —

@@ -181,6 +181,69 @@ class IndexLifecycleSpec extends AnyFunSuite
     spark.catalog.clearCache()
   }
 
+  test("takedown: removing vectors from the cell index exactly matches " +
+    "the brute baselines on the remaining corpus (radii stay valid " +
+    "upper bounds)") {
+    import spark.implicits._
+    import graft.queries.{DedupQueries, KnnOpsQueries}
+    val full = graft.engine.Tables.t(spark, sf, "embeddings")
+    val rest = fixtureDir("cell_remove_rest")
+    full.filter($"vec_id" % 4 =!= 0)
+      .write.mode("overwrite").parquet(s"$rest/embeddings.parquet")
+    val ci = DedupQueries.removeFromCellIndex(
+      DedupQueries.buildCellIndex(spark, sf),
+      full.filter($"vec_id" % 4 === 0).select("vec_id"))
+    assert(ci.nVec == full.filter($"vec_id" % 4 =!= 0).count())
+    assert(ci.cellSizes.values.sum == ci.nVec &&
+      ci.cellSizes.values.forall(_ > 0))
+    val knn = rows(KnnOpsQueries.bandedKnnAccuracyOn(ci))
+    val dedup = rows(DedupQueries.embeddingDedupBandedOn(ci, 0.40))
+    val topk = rows(DedupQueries.cosineTopKBandedOn(ci, 10))
+    spark.catalog.clearCache()
+    assert(knn == rows(KnnOpsQueries.bruteKnnAccuracy(spark, rest)))
+    spark.catalog.clearCache()
+    assert(dedup == rows(DedupQueries.embeddingDedup(spark, rest, 0.40)))
+    spark.catalog.clearCache()
+    assert(topk == rows(DedupQueries.cosineTopK(spark, rest, 10)))
+    // removing ids that are not in the index is a no-op
+    val same = DedupQueries.removeFromCellIndex(ci,
+      Seq(987654321L).toDF("vec_id"))
+    assert(same.nVec == ci.nVec && same.cellSizes == ci.cellSizes)
+    spark.catalog.clearCache()
+  }
+
+  test("takedown: LSH tombstones remove docs from every future load; " +
+    "compaction reclaims them") {
+    import spark.implicits._
+    import graft.queries.DedupQueries._
+    val docs = graft.engine.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text")
+    val existing = docs.filter($"doc_id" % 10 =!= 0)
+    val incoming = docs.filter($"doc_id" % 10 === 0)
+    // ground truth: incremental dedup against the existing docs MINUS
+    // the removed third, built from scratch
+    val expected = rows(incrementalDedupOn(
+      buildLshIndex(existing.filter($"doc_id" % 3 =!= 1)), incoming))
+    spark.catalog.clearCache()
+    val p = fixtureDir("lsh_remove")
+    writeLshIndex(buildLshIndex(existing), p)
+    removeFromLshIndex(p, existing.filter($"doc_id" % 3 === 1)
+      .select("doc_id"))
+    spark.catalog.clearCache()
+    assert(rows(incrementalDedupOn(loadLshIndex(spark, p), incoming))
+      == expected)
+    spark.catalog.clearCache()
+    // compaction to a fresh path drops the tombstones but serves the
+    // same corpus
+    val pc = fixtureDir("lsh_remove_compact")
+    compactLshIndex(spark, p, pc)
+    assert(!new java.io.File(s"$pc/tombstones.parquet").exists)
+    spark.catalog.clearCache()
+    assert(rows(incrementalDedupOn(loadLshIndex(spark, pc), incoming))
+      == expected)
+    spark.catalog.clearCache()
+  }
+
   test("streaming kNN against a TINY index (singleton cells, void " +
     "floors, dead own cells): stream function still equals knnQueryOn") {
     import spark.implicits._
