@@ -238,11 +238,10 @@ object DedupQueries extends QSet {
     * minhash_jaccard 2.46 s unhinted vs 2.84 s hinted, prefix_filter
     * 2.58 vs 2.86, components 2.87 vs 3.53 — the count job and the
     * extra cache materialization were pure overhead. The ONE site
-    * where the hint measurably won over bare AQE —
-    * containmentPrefixPairs, whose unpruned candidate set AQE
-    * mis-sizes into a sort-merge join (3.63 s unhinted vs 2.84
-    * hinted) — moved to an ungated SHUFFLE_HASH hint in r11 (ties
-    * the broadcast hint, needs no count job, cannot OOM the driver).
+    * where the hint measurably wins — containmentPrefixPairs, whose
+    * unpruned candidate set AQE mis-sizes into a sort-merge join
+    * (3.63 s unhinted vs 2.84 hinted; a SHUFFLE_HASH replacement
+    * also lost the r11 three-way A/B) — keeps its own default=true.
     * The parameter stays so the A/B harness and pins can exercise
     * both shapes.
     */
@@ -611,7 +610,8 @@ object DedupQueries extends QSet {
     * Exactness is the graded contract: shares q_dedup_containment's
     * exhaustive oracle.
     */
-  def containmentPrefixPairs(s: SparkSession, dir: String): DataFrame = {
+  def containmentPrefixPairs(s: SparkSession, dir: String,
+      hintCands: Boolean = true): DataFrame = {
     val (groups, members, repDocs) = textGroups(s, dir)
     val sh = shinglesOf(repDocs).persist()
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("dfq"))
@@ -648,24 +648,30 @@ object DedupQueries extends QSet {
       .select(least(col("dp"), col("dq")).as("r1"),
         greatest(col("dp"), col("dq")).as("r2"))
       .distinct()
-    // Verify-join strategy, measured twice (ABBench r11, same-JVM
-    // interleaved medians). (a) A PPJoin-style POSITIONAL prune
-    // (overlap ≤ 1 + min(|S|−i, |Y|−j) at each matched position,
-    // max over matches) was built and REJECTED: on this corpus the
-    // rarest grams of near-subset pairs collide at early positions,
-    // so it pruned 69,095 → 67,160 candidates (3%) while the
-    // positional columns widened the candidate join — net slower
-    // (4.26 s vs 3.24 hinted). (b) The r10 count-guarded broadcast
-    // hint (its one winning site: bare AQE mis-sizes the unpruned
-    // set into a sort-merge of the wide docArr side, 3.63 s vs 2.84)
-    // is replaced by a SHUFFLE_HASH hint: measured a tie (7.66 s vs
-    // 7.71 in a 2× host window; both legs drifted together), but it
-    // drops the count job AND the candidate persist, cannot OOM the
-    // driver at any candidate cardinality (build side is one
-    // PARTITION of the pair-id list, not the whole of it), and keeps
-    // the wide docArr side unsorted — the SMJ sort was the mis-size
-    // penalty. Deterministic plan at every scale; no gate needed.
-    val candsH = cands.hint("shuffle_hash")
+    // Verify-join strategy, measured THREE ways (ABBench r11, same-JVM
+    // interleaved medians) - the r10 count-guarded broadcast hint
+    // SURVIVES both challengers and stays:
+    //  (a) a PPJoin-style POSITIONAL prune (overlap <= 1 +
+    //      min(|S|-i, |Y|-j) at each matched position, max over
+    //      matches) - REJECTED: near-subset pairs here collide on
+    //      their rarest grams at EARLY positions, so it pruned
+    //      69,095 -> 67,160 candidates (3%) while the positional
+    //      columns widened the candidate join (4.26 s vs 3.24
+    //      hinted);
+    //  (b) an ungated SHUFFLE_HASH hint (no count job, no driver-side
+    //      build) - tied in one 2x host window (7.66 vs 7.71) but
+    //      LOST the cleaner one (5.55 vs 4.45): broadcasting the
+    //      pair-id list keeps the wide docArr sides as bare scans,
+    //      while SHJ exchanges them twice - shuffling the array rows
+    //      costs more than the count job the guard needs.
+    // The count job is the price of the measured-best plan; it also
+    // materializes the candidate cache the verify join reuses, and
+    // the guard keeps it scale-safe (past the row cap the hint
+    // vanishes and AQE decides from runtime sizes).
+    val candsH = if (hintCands) {
+      val c = cands.persist()
+      maybeBroadcast(c, c.count())
+    } else cands
     val repPairs = candsH
       .join(docArr.select(col("doc_id").as("r1"), col("arr").as("a1")),
         "r1")

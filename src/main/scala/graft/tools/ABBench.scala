@@ -509,8 +509,8 @@ object ABBench {
     }
 
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "nb_new" -> (() => graft.SparkEntry.queries("q_ml_naive_bayes")(spark, sfDir)),
-      "nb_old" -> (() => nbOld(spark, sfDir)),
+      "cp_shj_decl" -> (() => graft.SparkEntry.queries("q_dedup_containment_prefix")(spark, sfDir)),
+      "cp_bhj_old" -> (() => cpOld(spark, sfDir)),
     ) ++ spikeSet.take(0).map(q =>
       q -> (() => graft.SparkEntry.queries(q)(spark, sfDir)))
     // ---- round-robin medians ----

@@ -131,11 +131,12 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("containment-prefix verify join runs as SHUFFLED HASH — the " +
-    "ungated scale strategy (no count job, no driver broadcast, no " +
-    "SMJ sort of the wide docArr side)") {
+  test("containment-prefix verify join broadcasts the candidate list " +
+    "under the count guard — the wide docArr sides stay bare scans " +
+    "(no SMJ sort, no shuffle of the array rows; the three-way A/B " +
+    "is in the query's comment)") {
     val p = plan("q_dedup_containment_prefix")
-    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("simhash and ANN banding joins are equi-joins, never all-pairs") {
