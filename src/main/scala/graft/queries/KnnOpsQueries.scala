@@ -315,6 +315,65 @@ object KnnOpsQueries extends QSet {
       .orderBy("qid", "rank")
   }
 
+  /** Latency-BOUNDED approximate k-NN against the cell index — the
+    * IVF-style `nprobe` knob real ANN serving exposes alongside the
+    * exact path: each query scans exactly its `nprobe` nearest LIVE
+    * cells (by centroid cosine, ties by cell id) and takes the top-k
+    * of what it saw. Work per query is ≤ nprobe·(max cell size)
+    * scores by construction — a hard ceiling [[knnQueryOn]] cannot
+    * give (its exactness means weak floors probe arbitrarily many
+    * cells) — at the price of recall instead of a proof. Two anchors
+    * pinned in IndexLifecycleSpec: nprobe ≥ live-cell count degrades
+    * to EXACTLY knnQueryOn's output, and on clustered geometry small
+    * nprobe already recovers high recall (the regime the knob exists
+    * for). Same rounded-4dp cosine, same (cos DESC, id) tie order.
+    */
+  def knnQueryApproxOn(ci: graft.queries.DedupQueries.CellIndex,
+      queries: DataFrame, k: Int, nprobe: Int,
+      wideHintCap: Long = DedupQueries.BroadcastHintMaxRows / 8)
+      : DataFrame = {
+    val sp = queries.sparkSession
+    import sp.implicits._
+    val bc = ci.bcCent
+    val br = ci.bcRadii
+    // in-row: the nprobe nearest live cells of each query, emitted as
+    // (qid, cell, e1, n1) probe rows — the CellIndex.probes shape with
+    // a count bound instead of a cap test, same carried vector
+    val probes = queries.select(col("vec_id"), col("embedding"),
+        graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
+      .as[(Long, Array[Float], Double)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        val live = br.value
+        it.flatMap { case (id, e, n1) =>
+          require(n1 > 0.0,
+            s"knnQueryApproxOn refuses a zero/NaN-norm query " +
+              s"(vec_id=$id): cosine is undefined")
+          val cos = graft.queries.DedupQueries.CellIndex
+            .centroidCosines(e, n1, cs)
+          cs.indices
+            .filter(i => live.contains(cs(i)._1))
+            .sortBy(i => (-cos(i), cs(i)._1))
+            .take(nprobe)
+            .map(i => (id, cs(i)._1, e, n1))
+        }
+      }.toDF("id1", "cell", "e1", "n1")
+    probes
+      .join(DedupQueries.maybeBroadcast(
+        ci.memVec.select(col("vec_id").as("nbr"), col("cell"),
+          col("embedding").as("e2"), col("nrm").as("n2")),
+        ci.nVec, wideHintCap), "cell")
+      .select(col("id1").as("qid"), col("nbr"),
+        DedupQueries.pairCosCol(col("e1"), col("n1"),
+          col("e2"), col("n2")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"),
+        col("nbr").as("vec_id"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
   private def hop38(c: Column) =
     c.cast(DecimalType(38, 8)).cast(StringType).cast(DoubleType)
   private def sqlHop38(e: String) =

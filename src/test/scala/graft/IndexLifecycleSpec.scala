@@ -269,6 +269,50 @@ class IndexLifecycleSpec extends AnyFunSuite
     spark.catalog.clearCache()
   }
 
+  test("approximate kNN serving (nprobe knob): degrades to EXACTLY the " +
+    "exact path at full probe width, and recovers high recall at " +
+    "small nprobe on clustered geometry") {
+    import spark.implicits._
+    import graft.queries.{DedupQueries, KnnOpsQueries}
+    // clustered fixture (the KnnOpsSpec recipe): 3 tight orthogonal
+    // clusters — the geometry the nprobe knob exists for
+    val dim = 64
+    val dir = fixtureDir("knn_approx")
+    (0L until 600L).map { id =>
+      val c = (id % 3).toInt
+      val e = Array.tabulate(dim) { j =>
+        val base = if (j == c * 21) 1.0f else 0.0f
+        base + (((id * 31 + j * 17) % 7) - 3).toFloat * 0.02f
+      }
+      (id, e.toSeq, c)
+    }.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "cast(embedding as array<float>) embedding",
+        "cast(label as int) label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ci = DedupQueries.buildCellIndex(spark, dir)
+    val q = graft.engine.Tables.t(spark, dir, "embeddings").limit(40)
+      .selectExpr("vec_id + 100000 AS vec_id", "embedding")
+    val exact = KnnOpsQueries.knnQueryOn(ci, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    spark.catalog.clearCache()
+    // anchor 1: nprobe >= live cells == the exact output, byte-for-byte
+    val fullProbe = rows(KnnOpsQueries.knnQueryApproxOn(ci, q, 5,
+      nprobe = ci.nCells))
+    spark.catalog.clearCache()
+    assert(fullProbe == rows(KnnOpsQueries.knnQueryOn(ci, q, 5)))
+    spark.catalog.clearCache()
+    // anchor 2: nprobe=3 on clustered geometry — mean recall >= 0.9
+    val approx = KnnOpsQueries.knnQueryApproxOn(ci, q, 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+    // the bound is real: nprobe=1 emits at most k rows per query
+    val one = KnnOpsQueries.knnQueryApproxOn(ci, q, 5, nprobe = 1)
+      .groupBy("qid").count().collect()
+    assert(one.forall(_.getLong(1) <= 5))
+    spark.catalog.clearCache()
+  }
+
   test("rebuilding an appended index from its own corpus frame equals " +
     "a from-scratch build of the union dir byte-identically (the " +
     "radius-drift response needs no raw corpus directory)") {
