@@ -508,11 +508,14 @@ object ABBench {
         .orderBy("doc_id")
     }
 
+    // default legs = the latest A/B (edit in place per experiment);
+    // AB_SPIKES=1 appends the driver-window spike set for consecutive
+    // single-sample profiling
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "cp_shj_decl" -> (() => graft.SparkEntry.queries("q_dedup_containment_prefix")(spark, sfDir)),
-      "cp_bhj_old" -> (() => cpOld(spark, sfDir)),
-    ) ++ spikeSet.take(0).map(q =>
-      q -> (() => graft.SparkEntry.queries(q)(spark, sfDir)))
+      "cp_hint_decl" -> (() => graft.SparkEntry.queries("q_dedup_containment_prefix")(spark, sfDir)),
+      "cp_shj" -> (() => cpOld(spark, sfDir, shjHint = true)),
+    ) ++ (if (sys.env.contains("AB_SPIKES")) spikeSet.map(q =>
+      q -> (() => graft.SparkEntry.queries(q)(spark, sfDir))) else Nil)
     // ---- round-robin medians ----
     val rounds = args.headOption.map(_.toInt).getOrElse(5)
     // warmup
