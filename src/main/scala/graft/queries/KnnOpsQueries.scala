@@ -328,18 +328,19 @@ object KnnOpsQueries extends QSet {
     * nprobe already recovers high recall (the regime the knob exists
     * for). Same rounded-4dp cosine, same (cos DESC, id) tie order.
     */
-  def knnQueryApproxOn(ci: graft.queries.DedupQueries.CellIndex,
-      queries: DataFrame, k: Int, nprobe: Int,
-      wideHintCap: Long = DedupQueries.BroadcastHintMaxRows / 8)
-      : DataFrame = {
+  /** The nprobe nearest LIVE cells of each query, emitted in-row as
+    * (id1, cell, e1, n1) probe rows — the CellIndex.probes shape with
+    * a count bound instead of a cap test, same carried vector, same
+    * narrow (stream-legal) pass. Shared by [[knnQueryApproxOn]] and
+    * StreamTransforms.knnQueryApproxStream. */
+  private[graft] def approxProbes(
+      ci: graft.queries.DedupQueries.CellIndex,
+      queries: DataFrame, nprobe: Int): DataFrame = {
     val sp = queries.sparkSession
     import sp.implicits._
     val bc = ci.bcCent
     val br = ci.bcRadii
-    // in-row: the nprobe nearest live cells of each query, emitted as
-    // (qid, cell, e1, n1) probe rows — the CellIndex.probes shape with
-    // a count bound instead of a cap test, same carried vector
-    val probes = queries.select(col("vec_id"), col("embedding"),
+    queries.select(col("vec_id"), col("embedding"),
         graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
       .as[(Long, Array[Float], Double)]
       .mapPartitions { it =>
@@ -347,7 +348,7 @@ object KnnOpsQueries extends QSet {
         val live = br.value
         it.flatMap { case (id, e, n1) =>
           require(n1 > 0.0,
-            s"knnQueryApproxOn refuses a zero/NaN-norm query " +
+            s"approx kNN refuses a zero/NaN-norm query " +
               s"(vec_id=$id): cosine is undefined")
           val cos = graft.queries.DedupQueries.CellIndex
             .centroidCosines(e, n1, cs)
@@ -358,7 +359,13 @@ object KnnOpsQueries extends QSet {
             .map(i => (id, cs(i)._1, e, n1))
         }
       }.toDF("id1", "cell", "e1", "n1")
-    probes
+  }
+
+  def knnQueryApproxOn(ci: graft.queries.DedupQueries.CellIndex,
+      queries: DataFrame, k: Int, nprobe: Int,
+      wideHintCap: Long = DedupQueries.BroadcastHintMaxRows / 8)
+      : DataFrame = {
+    approxProbes(ci, queries, nprobe)
       .join(DedupQueries.maybeBroadcast(
         ci.memVec.select(col("vec_id").as("nbr"), col("cell"),
           col("embedding").as("e2"), col("nrm").as("n2")),

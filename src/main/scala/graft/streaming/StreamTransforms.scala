@@ -348,58 +348,49 @@ object StreamTransforms {
     * cleanup per the cache-lifecycle contract). StreamingSpec pins
     * stream == knnQueryOn batch output.
     */
-  def knnQueryStream(queries: DataFrame,
-      ci: graft.queries.DedupQueries.CellIndex, k: Int)
-      : Dataset[KnnHit] = {
-    import graft.functions.Native
-    val sp = queries.sparkSession
-    import sp.implicits._
-    val cellArr = ci.memVec
+  /** The √N-row (cell, members-array) frame the streaming kNN twins
+    * join against — persisted for the life of the serving query
+    * (caller owns cleanup per the cache-lifecycle contract). */
+  private def cellMembersOf(
+      ci: graft.queries.DedupQueries.CellIndex): DataFrame =
+    ci.memVec
       .groupBy("cell")
       .agg(collect_list(struct(col("vec_id").as("nbr"),
         col("embedding").as("e2"), col("nrm").as("n2"))).as("ms"))
       .persist()
-    // in-row scored top-k of one cell's member array for one query
-    // vector: the same rounded-4dp cosine expression shape as
-    // pairCosCol, ranked by the same (cos DESC, nbr ASC) total order
-    def topkCol(ms: Column, e1: Column, n1: Column): Column = {
-      val scored = transform(ms, m =>
-        struct(
-          round(Native.dotF(e1, m.getField("e2")) /
-            (n1 * m.getField("n2")), 4).as("cos"),
-          m.getField("nbr").as("nbr")))
-      slice(array_sort(scored, (a, b) =>
-        when(a.getField("cos") > b.getField("cos"), -1)
-          .when(a.getField("cos") < b.getField("cos"), 1)
-          .when(a.getField("nbr") < b.getField("nbr"), -1)
-          .when(a.getField("nbr") > b.getField("nbr"), 1)
-          .otherwise(0)), 1, k)
-    }
-    val emptyMs = expr(
-      "CAST(array() AS array<struct<nbr:bigint,e2:array<float>,n2:double>>)")
-    val own = ci.assign(queries.select(col("vec_id"), col("embedding"),
-        Native.l2NormF(col("embedding")).as("nrm")))
-      .join(cellArr, Seq("cell"), "left")
-      .withColumn("topk", topkCol(coalesce(col("ms"), emptyMs),
-        col("embedding"), col("nrm")))
-      .withColumn("floor", when(size(col("topk")) >= k,
-        element_at(col("topk"), k).getField("cos")))
-    val ownCands = own.select(col("vec_id").as("qid"),
-        explode(col("topk")).as("c"))
-      .select(col("qid"), col("c.nbr").as("nbr"), col("c.cos").as("cos"))
-    val crossCands = ci.probes(own.select(col("vec_id"), col("embedding"),
-        col("nrm"), col("floor")), includeOwn = false)
-      .join(cellArr, Seq("cell"))
-      .select(col("id1").as("qid"),
-        explode(topkCol(col("ms"), col("e1"), col("n1"))).as("c"))
-      .select(col("qid"), col("c.nbr").as("nbr"), col("c.cos").as("cos"))
-    ownCands.unionAll(crossCands).as[KnnCand]
+
+  /** In-row scored top-k of one cell's member array for one query
+    * vector: the same rounded-4dp cosine expression shape as
+    * pairCosCol, ranked by the same (cos DESC, nbr ASC) total order.
+    */
+  private def topkCol(k: Int)(ms: Column, e1: Column, n1: Column)
+      : Column = {
+    import graft.functions.Native
+    val scored = transform(ms, m =>
+      struct(
+        round(Native.dotF(e1, m.getField("e2")) /
+          (n1 * m.getField("n2")), 4).as("cos"),
+        m.getField("nbr").as("nbr")))
+    slice(array_sort(scored, (a, b) =>
+      when(a.getField("cos") > b.getField("cos"), -1)
+        .when(a.getField("cos") < b.getField("cos"), 1)
+        .when(a.getField("nbr") < b.getField("nbr"), -1)
+        .when(a.getField("nbr") > b.getField("nbr"), 1)
+        .otherwise(0)), 1, k)
+  }
+
+  /** Per-query top-k merge in flatMapGroupsWithState: every candidate
+    * row derives from one input row, so each group is complete within
+    * its micro-batch — no state carried, append mode legal. The merge
+    * replays knnQueryOn's (cos DESC, nbr ASC) ranking. */
+  private def mergeTopK(cands: Dataset[KnnCand], k: Int)
+      : Dataset[KnnHit] = {
+    import cands.sparkSession.implicits._
+    cands
       .groupByKey(_.qid)
       .flatMapGroupsWithState[CounterState, KnnHit](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (qid: Long, it: Iterator[KnnCand], _: GroupState[CounterState]) =>
-          // the candidate multiset is bounded by k × surviving cells;
-          // the merge replays knnQueryOn's (cos DESC, nbr ASC) ranking
           it.toArray
             .sortWith { (x, y) =>
               val c = java.lang.Double.compare(x.cos, y.cos)
@@ -411,6 +402,58 @@ object StreamTransforms {
               KnnHit(qid, (i + 1).toLong, c.nbr, c.cos) }
             .iterator
       }
+  }
+
+  def knnQueryStream(queries: DataFrame,
+      ci: graft.queries.DedupQueries.CellIndex, k: Int)
+      : Dataset[KnnHit] = {
+    import graft.functions.Native
+    val sp = queries.sparkSession
+    import sp.implicits._
+    val cellArr = cellMembersOf(ci)
+    val emptyMs = expr(
+      "CAST(array() AS array<struct<nbr:bigint,e2:array<float>,n2:double>>)")
+    val own = ci.assign(queries.select(col("vec_id"), col("embedding"),
+        Native.l2NormF(col("embedding")).as("nrm")))
+      .join(cellArr, Seq("cell"), "left")
+      .withColumn("topk", topkCol(k)(coalesce(col("ms"), emptyMs),
+        col("embedding"), col("nrm")))
+      .withColumn("floor", when(size(col("topk")) >= k,
+        element_at(col("topk"), k).getField("cos")))
+    val ownCands = own.select(col("vec_id").as("qid"),
+        explode(col("topk")).as("c"))
+      .select(col("qid"), col("c.nbr").as("nbr"), col("c.cos").as("cos"))
+    val crossCands = ci.probes(own.select(col("vec_id"), col("embedding"),
+        col("nrm"), col("floor")), includeOwn = false)
+      .join(cellArr, Seq("cell"))
+      .select(col("id1").as("qid"),
+        explode(topkCol(k)(col("ms"), col("e1"), col("n1"))).as("c"))
+      .select(col("qid"), col("c.nbr").as("nbr"), col("c.cos").as("cos"))
+    mergeTopK(ownCands.unionAll(crossCands).as[KnnCand], k)
+  }
+
+  /** Streaming twin of KnnOpsQueries.knnQueryApproxOn — the
+    * latency-bounded (nprobe) serving shape on a stream: the shared
+    * nprobe probe pass (narrow, vector-carrying, own cell is simply
+    * one of the nearest), a stream-static join with the cell-members
+    * frame, in-row per-cell top-k, and the same per-query merge.
+    * Simpler than the exact twin (no floor, no own/cross split):
+    * every query emits exactly nprobe candidate rows of ≤ k hits
+    * each, so per-query state and work are hard-capped.
+    * IndexLifecycleSpec pins batch-path == knnQueryApproxOn;
+    * StreamingSpec pins stream == batch. */
+  def knnQueryApproxStream(queries: DataFrame,
+      ci: graft.queries.DedupQueries.CellIndex, k: Int, nprobe: Int)
+      : Dataset[KnnHit] = {
+    val sp = queries.sparkSession
+    import sp.implicits._
+    val cands = graft.queries.KnnOpsQueries
+      .approxProbes(ci, queries, nprobe)
+      .join(cellMembersOf(ci), Seq("cell"))
+      .select(col("id1").as("qid"),
+        explode(topkCol(k)(col("ms"), col("e1"), col("n1"))).as("c"))
+      .select(col("qid"), col("c.nbr").as("nbr"), col("c.cos").as("cos"))
+    mergeTopK(cands.as[KnnCand], k)
   }
 
   def dedupIncoming(incoming: DataFrame, index: DataFrame): DataFrame =

@@ -231,6 +231,37 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("streaming APPROX kNN serving (nprobe knob): stream == " +
+    "knnQueryApproxOn batch") {
+    val ci = graft.queries.DedupQueries.buildCellIndex(
+      spark, TestSpark.Sf)
+    val incoming = graft.engine.Tables.t(spark, TestSpark.Sf,
+        "embeddings")
+      .filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val batch = graft.queries.KnnOpsQueries
+      .knnQueryApproxOn(ci, incoming, 5, nprobe = 3).collect()
+    assert(batch.nonEmpty)
+    val viaFn = StreamTransforms.knnQueryApproxStream(
+      incoming, ci, 5, nprobe = 3).toDF.collect()
+    assert(canon(viaFn) == canon(batch))
+    val rows = incoming.selectExpr("vec_id",
+        "cast(embedding as array<float>) embedding")
+      .as[VecRow].collect().toSeq.sortBy(_.vec_id)
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[VecRow]
+    val q = StreamTransforms.knnQueryApproxStream(ms.toDF, ci, 5, 3)
+      .toDF.writeStream.format("memory").queryName("s_knn_approx")
+      .outputMode("append").start()
+    try {
+      val size = math.max(1, rows.size / 4)
+      rows.grouped(size).foreach { g =>
+        ms.addData(g); q.processAllAvailable() }
+      assert(canon(spark.table("s_knn_approx").collect()) == canon(batch))
+    } finally q.stop()
+    spark.catalog.clearCache()
+  }
+
   test("incremental dedup: incoming stream vs static index == declared batch") {
     val docs = graft.engine.Tables.t(spark, TestSpark.Sf, "documents")
       .select("doc_id", "text")
