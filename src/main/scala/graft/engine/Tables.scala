@@ -159,9 +159,21 @@ object Tables {
     s.conf.getOption("spark.graft.checkpointDir")
       .orElse(sys.env.get("GRAFT_CHECKPOINT_DIR")) match {
       case Some(d) =>
+        // Spark reports a SCHEME-QUALIFIED checkpoint dir with a random
+        // UUID subdirectory (file:/tmp/ck/<uuid> for configured
+        // /tmp/ck), so the raw configured string never prefix-matches
+        // it — qualify d through the Hadoop FileSystem first, else the
+        // same-dir case logs a spurious conflict on every call after
+        // the first.
+        lazy val dQual = {
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .makeQualified(p).toString
+        }
         s.sparkContext.getCheckpointDir match {
           case None => s.sparkContext.setCheckpointDir(d)
-          case Some(cur) if cur != d && !cur.startsWith(d) =>
+          case Some(cur) if cur != d && !cur.startsWith(d) &&
+              !cur.startsWith(dQual) =>
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"spark.graft.checkpointDir=$d requested but the context " +
                 s"checkpoint dir is already $cur; keeping the existing " +

@@ -767,11 +767,19 @@ object DedupQueries extends QSet {
     // 5.16 s vs 4.10 counted — ~6 rounds × 3 shuffles of 32
     // near-empty tasks cost more than the count job they avoided).
     // The toggle keeps the counted shape for the A/B harness.
+    // Defensive clamp on the AQE-read width: with partition coalescing
+    // disabled (or a large spark.sql.shuffle.partitions) the
+    // result-stage width is the raw shuffle width (e.g. 200), and
+    // feeding that to the HashPartitioner recreates exactly the
+    // many-near-empty-task regime the flat-width A/B rejected. 4×
+    // defaultParallelism keeps every core busy on a genuinely large
+    // dup graph while bounding the per-round task count.
     val nParts =
       if (countSizedParts)
         math.max(1, math.min(s.sparkContext.defaultParallelism,
           (pairRdd.count() / 100000L).toInt + 1))
-      else math.max(1, pairRdd.getNumPartitions)
+      else math.max(1, math.min(pairRdd.getNumPartitions,
+        4 * s.sparkContext.defaultParallelism))
     val part = new HashPartitioner(nParts)
     // initial labels fold round 1's neighbor-min in for free: label(v)
     // starts at min(v, neighbors(v)) from one reduceByKey — one round
@@ -1008,8 +1016,19 @@ object DedupQueries extends QSet {
       shinglesOf(docs).groupBy("doc_id")
         .agg(sort_array(collect_list(col("sh"))).as("arr")))
 
-  /** Persist the index as a parquet artifact (build-once shape). */
+  /** Persist the index as a parquet artifact (build-once shape).
+    * writeLshIndex DEFINES the full artifact at `path`: any
+    * tombstone table left by a previous occupant is deleted, because
+    * a stale tombstones.parquet would make [[loadLshIndex]] silently
+    * anti-join freshly written doc_ids away (a missed-duplicate risk
+    * with no error surface). Compaction gets its
+    * tombstones-are-dropped semantics from this same delete.
+    */
   private[graft] def writeLshIndex(idx: LshIndex, path: String): Unit = {
+    val s = idx.buckets.sparkSession
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet")
+    val fs = tomb.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(tomb)) fs.delete(tomb, true)
     idx.buckets.write.mode("overwrite").parquet(s"$path/buckets.parquet")
     idx.arrs.write.mode("overwrite").parquet(s"$path/arrs.parquet")
   }
@@ -1048,6 +1067,28 @@ object DedupQueries extends QSet {
   private[graft] def compactLshIndex(s: SparkSession, src: String,
       dst: String): Unit =
     writeLshIndex(loadLshIndex(s, src), dst)
+
+  /** The measured compaction trigger [[compactLshIndex]] was missing:
+    * compact when the tombstone table reaches `tau` (default 20%) of
+    * the artifact's doc rows — below that, the per-load anti-join is
+    * cheaper than rewriting the corpus-sized arrs table. Both counts
+    * are filter-free COUNT(*)s, which Spark answers from the parquet
+    * FOOTERS (row-group metadata — no row is read), so the check is
+    * metadata-only like the driver-side cell-index trigger. Raw row
+    * counts, deliberately: duplicate tombstone appends inflate the
+    * numerator, erring toward compacting an artifact whose tombstone
+    * table itself has bloated — also what a maintainer wants.
+    */
+  private[graft] def shouldCompactLsh(s: SparkSession, path: String,
+      tau: Double = 0.2): Boolean = {
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet")
+    tomb.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .exists(tomb) && {
+      val nTomb = s.read.parquet(tomb.toString).count()
+      val nDocs = s.read.parquet(s"$path/arrs.parquet").count()
+      nDocs > 0L && nTomb.toDouble / nDocs >= tau
+    }
+  }
 
   private[graft] def loadLshIndex(s: SparkSession, path: String)
       : LshIndex = {
@@ -1320,12 +1361,41 @@ object DedupQueries extends QSet {
     * in one session own cleanup via [[CellIndex.unpersist]]; the
     * Verify/Bench harness clears all caches between queries.
     */
+  /** Build-time baseline the rebuild trigger compares against —
+    * captured at [[buildCellIndexOf]] (and re-captured by
+    * [[rebuildCellIndex]]), carried UNCHANGED through append/remove
+    * maintenance, persisted in the artifact ([[writeCellIndex]]'s
+    * meta.parquet) so [[shouldRebuild]] stays checkable on a loaded
+    * index after any append sequence.
+    */
+  private[graft] final case class CellBuildMeta(nVecAtBuild: Long,
+      meanRadiusAtBuild: Double)
+
   private[graft] final case class CellIndex(vn: DataFrame, nVec: Long,
       nCells: Int, memVec: DataFrame,
       bcCent: org.apache.spark.broadcast.Broadcast[
         Array[(Long, Array[Float], Double)]],
       bcRadii: org.apache.spark.broadcast.Broadcast[Map[Long, Double]],
-      cellSizes: Map[Long, Long]) {
+      cellSizes: Map[Long, Long],
+      buildMeta: CellBuildMeta) {
+
+    /** Memoized √N-row (cell, members-array) frame the streaming kNN
+      * twins join against — built and persisted ONCE per index (the
+      * per-serving-call persist accumulated un-releasable caches:
+      * repeated knnQueryStream construction leaked a new √N-row frame
+      * each time, releasable only by a global clearCache). Released
+      * by [[unpersist]] with the index's other frames.
+      */
+    @transient private var cellMembersFrame: DataFrame = _
+    private[graft] def cellMembers: DataFrame = this.synchronized {
+      if (cellMembersFrame == null)
+        cellMembersFrame = memVec
+          .groupBy("cell")
+          .agg(collect_list(struct(col("vec_id").as("nbr"),
+            col("embedding").as("e2"), col("nrm").as("n2"))).as("ms"))
+          .persist()
+      cellMembersFrame
+    }
 
     /** Pass 2: the surviving probe list (id1, cell, e1, n1), emitted
       * in-row per vector against the broadcast centroid/radii state.
@@ -1453,6 +1523,12 @@ object DedupQueries extends QSet {
     def unpersist(): Unit = {
       memVec.unpersist(blocking = false)
       vn.unpersist(blocking = false)
+      this.synchronized {
+        if (cellMembersFrame != null) {
+          cellMembersFrame.unpersist(blocking = false)
+          cellMembersFrame = null
+        }
+      }
     }
   }
 
@@ -1626,11 +1702,36 @@ object DedupQueries extends QSet {
     // collected onto the broadcast channel the probe pass already
     // rides (this is also the job that populates the memVec cache)
     val stats = cellStats(memVec)
+    val radii = stats.map { case (c, (r, _)) => (c, r) }
     CellIndex(vn, nVec, centroids.length, memVec,
       bcCent,
-      s.sparkContext.broadcast(stats.map { case (c, (r, _)) => (c, r) }),
-      stats.map { case (c, (_, n)) => (c, n) })
+      s.sparkContext.broadcast(radii),
+      stats.map { case (c, (_, n)) => (c, n) },
+      CellBuildMeta(nVec, meanRadius(radii)))
   }
+
+  /** Unweighted mean pruning radius over live cells — the drift
+    * signal the rebuild trigger compares against its build-time
+    * value. Driver-side arithmetic over the √N-entry radii map. */
+  private def meanRadius(radii: Map[Long, Double]): Double =
+    if (radii.isEmpty) 0.0 else radii.valuesIterator.sum / radii.size
+
+  /** The documented append-maintenance rebuild policy, executable:
+    * radii grow monotonically under append and nCells stays √(build
+    * corpus), so pruning weakens (never breaks) as the corpus drifts.
+    * Rebuild when the corpus has doubled since build (within-cell
+    * work has too) or the mean live-cell radius grew > 20% over its
+    * build-time value. Both inputs are driver-held ([[CellIndex]]
+    * bookkeeping + the broadcast radii map — no job), and the
+    * baseline survives the artifact round-trip via meta.parquet, so
+    * the check works on a loaded index after any append sequence.
+    * False on a fresh build/rebuild by construction (nVec == build
+    * count, radii == build radii).
+    */
+  private[graft] def shouldRebuild(ci: CellIndex): Boolean =
+    ci.nVec >= 2L * ci.buildMeta.nVecAtBuild ||
+      meanRadius(ci.bcRadii.value) >
+        1.2 * ci.buildMeta.meanRadiusAtBuild
 
   /** Persist the cell index as a parquet artifact — the repeated-query
     * production shape: build once, [[loadCellIndex]] per query batch
@@ -1651,6 +1752,15 @@ object DedupQueries extends QSet {
       .toDF("vec_id", "embedding", "nrm")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids.parquet")
+    // build-time baseline (1 row): without it the rebuild trigger is
+    // uncheckable after load + appends — the appended member frame
+    // re-derives CURRENT radii/count on load, but the build-time
+    // denominator would be gone
+    s.createDataset(Seq(
+        (ci.buildMeta.nVecAtBuild, ci.buildMeta.meanRadiusAtBuild)))
+      .toDF("nvec_at_build", "mean_radius_at_build")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta.parquet")
   }
 
   /** Rebuild a [[CellIndex]] from a [[writeCellIndex]] artifact: two
@@ -1670,11 +1780,26 @@ object DedupQueries extends QSet {
     // the one stats pass yields radii, sizes AND the total count — the
     // former separate memVec.count() job folds into it
     val stats = cellStats(memVec)
-    CellIndex(vn, stats.valuesIterator.map(_._2).sum, centroids.length,
+    val radii = stats.map { case (c, (r, _)) => (c, r) }
+    val nVec = stats.valuesIterator.map(_._2).sum
+    // pre-meta artifacts (no meta.parquet) load with the CURRENT
+    // state as baseline: the trigger degrades to measuring drift
+    // since load — never a crash on an old artifact
+    val metaP = new org.apache.hadoop.fs.Path(s"$path/meta.parquet")
+    val meta =
+      if (metaP.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .exists(metaP)) {
+        val r = s.read.parquet(metaP.toString)
+          .select(col("nvec_at_build"), col("mean_radius_at_build"))
+          .head()
+        CellBuildMeta(r.getLong(0), r.getDouble(1))
+      } else CellBuildMeta(nVec, meanRadius(radii))
+    CellIndex(vn, nVec, centroids.length,
       memVec,
       s.sparkContext.broadcast(centroids),
-      s.sparkContext.broadcast(stats.map { case (c, (r, _)) => (c, r) }),
-      stats.map { case (c, (_, n)) => (c, n) })
+      s.sparkContext.broadcast(radii),
+      stats.map { case (c, (_, n)) => (c, n) },
+      meta)
   }
 
   /** Append newly-accepted vectors to a built (or loaded) index — the
@@ -1689,15 +1814,18 @@ object DedupQueries extends QSet {
     * baselines on the union corpus). `vecs` is the corpus-table shape
     * (vec_id, label, embedding); the caller owns id uniqueness.
     *
-    * Rebuild policy (document, not code): radii grow MONOTONICALLY
-    * under append — a drifting corpus inflates them past what fresh
-    * √N' centroids would measure, so pruning weakens (never breaks)
-    * and nCells stays √N of the ORIGINAL corpus. Trigger a fresh
-    * [[buildCellIndex]] when the appended fraction reaches ~1× the
-    * built corpus (nVec ≥ 2× the build-time count — cell occupancy
-    * doubles, so within-cell work does too) or when monitoring shows
-    * mean radius growth > ~20%: both are cheap driver-side checks on
-    * `nVec`/`bcRadii`. Persisting: [[writeCellIndex]] the RETURNED
+    * Rebuild policy (executable — [[shouldRebuild]]): radii grow
+    * MONOTONICALLY under append — a drifting corpus inflates them
+    * past what fresh √N' centroids would measure, so pruning weakens
+    * (never breaks) and nCells stays √N of the ORIGINAL corpus.
+    * [[shouldRebuild]] fires a fresh [[rebuildCellIndex]] when the
+    * appended fraction reaches ~1× the built corpus (nVec ≥ 2× the
+    * build-time count — cell occupancy doubles, so within-cell work
+    * does too) or when the mean live-cell radius grew > ~20% over its
+    * build-time value: both driver-side checks on bookkept state, and
+    * the build-time baseline survives the artifact round-trip
+    * ([[writeCellIndex]]'s meta.parquet), so the trigger stays
+    * checkable on a loaded index. Persisting: [[writeCellIndex]] the RETURNED
     * index to a FRESH path (writing over the path a loaded index is
     * still reading is a read-under-overwrite hazard), then swap.
     *
@@ -1724,7 +1852,8 @@ object DedupQueries extends QSet {
       (c, n + ci.cellSizes.getOrElse(c, 0L)) }
     CellIndex(ci.vn.unionByName(vnNew).persist(), ci.nVec + nNew,
       ci.nCells, ci.memVec.unionByName(memNew).persist(), ci.bcCent,
-      s.sparkContext.broadcast(mergedRadii), mergedSizes)
+      s.sparkContext.broadcast(mergedRadii), mergedSizes,
+      ci.buildMeta)
   }
 
   /** Remove vectors from a built (or loaded) index — the takedown
@@ -1755,7 +1884,8 @@ object DedupQueries extends QSet {
     CellIndex(ci.vn.join(key, Seq("vec_id"), "left_anti").persist(),
       ci.nVec - nGone, ci.nCells,
       ci.memVec.join(key, Seq("vec_id"), "left_anti").persist(),
-      ci.bcCent, s.sparkContext.broadcast(radii2), sizes2)
+      ci.bcCent, s.sparkContext.broadcast(radii2), sizes2,
+      ci.buildMeta)
   }
 
   /** The rounded pair cosine every banded operator scores with —
@@ -1782,14 +1912,35 @@ object DedupQueries extends QSet {
     * Cache ownership (the serving APIs' contract): this call persists
     * the derived `inc` frame for its own two reads; in the
     * build-once/serve-many-batches loop those per-call caches
-    * accumulate (CellIndex.unpersist covers only the index's frames),
-    * so the serving caller owns per-batch release — clearCache()
-    * between batches like Verify/Bench do, or LRU eviction (the
+    * accumulate (CellIndex.unpersist covers only the index's frames).
+    * [[serveEmbeddingDedupBatch]] is the scoped release — it
+    * unpersists exactly this call's frame after the caller consumes
+    * the result, leaving the index's caches warm; callers using this
+    * entry point directly own per-batch release themselves (the
     * persist is MEMORY_AND_DISK and an optimization only).
     */
   def embeddingDedupIncoming(ci: CellIndex, incoming: DataFrame,
       tau: Double,
-      wideHintCap: Long = BroadcastHintMaxRows / 8): DataFrame = {
+      wideHintCap: Long = BroadcastHintMaxRows / 8): DataFrame =
+    embeddingDedupIncomingTracked(ci, incoming, tau, wideHintCap)._1
+
+  /** Serve one incoming-dedup batch and release exactly this call's
+    * persisted frame once `use` returns — the per-batch cleanup that
+    * does not evict the index's caches. `use` must materialize what
+    * it needs before returning. */
+  def serveEmbeddingDedupBatch[T](ci: CellIndex, incoming: DataFrame,
+      tau: Double,
+      wideHintCap: Long = BroadcastHintMaxRows / 8)
+      (use: DataFrame => T): T = {
+    val (res, frames) =
+      embeddingDedupIncomingTracked(ci, incoming, tau, wideHintCap)
+    try use(res)
+    finally frames.foreach(_.unpersist(blocking = false))
+  }
+
+  private def embeddingDedupIncomingTracked(ci: CellIndex,
+      incoming: DataFrame, tau: Double, wideHintCap: Long)
+      : (DataFrame, Seq[DataFrame]) = {
     val inc = incoming.select(col("vec_id"), col("embedding"),
         graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
       .persist()
@@ -1807,11 +1958,12 @@ object DedupQueries extends QSet {
         col("e2"), col("n2")) >= tau)
       .groupBy(col("id1").as("vec_id"))
       .agg(min(col("id2")).as("match_id"))
-    inc.select(col("vec_id"))
+    val res = inc.select(col("vec_id"))
       .join(matched, Seq("vec_id"), "left")
       .select(col("vec_id"), col("match_id"),
         col("match_id").isNotNull.cast(LongType).as("is_dup"))
       .orderBy("vec_id")
+    (res, Seq(inc))
   }
 
   /** EXACT global cosine top-k at the banded shape — the scale

