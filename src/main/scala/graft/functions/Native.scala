@@ -52,6 +52,18 @@ object Native {
     */
   def nfc(s: Column): Column =
     NativeColumn.wrap(NormalizeNfc(NativeColumn.unwrap(s)))
+
+  /** |a ∩ b| of two SORTED-ascending, element-distinct, non-null
+    * `array<string>` columns as one codegen'd merge walk (see
+    * [[SortedIntersectSizeS]]). Equals
+    * `size(array_intersect(a, b))` on such inputs — the dedup verify
+    * tier's exact-Jaccard/containment hot path, where array_intersect
+    * builds a per-row hash set AND materializes the intersected array
+    * just to take its size.
+    */
+  def intersectSizeSorted(a: Column, b: Column): Column =
+    NativeColumn.wrap(
+      SortedIntersectSizeS(NativeColumn.unwrap(a), NativeColumn.unwrap(b)))
 }
 
 /** `array<float> × array<float> → double` dot product. Exactly the
@@ -233,4 +245,78 @@ case class LshSignaturesF(child: Expression, dim: Int, bits: Int,
 
   override protected def withNewChildInternal(
       newChild: Expression): LshSignaturesF = copy(child = newChild)
+}
+
+/** `array<string> × array<string> → bigint` intersection SIZE of two
+  * sorted-ascending, element-distinct, non-null-element arrays, as a
+  * single merge walk — O(|a|+|b|) UTF8String binary comparisons with
+  * no hash-set build and no intermediate array. On such inputs this
+  * equals `size(array_intersect(a, b))` exactly (array_intersect
+  * keeps a's distinct elements present in b; distinctness makes the
+  * merge count the same multiset-free cardinality, and sort_array's
+  * UTF8String binary order is the same total order compareTo walks).
+  * PRECONDITION, not checked per-row for speed: both inputs come from
+  * `sort_array(collect_list(...))` over per-doc DISTINCT shingles —
+  * the only call sites are the dedup verify tiers, which construct
+  * exactly that. NULL-intolerant like the built-in (top-level NULL →
+  * NULL); element nulls cannot occur at the call sites (collect_list
+  * never emits them).
+  */
+case class SortedIntersectSizeS(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType),
+      ArrayType(org.apache.spark.sql.types.StringType))
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable
+
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < nx && j < ny) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1L; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val cmp = ctx.freshName("cmp")
+      val c = ctx.freshName("c")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0;
+         |int $j = 0;
+         |long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSizeS =
+    copy(left = newLeft, right = newRight)
 }

@@ -247,6 +247,24 @@ object DedupQueries extends QSet {
     */
   private[graft] val HintVerifyCands = false
 
+  /** The exact-verify intersection count. merge=true swaps
+    * `size(array_intersect(a, b))` for the codegen'd merge walk
+    * (Native.intersectSizeSorted — one O(|a|+|b|) pass, no hash-set
+    * build, no intersected-array allocation), equal on
+    * LEXICOGRAPHICALLY sorted element-distinct arrays
+    * (LibrarySpec-pinned). MEASURED LOSER on the prefix family
+    * (ABBench r12, 7 interleaved same-JVM rounds: containment 3.24 s
+    * merge vs 2.98 array_intersect, prefix-filter 3.07 vs 2.70 —
+    * their fa arrays are (dfq, sh)-ordered, and the in-row
+    * lexicographic re-sort the walk's precondition requires costs
+    * more than the hash set it saves), so default = false everywhere.
+    * The toggle + expression stay for the A/B harness and the pin.
+    */
+  private[graft] def interSizeCol(a1: Column, a2: Column,
+      merge: Boolean): Column =
+    if (merge) graft.functions.Native.intersectSizeSorted(a1, a2)
+    else size(array_intersect(a1, a2)).cast(LongType)
+
   /** Per-shingle document-frequency bound for the in-row grouped pair
     * generator in [[ngramPairs]]: a shingle group of frequency f holds
     * an f-length doc array in one row (linear — fine) but generates up
@@ -482,7 +500,8 @@ object DedupQueries extends QSet {
     * exactness is the graded contract, not a recall target.
     */
   def prefixFilterPairs(s: SparkSession, dir: String,
-      hintCands: Boolean = HintVerifyCands): DataFrame = {
+      hintCands: Boolean = HintVerifyCands,
+      mergeIntersect: Boolean = false): DataFrame = {
     val (groups, members, repDocs) = textGroups(s, dir)
     val sh = shinglesOf(repDocs).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -504,12 +523,18 @@ object DedupQueries extends QSet {
     // disappears too. Persisted: the candidate self-join reads the
     // exploded prefix twice and the verify join reads the full arrays
     // twice.
+    // arr order: fa is (dfq, sh)-sorted for the prefix slice; the
+    // merge-walk intersect needs LEXICOGRAPHIC arrays (array_intersect
+    // is order-insensitive, the walk is not — a dfq-ordered walk
+    // miscounts), so the merge package re-sorts in-row. Set-equal
+    // either way: output unchanged.
     val docArr = sh.join(dfreq, "sh")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("dfq"), col("sh"))))
         .as("fa"))
       .select(col("doc_id"),
-        expr("transform(fa, x -> x.sh)").as("arr"),
+        (if (mergeIntersect) expr("sort_array(transform(fa, x -> x.sh))")
+         else expr("transform(fa, x -> x.sh)")).as("arr"),
         expr("slice(fa, 1, size(fa) - (4 * size(fa) + 4) div 5 + 1)")
           .as("pa"))
       .persist()
@@ -548,7 +573,7 @@ object DedupQueries extends QSet {
       .join(docArr.select(col("doc_id").as("r2"), col("arr").as("a2")),
         "r2")
       .withColumn("inter",
-        size(array_intersect(col("a1"), col("a2"))).cast(LongType))
+        interSizeCol(col("a1"), col("a2"), mergeIntersect))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (size(col("a1")) + size(col("a2")) - col("inter")))
       .filter(col("jaccard") >= 0.8)
@@ -611,7 +636,8 @@ object DedupQueries extends QSet {
     * exhaustive oracle.
     */
   def containmentPrefixPairs(s: SparkSession, dir: String,
-      hintCands: Boolean = true): DataFrame = {
+      hintCands: Boolean = true,
+      mergeIntersect: Boolean = false): DataFrame = {
     val (groups, members, repDocs) = textGroups(s, dir)
     val sh = shinglesOf(repDocs).persist()
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("dfq"))
@@ -623,12 +649,16 @@ object DedupQueries extends QSet {
     // explode, the verify arrays, and the selfPairs sizes — the r8
     // shape paid a rank window plus a second docArr aggregate plus two
     // sizes broadcast joins for the same four consumers
+    // arr order: see prefixFilterPairs — lexicographic on the merge
+    // package (the walk's precondition), dfq-projected otherwise;
+    // set-equal either way.
     val docArr = sh.join(dfreq, "sh")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("dfq"), col("sh"))))
         .as("fa"))
       .select(col("doc_id"),
-        expr("transform(fa, x -> x.sh)").as("arr"),
+        (if (mergeIntersect) expr("sort_array(transform(fa, x -> x.sh))")
+         else expr("transform(fa, x -> x.sh)")).as("arr"),
         expr("slice(fa, 1, size(fa) - (9 * size(fa) + 9) div 10 + 1)")
           .as("pa"))
       .persist()
@@ -678,7 +708,7 @@ object DedupQueries extends QSet {
       .join(docArr.select(col("doc_id").as("r2"), col("arr").as("a2")),
         "r2")
       .withColumn("inter",
-        size(array_intersect(col("a1"), col("a2"))).cast(LongType))
+        interSizeCol(col("a1"), col("a2"), mergeIntersect))
       .withColumn("containment", col("inter").cast(DoubleType) /
         least(size(col("a1")), size(col("a2"))))
       .filter(col("containment") >= 0.9)
@@ -705,7 +735,8 @@ object DedupQueries extends QSet {
     */
   def componentReps(s: SparkSession, dir: String,
       hintCands: Boolean = HintVerifyCands,
-      countSizedParts: Boolean = false): DataFrame = {
+      countSizedParts: Boolean = false,
+      mergeVerify: Boolean = true): DataFrame = {
     import org.apache.spark.HashPartitioner
     // the RDD cache below is the only materialization the loop needs —
     // a DF-level persist on top of it would build a second (columnar)
@@ -726,7 +757,7 @@ object DedupQueries extends QSet {
     // over duplicate-inflated edges (the expansion pairs would multiply
     // edge volume by multiplicity² for zero extra information).
     val (repPairs, groups, members, _) =
-      verifiedRepContext(s, dir, hintCands)
+      verifiedRepContext(s, dir, hintCands, mergeVerify)
     val pairs = repPairs.select(col("r1").as("d1"), col("r2").as("d2"))
     // Iterate ONLY over edge-endpoint vertices: isolated documents are
     // their own singleton cluster by definition and re-labelling them
@@ -955,7 +986,8 @@ object DedupQueries extends QSet {
     * identical, DuckDB-oracle-proven at sf0.001/0.01/0.1.
     */
   private[graft] def verifyJaccard(sh: DataFrame, cand: DataFrame,
-      a: String, b: String, hintCands: Boolean = HintVerifyCands)
+      a: String, b: String, hintCands: Boolean = HintVerifyCands,
+      mergeIntersect: Boolean = false)
       : DataFrame = {
     val docArr = sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("sh"))).as("arr"))
@@ -978,8 +1010,12 @@ object DedupQueries extends QSet {
     c0
       .join(docArr.select(col("doc_id").as(a), col("arr").as("a1")), Seq(a))
       .join(docArr.select(col("doc_id").as(b), col("arr").as("a2")), Seq(b))
+      // these arrays ARE lexicographic (sort_array over the shingle
+      // strings), so the merge walk needs no re-sort here — toggle
+      // kept for the A/B harness (prefix-family result: see
+      // interSizeCol)
       .withColumn("inter",
-        size(array_intersect(col("a1"), col("a2"))).cast(LongType))
+        interSizeCol(col("a1"), col("a2"), mergeIntersect))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (size(col("a1")) + size(col("a2")) - col("inter")))
       .filter(col("jaccard") >= 0.8)
@@ -1113,7 +1149,8 @@ object DedupQueries extends QSet {
     * all-pairs; the index side is only ever probed, never rebuilt.
     */
   private[graft] def incrementalDedupOn(idx: LshIndex,
-      incoming: DataFrame): DataFrame = {
+      incoming: DataFrame,
+      mergeIntersect: Boolean = true): DataFrame = {
     // persisted: banding and the verify arrays both read the incoming
     // shingles (a bounded batch, not the corpus)
     val shIn = shinglesOf(incoming).persist()
@@ -1132,7 +1169,7 @@ object DedupQueries extends QSet {
       .join(idx.arrs.select(col("doc_id").as("d_ex"),
         col("arr").as("a2")), Seq("d_ex"))
       .withColumn("inter",
-        size(array_intersect(col("a1"), col("a2"))).cast(LongType))
+        interSizeCol(col("a1"), col("a2"), mergeIntersect))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (size(col("a1")) + size(col("a2")) - col("inter")))
       .filter(col("jaccard") >= 0.8)
@@ -1183,8 +1220,9 @@ object DedupQueries extends QSet {
     * 10×-duplicated sf1.0: 17.5 s raw vs ~5 s compressed, identical
     * pair set).
     */
-  private def verifiedRepContext(s: SparkSession, dir: String,
-      hintCands: Boolean = HintVerifyCands)
+  private[graft] def verifiedRepContext(s: SparkSession, dir: String,
+      hintCands: Boolean = HintVerifyCands,
+      mergeIntersect: Boolean = true)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (groups, members, repDocs) = textGroups(s, dir)
     val sh = shinglesOf(repDocs).persist()
@@ -1197,7 +1235,7 @@ object DedupQueries extends QSet {
     val repPairs = verifyJaccard(sh,
       bucketPairs(minhashBuckets(sh, bands = 16))
         .select(col("d1").as("r1"), col("d2").as("r2")),
-      "r1", "r2", hintCands)
+      "r1", "r2", hintCands, mergeIntersect)
     (repPairs, groups, members, sizes)
   }
 
@@ -1225,9 +1263,10 @@ object DedupQueries extends QSet {
   }
 
   def minhashVerifiedPairs(s: SparkSession, dir: String,
-      hintCands: Boolean = HintVerifyCands): DataFrame = {
+      hintCands: Boolean = HintVerifyCands,
+      mergeIntersect: Boolean = true): DataFrame = {
     val (repPairs, groups, members, sizes) =
-      verifiedRepContext(s, dir, hintCands)
+      verifiedRepContext(s, dir, hintCands, mergeIntersect)
     expandRepPairs(repPairs, groups, members, sizes, "jaccard")
       .orderBy("d1", "d2")
   }
@@ -1356,8 +1395,14 @@ object DedupQueries extends QSet {
     * predicates would silently prune them, so the build REFUSES the
     * corpus instead of letting the twins diverge on degenerate input.
     *
-    * Cache ownership: the index persists `vn` and `memVec` (and the
-    * topk query its `within` frame). Callers that build many indexes
+    * Cache ownership: the index persists `memVec` (the one
+    * corpus-sized cache — it carries embedding/nrm for every probe,
+    * scoring and serving consumer); `vn` stays an UNCACHED projection
+    * by default (persistVn=false, the measured winner: ABBench r12
+    * exp3/3b, banded kNN 2.62 s vs 3.78, topk 1.14 vs 1.96, dedup
+    * tie — its only repeat reader is the skinny label column, a
+    * column-pruned parquet re-scan, while caching it re-serialized
+    * every embedding a second time). Callers that build many indexes
     * in one session own cleanup via [[CellIndex.unpersist]]; the
     * Verify/Bench harness clears all caches between queries.
     */
@@ -1624,16 +1669,16 @@ object DedupQueries extends QSet {
         (math.max(a._1, b._1), a._2 + b._2))
   }
 
-  private[graft] def buildCellIndex(s: SparkSession, dir: String)
-      : CellIndex =
+  private[graft] def buildCellIndex(s: SparkSession, dir: String,
+      persistVn: Boolean = false): CellIndex =
     // metadata-only count on the RAW scan: no filter sits between the
     // footer and the corpus projection, so the counts are equal — and
     // unlike vn.count() this deserializes no embedding arrays (Spark
-    // answers it from the parquet row-group metadata). The vn cache
-    // materializes under the takeOrdered pass instead.
+    // answers it from the parquet row-group metadata).
     buildCellIndexOf(
       t(s, dir, "embeddings").select("vec_id", "label", "embedding"),
-      Some(s.read.parquet(s"$dir/embeddings.parquet").count()))
+      Some(s.read.parquet(s"$dir/embeddings.parquet").count()),
+      persistVn)
 
   /** Rebuild an index from its OWN corpus frame — the documented
     * response to append-driven radius drift ([[appendToCellIndex]]'s
@@ -1655,13 +1700,18 @@ object DedupQueries extends QSet {
     * already holds it (parquet footer, index bookkeeping) — otherwise
     * one count job on the persisted corpus pays for it. */
   private[graft] def buildCellIndexOf(corpus: DataFrame,
-      nVecHint: Option[Long] = None): CellIndex = {
+      nVecHint: Option[Long] = None,
+      persistVn: Boolean = false): CellIndex = {
     val s = corpus.sparkSession
     import s.implicits._
-    val vn = corpus.select(col("vec_id"),
+    // persistVn=false: the A/B challenger shape — memVec carries
+    // (embedding, nrm) for every serving/probe consumer, so the vn
+    // cache's only repeat reader is the skinny label column (a
+    // column-pruned parquet re-scan when uncached)
+    val vn0 = corpus.select(col("vec_id"),
         col("label"), col("embedding"),
         graft.functions.Native.l2NormF(col("embedding")).as("nrm"))
-      .persist()
+    val vn = if (persistVn) vn0.persist() else vn0
     val nVec = nVecHint.getOrElse(vn.count())
     val nCells = math.max(16, math.ceil(math.sqrt(nVec.toDouble)).toInt)
     // bounded collect (√N rows): every executor needs every centroid,
@@ -1768,10 +1818,12 @@ object DedupQueries extends QSet {
     * executor needs anyway (√N centroids, √N radii). No assignment
     * recompute — the member frame IS the assignment.
     */
-  private[graft] def loadCellIndex(s: SparkSession, path: String)
+  private[graft] def loadCellIndex(s: SparkSession, path: String,
+      persistVn: Boolean = false)
       : CellIndex = {
     import s.implicits._
-    val vn = s.read.parquet(s"$path/corpus.parquet").persist()
+    val vn0 = s.read.parquet(s"$path/corpus.parquet")
+    val vn = if (persistVn) vn0.persist() else vn0
     val memVec = s.read.parquet(s"$path/member.parquet").persist()
     val centroids = s.read.parquet(s"$path/centroids.parquet")
       .select(col("vec_id"), col("embedding"), col("nrm"))
@@ -2063,8 +2115,12 @@ object DedupQueries extends QSet {
         Some(fw.orderBy(col("cos").desc).limit(k)
           .agg(min(col("cos"))).head().getDouble(0))
       }
-    val probes = ci.probes(ci.vn.select(col("vec_id"), col("embedding"),
-      col("nrm"), floorOpt.map(lit(_)).getOrElse(lit(null))
+    // probe input from memVec, not vn: same rows, and the cached
+    // member frame already carries (embedding, nrm) — vn stays a
+    // label-only consumer so its cache is optional (persistVn)
+    val probes = ci.probes(ci.memVec.select(col("vec_id"),
+      col("embedding"), col("nrm"),
+      floorOpt.map(lit(_)).getOrElse(lit(null))
         .cast(DoubleType).as("floor")))
     // probe rows carry (e1, n1) — the scoring join consumes them
     // in-row, no id1 re-attach join
@@ -2151,8 +2207,10 @@ object DedupQueries extends QSet {
         col("cell") === col("c2") && col("id1") < col("id2") &&
           scoredGe(col("e1"), col("n1"), col("e2"), col("n2")))
       .select("id1", "id2")
-    val probes = ci.probes(ci.vn.select(col("vec_id"), col("embedding"),
-      col("nrm"), lit(tau).cast(DoubleType).as("floor")))
+    // probe input from memVec (same rows; vn's cache becomes optional)
+    val probes = ci.probes(ci.memVec.select(col("vec_id"),
+      col("embedding"), col("nrm"),
+      lit(tau).cast(DoubleType).as("floor")))
     // probe rows carry (e1, n1) — scored in-row, no id1 re-attach join
     val cross = probes
       .join(bcWide(ci.memVec.select(col("vec_id").as("id2"), col("cell"),
@@ -2161,7 +2219,10 @@ object DedupQueries extends QSet {
       .filter(col("id1") < col("id2") &&
         scoredGe(col("e1"), col("n1"), col("e2"), col("n2")))
       .select("id1", "id2")
-    repExpandEmbedding(ci.vn, within.unionAll(cross)
+    // ids from memVec (same vec_id set as vn, already cached) — the
+    // whole banded-dedup path is vn-free, so the index's optional vn
+    // cache (persistVn) costs this operator nothing either way
+    repExpandEmbedding(ci.memVec, within.unionAll(cross)
       .select(col("id2").as("vid"), col("id1").as("nbr")))
   }
 

@@ -190,7 +190,9 @@ object KnnOpsQueries extends QSet {
     // l5 hint-broadcast under the cap; past it an n-row SMJ — still
     // the member-frame-width invariant), then the probe pass emits
     // survivors in-row
-    val probes = ci.probes(vn
+    // probe input from memVec, not vn: same rows, already cached with
+    // (embedding, nrm) — vn stays a label-only consumer here
+    val probes = ci.probes(memVec
       .select(col("vec_id"), col("embedding"), col("nrm"))
       .join(bcSkinny(l5), Seq("vec_id"), "left")
       .select(col("vec_id"), col("embedding"), col("nrm"),

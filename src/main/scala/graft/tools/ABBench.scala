@@ -511,9 +511,114 @@ object ABBench {
     // default legs = the latest A/B (edit in place per experiment);
     // AB_SPIKES=1 appends the driver-window spike set for consecutive
     // single-sample profiling
+    //
+    // round-12 experiment 1 (judge #1/#7), RESULT in SCALING.md
+    // Addendum 19: the four untouched-code ~2x r11 bench movers
+    // interleaved with three window anchors + q_tpch_q19 — all four
+    // movers measured at/below their r10 shape once anchor-adjusted
+    // (noise confirmed), q_tpch_q19 max-of-7 1.55x median.
+    val exp1 = Seq("q_ml_knn_accuracy", "q_feat_cov",
+      "q_sim_cosine_topk", "q_stream_pair_join",
+      "q_ts_anomaly", "q_tpch_q11", "q_stats_gini", "q_tpch_q19")
+
+    // round-12 experiment 2 (judge #2): the prefix-family verify
+    // payload. Incumbent = count-guarded broadcast of the pair-id
+    // list + per-pair array_intersect on the wide sorted arrays.
+    // Challenger A (cp_cnt) = the judge's grouped COUNT over the
+    // exploded candidate×shingle equi-join (skinny rows, no wide
+    // arrays through any exchange). Challenger B (merge) = same join
+    // shape as the incumbent but the codegen'd sorted-merge intersect
+    // SIZE (no hash set, no intersected-array allocation).
+    def cpCnt(s: SparkSession, dir: String): DataFrame = {
+      val (groups, members, repDocs) = DedupQueries.textGroups(s, dir)
+      val sh = DedupQueries.shinglesOf(repDocs).persist()
+      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("dfq"))
+      val docArr = sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("dfq"), col("sh"))))
+          .as("fa"))
+        .select(col("doc_id"),
+          expr("transform(fa, x -> x.sh)").as("arr"),
+          expr("slice(fa, 1, size(fa) - (9 * size(fa) + 9) div 10 + 1)")
+            .as("pa"))
+        .persist()
+      val prefix = docArr
+        .select(col("doc_id").as("dp"),
+          size(col("arr")).cast(LongType).as("szp"),
+          explode(col("pa")).as("p"))
+        .select(col("dp"), xxhash64(col("p.sh")).as("hb"),
+          col("p.sh").as("sh"), col("szp"))
+      val full = docArr
+        .select(col("doc_id").as("dq"), size(col("arr")).cast(LongType)
+          .as("szq"), explode(col("arr")).as("sh2"))
+        .withColumn("hb2", xxhash64(col("sh2")))
+      val cands = prefix.join(full,
+          col("hb") === col("hb2") && col("sh") === col("sh2") &&
+            col("dp") =!= col("dq") && col("szp") <= col("szq"))
+        .select(least(col("dp"), col("dq")).as("r1"),
+          greatest(col("dp"), col("dq")).as("r2"))
+        .distinct()
+      val c = cands.persist()
+      val candsH = DedupQueries.maybeBroadcast(c, c.count())
+      // verify: count matched shingles per pair over the HASHED
+      // skinny stream — no array column crosses an exchange
+      val shh = sh.withColumn("hb", xxhash64(col("sh")))
+      val inter = candsH
+        .join(shh.select(col("doc_id").as("r1"), col("hb"),
+          col("sh")), "r1")
+        .join(shh.select(col("doc_id").as("rb"), col("hb").as("hb2"),
+          col("sh").as("sh2")),
+          col("r2") === col("rb") && col("hb") === col("hb2") &&
+            col("sh") === col("sh2"))
+        .groupBy("r1", "r2").agg(count(lit(1)).as("inter"))
+      val sizes = docArr.select(col("doc_id"),
+        size(col("arr")).cast(LongType).as("sz"))
+      val repPairs = inter
+        .join(broadcast(sizes.select(col("doc_id").as("r1"),
+          col("sz").as("sz1"))), "r1")
+        .join(broadcast(sizes.select(col("doc_id").as("r2"),
+          col("sz").as("sz2"))), "r2")
+        .withColumn("containment", col("inter").cast(DoubleType) /
+          least(col("sz1"), col("sz2")))
+        .filter(col("containment") >= 0.9)
+        .select("r1", "r2", "inter", "containment")
+      DedupQueries.expandRepPairs(repPairs, groups, members, sizes,
+          "containment")
+        .select(col("d1"), col("d2"), col("inter"), col("containment"))
+        .orderBy("d1", "d2")
+    }
+    // exp2 result (7 interleaved rounds): cp_cnt 3.89 s vs incumbent
+    // 2.53 — the exploded grouped-count verify REFUTED decisively
+    // (the skinny stream pays two candidate-sized exchanges where the
+    // incumbent pays none). exp2b below re-ran the merge package
+    // after fixing its lexicographic-order precondition (the first
+    // run's merge legs were invalid: fa is (dfq,sh)-ordered).
+    val _ = cpCnt _
+    // exp2b result: the merge walk LOSES on the prefix family too
+    // (cp 3.24 vs 2.98, pf 3.07 vs 2.70 — the in-row lexicographic
+    // re-sort its precondition needs costs more than the hash set it
+    // saves). Incumbent kept, defaults false.
+    //
+    // exp3: (a) the banded-kNN index WITHOUT the vn cache (memVec
+    // carries every probe/serving column; labels re-scan
+    // column-pruned parquet) vs the incumbent build; (b) the merge
+    // walk on verifyJaccard/incrementalDedupOn, whose arrays are
+    // ALREADY lexicographic — no re-sort, pure CPU swap.
+    // exp3 result (7 rounds): bk_novn 2.62 vs bk_inc 3.78 (-31% —
+    // the vn cache build is pure cost once memVec feeds the probes),
+    // mv_merge 2.68 vs 3.40 (-21%), inc_merge 1.42 vs 1.58 (-10%) —
+    // the walk wins wherever the arrays are born lexicographic.
+    // exp3b: the other two banded operators + dedup components on the
+    // vn-less index / merge defaults, incumbent vs challenger.
+    // exp3b result (7 rounds): tk_novn 1.14 vs 1.96 (-42%), cc_merge
+    // 3.12 vs 4.02 (-22%); ed_novn 0.71 vs 0.64 tied-to-slightly-worse
+    // because repExpandEmbedding still read vn — exp3c re-runs the ed
+    // pair after switching its ids source to memVec (vn-free path).
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "cp_hint_decl" -> (() => graft.SparkEntry.queries("q_dedup_containment_prefix")(spark, sfDir)),
-      "cp_shj" -> (() => cpOld(spark, sfDir, shjHint = true)),
+      "ed_inc" -> (() => DedupQueries.embeddingDedupBandedOn(
+        DedupQueries.buildCellIndex(spark, sfDir, persistVn = true), 0.40)),
+      "ed_novn" -> (() => DedupQueries.embeddingDedupBandedOn(
+        DedupQueries.buildCellIndex(spark, sfDir, persistVn = false), 0.40)),
     ) ++ (if (sys.env.contains("AB_SPIKES")) spikeSet.map(q =>
       q -> (() => graft.SparkEntry.queries(q)(spark, sfDir))) else Nil)
     // ---- round-robin medians ----

@@ -959,4 +959,49 @@ class LibrarySpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() ==
       Tables.t(spark, sf, "orders").count())
   }
+
+  test("sorted-merge intersect size == size(array_intersect) on " +
+    "lexicographic shingle arrays; the dfq-ordered hazard is handled " +
+    "(both prefix-family packages byte-identical)") {
+    import graft.queries.DedupQueries
+    // expression equivalence on the REAL corpus's verify-shaped
+    // arrays (sorted, distinct, non-null — the documented
+    // precondition), all pairs of a bounded sample
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(40)
+    val arrs = graft.queries.DedupQueries.shinglesOf(docs)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("arr"))
+    val mism = arrs.select(col("arr").as("a1"))
+      .crossJoin(arrs.select(col("arr").as("a2")))
+      .filter(graft.functions.Native.intersectSizeSorted(
+        col("a1"), col("a2")) =!=
+        size(array_intersect(col("a1"), col("a2"))).cast("long"))
+      .count()
+    assert(mism == 0L)
+    // degenerate inputs: empty / disjoint / identical
+    val edge = Seq(
+      (Seq.empty[String], Seq.empty[String], 0L),
+      (Seq("a", "b"), Seq.empty[String], 0L),
+      (Seq("a", "c"), Seq("b", "d"), 0L),
+      (Seq("a", "b", "c"), Seq("a", "b", "c"), 3L),
+      (Seq("a", "b", "c"), Seq("b", "z"), 1L))
+      .toDF("a1", "a2", "want")
+    assert(edge.filter(graft.functions.Native.intersectSizeSorted(
+      col("a1"), col("a2")) =!= col("want")).count() == 0L)
+    // the prefix family's fa arrays are (dfq, sh)-ordered — the merge
+    // package re-sorts lexicographically in-row; outputs of both
+    // packages must be byte-identical (the r12 A/B compared them at
+    // sf0.1; this pins the equivalence at the fixture)
+    assert(DedupQueries.prefixFilterPairs(spark, sf,
+        mergeIntersect = true).collect().map(_.toSeq).toSeq ==
+      DedupQueries.prefixFilterPairs(spark, sf,
+        mergeIntersect = false).collect().map(_.toSeq).toSeq)
+    spark.catalog.clearCache()
+    assert(DedupQueries.containmentPrefixPairs(spark, sf,
+        mergeIntersect = true).collect().map(_.toSeq).toSeq ==
+      DedupQueries.containmentPrefixPairs(spark, sf,
+        mergeIntersect = false).collect().map(_.toSeq).toSeq)
+    spark.catalog.clearCache()
+  }
 }
