@@ -257,7 +257,12 @@ object DedupQueries extends QSet {
     * merge vs 2.98 array_intersect, prefix-filter 3.07 vs 2.70 —
     * their fa arrays are (dfq, sh)-ordered, and the in-row
     * lexicographic re-sort the walk's precondition requires costs
-    * more than the hash set it saves), so default = false everywhere.
+    * more than the hash set it saves). On the verify tiers whose
+    * arrays are born lexicographic (minhash-verified, incremental,
+    * components) the walk measured a TIE once the A/B protocol was
+    * corrected for codegen-reuse adjacency (duo warm medians: mv
+    * 2.16 vs 2.25, cc 2.41 vs 2.43, inc 1.10 vs 1.10 — Addendum 19),
+    * so default = false everywhere per keep-the-incumbent-on-a-tie.
     * The toggle + expression stay for the A/B harness and the pin.
     */
   private[graft] def interSizeCol(a1: Column, a2: Column,
@@ -736,7 +741,7 @@ object DedupQueries extends QSet {
   def componentReps(s: SparkSession, dir: String,
       hintCands: Boolean = HintVerifyCands,
       countSizedParts: Boolean = false,
-      mergeVerify: Boolean = true): DataFrame = {
+      mergeVerify: Boolean = false): DataFrame = {
     import org.apache.spark.HashPartitioner
     // the RDD cache below is the only materialization the loop needs —
     // a DF-level persist on top of it would build a second (columnar)
@@ -1150,7 +1155,7 @@ object DedupQueries extends QSet {
     */
   private[graft] def incrementalDedupOn(idx: LshIndex,
       incoming: DataFrame,
-      mergeIntersect: Boolean = true): DataFrame = {
+      mergeIntersect: Boolean = false): DataFrame = {
     // persisted: banding and the verify arrays both read the incoming
     // shingles (a bounded batch, not the corpus)
     val shIn = shinglesOf(incoming).persist()
@@ -1222,7 +1227,7 @@ object DedupQueries extends QSet {
     */
   private[graft] def verifiedRepContext(s: SparkSession, dir: String,
       hintCands: Boolean = HintVerifyCands,
-      mergeIntersect: Boolean = true)
+      mergeIntersect: Boolean = false)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (groups, members, repDocs) = textGroups(s, dir)
     val sh = shinglesOf(repDocs).persist()
@@ -1264,7 +1269,7 @@ object DedupQueries extends QSet {
 
   def minhashVerifiedPairs(s: SparkSession, dir: String,
       hintCands: Boolean = HintVerifyCands,
-      mergeIntersect: Boolean = true): DataFrame = {
+      mergeIntersect: Boolean = false): DataFrame = {
     val (repPairs, groups, members, sizes) =
       verifiedRepContext(s, dir, hintCands, mergeIntersect)
     expandRepPairs(repPairs, groups, members, sizes, "jaccard")
@@ -1395,16 +1400,17 @@ object DedupQueries extends QSet {
     * predicates would silently prune them, so the build REFUSES the
     * corpus instead of letting the twins diverge on degenerate input.
     *
-    * Cache ownership: the index persists `memVec` (the one
-    * corpus-sized cache — it carries embedding/nrm for every probe,
-    * scoring and serving consumer); `vn` stays an UNCACHED projection
-    * by default (persistVn=false, the measured winner: ABBench r12
-    * exp3/3b, banded kNN 2.62 s vs 3.78, topk 1.14 vs 1.96, dedup
-    * tie — its only repeat reader is the skinny label column, a
-    * column-pruned parquet re-scan, while caching it re-serialized
-    * every embedding a second time). Callers that build many indexes
-    * in one session own cleanup via [[CellIndex.unpersist]]; the
-    * Verify/Bench harness clears all caches between queries.
+    * Cache ownership: the index persists `vn` and `memVec`; the
+    * probe/scoring/serving consumers all read memVec (which carries
+    * embedding+nrm), so a vn-less index is one flag away
+    * (persistVn=false) for memory-tight deployments — but the
+    * CACHED default measured faster or tied on every banded operator
+    * under the r12 duo protocol (warm medians: kNN 1.89 s cached vs
+    * 2.24, topk/dedup/incremental ties; the uncached "wins" from the
+    * adjacent-slot protocol were codegen-reuse artifacts — SCALING.md
+    * Addendum 19). Callers that build many indexes in one session
+    * own cleanup via [[CellIndex.unpersist]]; the Verify/Bench
+    * harness clears all caches between queries.
     */
   /** Build-time baseline the rebuild trigger compares against —
     * captured at [[buildCellIndexOf]] (and re-captured by
@@ -1670,7 +1676,7 @@ object DedupQueries extends QSet {
   }
 
   private[graft] def buildCellIndex(s: SparkSession, dir: String,
-      persistVn: Boolean = false): CellIndex =
+      persistVn: Boolean = true): CellIndex =
     // metadata-only count on the RAW scan: no filter sits between the
     // footer and the corpus projection, so the counts are equal — and
     // unlike vn.count() this deserializes no embedding arrays (Spark
@@ -1701,7 +1707,7 @@ object DedupQueries extends QSet {
     * one count job on the persisted corpus pays for it. */
   private[graft] def buildCellIndexOf(corpus: DataFrame,
       nVecHint: Option[Long] = None,
-      persistVn: Boolean = false): CellIndex = {
+      persistVn: Boolean = true): CellIndex = {
     val s = corpus.sparkSession
     import s.implicits._
     // persistVn=false: the A/B challenger shape — memVec carries
@@ -1819,7 +1825,7 @@ object DedupQueries extends QSet {
     * recompute — the member frame IS the assignment.
     */
   private[graft] def loadCellIndex(s: SparkSession, path: String,
-      persistVn: Boolean = false)
+      persistVn: Boolean = true)
       : CellIndex = {
     import s.implicits._
     val vn0 = s.read.parquet(s"$path/corpus.parquet")
