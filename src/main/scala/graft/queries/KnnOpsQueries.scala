@@ -159,6 +159,14 @@ object KnnOpsQueries extends QSet {
     def bcSkinny(df: DataFrame): DataFrame =
       DedupQueries.maybeBroadcast(df, ci.nVec, wideHintCap * 8)
     val memVec = ci.memVec
+    // NEGATIVE RESULT (r12): sharing ONE broadcast-side plan between
+    // the within and cross scoring joins (identical aliases, hoping
+    // for ReuseExchange) was built and measured a dead tie (duo
+    // medians 2.42 vs 2.44) — and the plan shows WHY it cannot help:
+    // withinHalf's persist puts the two joins in SEPARATE plan trees
+    // (the cache-population plan vs the outer query), and exchange
+    // reuse never spans an InMemoryRelation boundary. Kept per-join
+    // sides (the incumbent).
     val withinHalf = memVec
       .select(col("vec_id").as("id1"), col("cell"),
         col("embedding").as("e1"), col("nrm").as("n1"))
@@ -227,8 +235,9 @@ object KnnOpsQueries extends QSet {
         .filter(col("l5").isNull || col("cos") >= col("l5"))
         .select("id1", "id2", "cos")
     val crossDir = floorPrune(probes
-      .join(bcWide(memVec.select(col("vec_id").as("id2"), col("cell"),
-        col("embedding").as("e2"), col("nrm").as("n2"))), "cell")
+      .join(bcWide(memVec.select(col("vec_id").as("id2"),
+        col("cell").as("c2"), col("embedding").as("e2"),
+        col("nrm").as("n2"))), col("cell") === col("c2"))
       .select(col("id1"), col("id2"),
         pairCos(col("e1"), col("n1"), col("e2"), col("n2"))))
     // same provably-safe prune on the within tier (l5 is already in

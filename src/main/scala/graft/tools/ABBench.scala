@@ -665,13 +665,26 @@ object ABBench {
         DedupQueries.buildLshIndex(docs.filter(col("doc_id") % 10 =!= 0)),
         docs.filter(col("doc_id") % 10 === 0), mergeIntersect = merge)
     }
+    // exp6 verdicts (duo): tk 0.80 new vs 0.78 old = tie, ed 0.51 vs
+    // 0.46 slight old edge, inc 1.10 vs 1.10 tie — incumbents kept.
+    // exp7: (a) shared-broadcast-side banded kNN (ReuseExchange, one
+    // wide broadcast build instead of two) vs the two-broadcast
+    // incumbent; (b) duo RE-CHECK of Addendum 18 #7's build
+    // bookkeeping win (flagged: it was measured adjacent-slot).
+    // (the shared-side variant was reverted after the exp7 tie — see
+    // the negative-result note at bandedKnnAccuracyOn; both legs now
+    // resolve to the incumbent shape)
+    val bkrNew = () => graft.queries.KnnOpsQueries
+      .bandedKnnAccuracy(spark, sfDir)
+    val bkrOld = () => graft.queries.KnnOpsQueries
+      .bandedKnnAccuracyOn(DedupQueries.buildCellIndex(spark, sfDir))
+    val boNew = () => DedupQueries.buildCellIndex(spark, sfDir).memVec
+    val boOld = () => buildOld(spark, sfDir)
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "tk_newA" -> tkNew, "tk_newB" -> tkNew,
-      "tk_oldA" -> tkOld, "tk_oldB" -> tkOld,
-      "ed_newA" -> edNew, "ed_newB" -> edNew,
-      "ed_oldA" -> edOld, "ed_oldB" -> edOld,
-      "in_newA" -> incWith(true), "in_newB" -> incWith(true),
-      "in_oldA" -> incWith(false), "in_oldB" -> incWith(false),
+      "bkr_newA" -> bkrNew, "bkr_newB" -> bkrNew,
+      "bkr_oldA" -> bkrOld, "bkr_oldB" -> bkrOld,
+      "bo_newA" -> boNew, "bo_newB" -> boNew,
+      "bo_oldA" -> boOld, "bo_oldB" -> boOld,
     ) ++ (if (sys.env.contains("AB_SPIKES")) spikeSet.map(q =>
       q -> (() => graft.SparkEntry.queries(q)(spark, sfDir))) else Nil)
     // ---- round-robin medians ----
