@@ -680,11 +680,18 @@ object ABBench {
       .bandedKnnAccuracyOn(DedupQueries.buildCellIndex(spark, sfDir))
     val boNew = () => DedupQueries.buildCellIndex(spark, sfDir).memVec
     val boOld = () => buildOld(spark, sfDir)
+    // exp7 results: bkr shared-vs-per-join broadcast side = dead tie
+    // (2.42 vs 2.44; reverted — the persist boundary precludes reuse);
+    // bo bookkeeping win REPLICATES under duo (0.60 vs 0.69) — flag
+    // closed. exp8: duo re-check of the LAST small-margin
+    // adjacent-slot win still shipped (Addendum 18 #6, the banded
+    // top-k densest-cells floor, 1.28-vs-1.50 measured adjacent).
+    val _ = (bkrNew, bkrOld, boNew, boOld)
+    val tkfNew = () => DedupQueries.cosineTopKBanded(spark, sfDir, 10)
+    val tkfOld = () => topkOldFloor(spark, sfDir)
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "bkr_newA" -> bkrNew, "bkr_newB" -> bkrNew,
-      "bkr_oldA" -> bkrOld, "bkr_oldB" -> bkrOld,
-      "bo_newA" -> boNew, "bo_newB" -> boNew,
-      "bo_oldA" -> boOld, "bo_oldB" -> boOld,
+      "tkf_newA" -> tkfNew, "tkf_newB" -> tkfNew,
+      "tkf_oldA" -> tkfOld, "tkf_oldB" -> tkfOld,
     ) ++ (if (sys.env.contains("AB_SPIKES")) spikeSet.map(q =>
       q -> (() => graft.SparkEntry.queries(q)(spark, sfDir))) else Nil)
     // ---- round-robin medians ----
