@@ -1914,6 +1914,29 @@ object DedupQueries extends QSet {
       ci.buildMeta)
   }
 
+  /** The composed maintenance step a deployment actually calls per
+    * accepted batch: append against the frozen geometry, then check
+    * the executable rebuild trigger and re-derive fresh √nVec
+    * geometry when it fires. Returns the index to serve next batches
+    * from. Appends are cheap (touched-cell merges) and rebuilds are
+    * rare by construction (the trigger needs 2× growth or >20% mean
+    * radius drift), so the amortized cost per batch stays the append.
+    * Cache note: on the rebuild branch the appended intermediate's
+    * caches are released (only its corpus union feeds the rebuild,
+    * which re-persists its own frames); the caller still owns the
+    * PARENT index's caches either way.
+    */
+  private[graft] def maintainCellIndex(ci: CellIndex,
+      batch: DataFrame): CellIndex = {
+    val appended = appendToCellIndex(ci, batch)
+    if (!shouldRebuild(appended)) appended
+    else {
+      val rebuilt = rebuildCellIndex(appended)
+      appended.unpersist()
+      rebuilt
+    }
+  }
+
   /** Remove vectors from a built (or loaded) index — the takedown
     * twin of [[appendToCellIndex]]. `ids` is a (vec_id) frame. The
     * member/corpus frames shrink by anti-join; per-cell sizes

@@ -439,6 +439,50 @@ class IndexLifecycleSpec extends AnyFunSuite
     spark.catalog.clearCache()
   }
 
+  test("maintainCellIndex: appends below the trigger, rebuilds at it " +
+    "(fresh geometry, reset baseline, fresh-build outputs); a " +
+    "pre-meta artifact loads with the degraded baseline") {
+    import spark.implicits._
+    import graft.queries.{DedupQueries, KnnOpsQueries}
+    val full = graft.engine.Tables.t(spark, sf, "embeddings")
+    val base = fixtureDir("cell_maintain_base")
+    full.filter($"vec_id" % 4 === 0)
+      .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    val ci = DedupQueries.buildCellIndex(spark, base)
+    // small batch: below both trigger lines — pure append
+    val small = DedupQueries.maintainCellIndex(ci,
+      full.filter($"vec_id" % 16 === 1)
+        .select("vec_id", "label", "embedding"))
+    assert(small.nCells == ci.nCells &&
+      small.buildMeta == ci.buildMeta,
+      "a below-trigger batch must stay an append")
+    // large batch: crosses 2x - the composed step must rebuild
+    val grown = DedupQueries.maintainCellIndex(ci,
+      full.filter($"vec_id" % 4 =!= 0)
+        .select("vec_id", "label", "embedding"))
+    assert(grown.nCells > ci.nCells, "rebuild must re-derive sqrt(N')")
+    assert(grown.buildMeta.nVecAtBuild == grown.nVec &&
+      !DedupQueries.shouldRebuild(grown))
+    val knn = rows(KnnOpsQueries.bandedKnnAccuracyOn(grown))
+    spark.catalog.clearCache()
+    assert(knn == rows(KnnOpsQueries.bandedKnnAccuracyOn(
+      DedupQueries.buildCellIndex(spark, sf))),
+      "post-rebuild serving must equal a fresh build of the union")
+    spark.catalog.clearCache()
+    // legacy artifact (no meta.parquet): loads with the CURRENT state
+    // as baseline - trigger degrades to drift-since-load, no crash
+    val p = fixtureDir("cell_legacy_idx")
+    DedupQueries.writeCellIndex(ci, p)
+    val metaDir = new java.io.File(s"$p/meta.parquet")
+    org.apache.commons.io.FileUtils.deleteQuietly(metaDir)
+    assert(!metaDir.exists)
+    spark.catalog.clearCache()
+    val legacy = DedupQueries.loadCellIndex(spark, p)
+    assert(legacy.buildMeta.nVecAtBuild == legacy.nVec)
+    assert(!DedupQueries.shouldRebuild(legacy))
+    spark.catalog.clearCache()
+  }
+
   test("LSH compaction trigger fires at tombstone ratio >= tau; " +
     "compact-at-trigger serves byte-identically; writeLshIndex over " +
     "a tombstoned path defines the FULL artifact") {
