@@ -172,8 +172,14 @@ object Tables {
         }
         s.sparkContext.getCheckpointDir match {
           case None => s.sparkContext.setCheckpointDir(d)
-          case Some(cur) if cur != d && !cur.startsWith(d) &&
-              !cur.startsWith(dQual) =>
+          // same-dir means exact equality or a path UNDER the
+          // configured dir (trailing '/' — a bare string prefix
+          // false-positived on sibling dirs like /tmp/ck vs
+          // file:/tmp/ck2/..., silently suppressing the conflict
+          // warning; ADVICE r12)
+          case Some(cur) if cur != d && cur != dQual &&
+              !cur.startsWith(d + "/") &&
+              !cur.startsWith(dQual + "/") =>
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"spark.graft.checkpointDir=$d requested but the context " +
                 s"checkpoint dir is already $cur; keeping the existing " +

@@ -60,8 +60,18 @@ object Native {
     * tier's exact-Jaccard/containment hot path, where array_intersect
     * builds a per-row hash set AND materializes the intersected array
     * just to take its size.
+    *
+    * private[graft] (ADVICE r12): the sorted/distinct/non-null
+    * precondition is deliberately UNCHECKED per-row (it is the whole
+    * point of the merge walk), so violating inputs return silently
+    * wrong counts and a null element NPEs — and Catalyst's
+    * `acceptsType` ignores element nullability, so a
+    * containsNull=false input type would not actually reject them.
+    * Interface-private keeps the unchecked contract reviewable at its
+    * only call sites (the dedup verify tiers, whose
+    * `sort_array(collect_list(...))` construction satisfies it).
     */
-  def intersectSizeSorted(a: Column, b: Column): Column =
+  private[graft] def intersectSizeSorted(a: Column, b: Column): Column =
     NativeColumn.wrap(
       SortedIntersectSizeS(NativeColumn.unwrap(a), NativeColumn.unwrap(b)))
 }

@@ -1059,19 +1059,45 @@ object DedupQueries extends QSet {
 
   /** Persist the index as a parquet artifact (build-once shape).
     * writeLshIndex DEFINES the full artifact at `path`: any
-    * tombstone table left by a previous occupant is deleted, because
+    * tombstone table left by a previous occupant is dropped, because
     * a stale tombstones.parquet would make [[loadLshIndex]] silently
     * anti-join freshly written doc_ids away (a missed-duplicate risk
     * with no error surface). Compaction gets its
-    * tombstones-are-dropped semantics from this same delete.
+    * tombstones-are-dropped semantics from this same drop.
+    *
+    * Crash posture (ADVICE r12): the whole artifact stages into a
+    * sibling `.<name>.staging` dir, then swaps in (delete old,
+    * rename). The pre-r13 order — delete tombstones, THEN overwrite
+    * the frames — had a window where a crash left the OLD artifact
+    * intact but tombstone-free: taken-down doc_ids silently
+    * resurfacing on the next load, a takedown regression with no
+    * error surface. Now a crash before the swap leaves the old
+    * artifact (tombstones included) untouched; a crash between
+    * delete and rename leaves NO artifact — a loud load failure,
+    * recoverable from the staging dir, never silent. Staging also
+    * makes SAME-PATH compaction safe: the source parquet is read in
+    * full while writing the stage, before the destination delete
+    * ([[maintainLshIndex]] relies on this).
     */
   private[graft] def writeLshIndex(idx: LshIndex, path: String): Unit = {
     val s = idx.buckets.sparkSession
-    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet")
-    val fs = tomb.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(tomb)) fs.delete(tomb, true)
-    idx.buckets.write.mode("overwrite").parquet(s"$path/buckets.parquet")
-    idx.arrs.write.mode("overwrite").parquet(s"$path/arrs.parquet")
+    val dst0 = new org.apache.hadoop.fs.Path(path)
+    val fs = dst0.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dst = fs.makeQualified(dst0)
+    val stage = new org.apache.hadoop.fs.Path(dst.getParent,
+      s".${dst.getName}.staging")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    idx.buckets.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(stage, "buckets.parquet")
+        .toString)
+    idx.arrs.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(stage, "arrs.parquet")
+        .toString)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    if (!fs.rename(stage, dst))
+      throw new java.io.IOException(
+        s"writeLshIndex: swap rename $stage -> $dst failed; the " +
+          "staged artifact is intact at the staging path")
   }
 
   /** Append newly-accepted documents to a persisted artifact: both
@@ -1129,6 +1155,31 @@ object DedupQueries extends QSet {
       val nDocs = s.read.parquet(s"$path/arrs.parquet").count()
       nDocs > 0L && nTomb.toDouble / nDocs >= tau
     }
+  }
+
+  /** The composed per-batch maintenance step for the text-LSH
+    * artifact — the twin of [[maintainCellIndex]], closing the one
+    * lifecycle asymmetry round 12 left (the cell index had its
+    * composed call; a deployment scripting the LSH firehose had to
+    * re-derive append-then-compact-at-trigger by hand). Per accepted
+    * batch: a pure parquet APPEND of the batch's per-doc rows
+    * (tombstones untouched — below the trigger the per-load
+    * anti-join stays cheaper than rewriting the corpus-sized arrs
+    * table), then, when the tombstone ratio reaches `tau`
+    * ([[shouldCompactLsh]] — metadata-only, parquet footers), an
+    * in-place compaction: tombstones applied and dropped, ratio
+    * reset. Same-path compaction is crash-safe via
+    * [[writeLshIndex]]'s stage-then-swap (the source is read in full
+    * while staging, before the destination delete). Serving
+    * ([[loadLshIndex]] → [[incrementalDedupOn]]) is identical on
+    * both sides of the compaction boundary (IndexLifecycleSpec pins
+    * it).
+    */
+  private[graft] def maintainLshIndex(s: SparkSession, path: String,
+      docs: DataFrame, tau: Double = 0.2): Unit = {
+    appendLshIndex(path, docs)
+    if (shouldCompactLsh(s, path, tau))
+      writeLshIndex(loadLshIndex(s, path), path)
   }
 
   private[graft] def loadLshIndex(s: SparkSession, path: String)
@@ -1428,7 +1479,12 @@ object DedupQueries extends QSet {
         Array[(Long, Array[Float], Double)]],
       bcRadii: org.apache.spark.broadcast.Broadcast[Map[Long, Double]],
       cellSizes: Map[Long, Long],
-      buildMeta: CellBuildMeta) {
+      buildMeta: CellBuildMeta,
+      // the build/load-time vn cache posture, recorded so maintenance
+      // (append/remove/rebuild/maintain) PRESERVES it — before r13 a
+      // persistVn=false caller's memory posture was silently lost the
+      // first time the rebuild trigger fired (ADVICE r12)
+      persistVn: Boolean = true) {
 
     /** Memoized √N-row (cell, members-array) frame the streaming kNN
       * twins join against — built and persisted ONCE per index (the
@@ -1699,7 +1755,7 @@ object DedupQueries extends QSet {
     */
   private[graft] def rebuildCellIndex(ci: CellIndex): CellIndex =
     buildCellIndexOf(ci.vn.select("vec_id", "label", "embedding"),
-      Some(ci.nVec))
+      Some(ci.nVec), persistVn = ci.persistVn)
 
   /** [[buildCellIndex]] over an arbitrary (vec_id, label, embedding)
     * corpus frame. `nVecHint`: the corpus row count when the caller
@@ -1763,7 +1819,8 @@ object DedupQueries extends QSet {
       bcCent,
       s.sparkContext.broadcast(radii),
       stats.map { case (c, (_, n)) => (c, n) },
-      CellBuildMeta(nVec, meanRadius(radii)))
+      CellBuildMeta(nVec, meanRadius(radii)),
+      persistVn)
   }
 
   /** Unweighted mean pruning radius over live cells — the drift
@@ -1857,7 +1914,7 @@ object DedupQueries extends QSet {
       s.sparkContext.broadcast(centroids),
       s.sparkContext.broadcast(radii),
       stats.map { case (c, (_, n)) => (c, n) },
-      meta)
+      meta, persistVn)
   }
 
   /** Append newly-accepted vectors to a built (or loaded) index — the
@@ -1908,10 +1965,11 @@ object DedupQueries extends QSet {
       (c, math.max(r, radii.getOrElse(c, 0.0))) }
     val mergedSizes = ci.cellSizes ++ batchStats.map { case (c, (_, n)) =>
       (c, n + ci.cellSizes.getOrElse(c, 0L)) }
-    CellIndex(ci.vn.unionByName(vnNew).persist(), ci.nVec + nNew,
+    val vnU = ci.vn.unionByName(vnNew)
+    CellIndex(if (ci.persistVn) vnU.persist() else vnU, ci.nVec + nNew,
       ci.nCells, ci.memVec.unionByName(memNew).persist(), ci.bcCent,
       s.sparkContext.broadcast(mergedRadii), mergedSizes,
-      ci.buildMeta)
+      ci.buildMeta, ci.persistVn)
   }
 
   /** The composed maintenance step a deployment actually calls per
@@ -1962,11 +2020,12 @@ object DedupQueries extends QSet {
       (c, ci.cellSizes.getOrElse(c, 0L) - n) }).filter(_._2 > 0)
     val radii2 = ci.bcRadii.value.filter { case (c, _) =>
       sizes2.contains(c) }
-    CellIndex(ci.vn.join(key, Seq("vec_id"), "left_anti").persist(),
+    val vnR = ci.vn.join(key, Seq("vec_id"), "left_anti")
+    CellIndex(if (ci.persistVn) vnR.persist() else vnR,
       ci.nVec - nGone, ci.nCells,
       ci.memVec.join(key, Seq("vec_id"), "left_anti").persist(),
       ci.bcCent, s.sparkContext.broadcast(radii2), sizes2,
-      ci.buildMeta)
+      ci.buildMeta, ci.persistVn)
   }
 
   /** The rounded pair cosine every banded operator scores with —

@@ -401,6 +401,70 @@ object KnnOpsQueries extends QSet {
       }.toDF("id1", "cell", "e1", "n1")
   }
 
+  /** One [[nprobeFor]] recommendation: the chosen probe width, the
+    * recall floor it is backed by, the scan fraction it implies, and
+    * the geometry caveat IN the result (not a log line) — callers
+    * surface it to whoever set the target.
+    */
+  final case class NprobePick(nprobe: Int, recallFloor: Double,
+      scanFraction: Double, caveat: String)
+
+  /** The pinned ISOTROPIC recall floors behind [[nprobeFor]], as
+    * (scanned-fraction, recall@5 floor) anchors: the
+    * IndexLifecycleSpec floors 0.2/0.55/0.8 at nprobe 1/8/16 of the
+    * real sf0.01 geometry's 23 live cells, measured curve
+    * 0.37/0.52/0.71/0.84/0.93 at 1/3/8/12/16 (SCALING.md Addendum
+    * 19 #6), plus the exactness anchor at full width (nprobe ≥ live
+    * cells degrades to EXACTLY knnQueryOn — also pinned). Fractions,
+    * not absolute probe counts: on isotropic geometry recall tracks
+    * the scanned fraction of the corpus, which is the honest
+    * generalization across index sizes.
+    */
+  private[graft] val IsotropicRecallAnchors: Vector[(Double, Double)] =
+    Vector((1.0 / 23, 0.2), (8.0 / 23, 0.55), (16.0 / 23, 0.8),
+      (1.0, 1.0))
+
+  /** Self-service nprobe selection for a recall target — the knob's
+    * missing inverse (the measured curve existed; a user with a
+    * target still had to read SCALING.md and pick by hand). Returns
+    * the smallest probe width whose PINNED floor reaches the target:
+    * conservative step-up to the next pinned anchor rather than
+    * linear interpolation between them, so the promise rides
+    * directly on floors the test suite enforces (monotonicity +
+    * the anchor floors), never on unpinned in-between values. The
+    * floors are the ISOTROPIC worst case — geometry with no locality
+    * for IVF probing to exploit, where recall ≈ scanned fraction is
+    * the information-theoretic floor; on clustered real-world
+    * embeddings the same nprobe overshoots the target (clustered
+    * rehearsal pin: recall ≥ 0.9 at 3 of 16 cells) — the caveat
+    * travels in the result. targetRecall 1.0 (or anything above the
+    * last sub-full anchor) returns full width, which IS the exact
+    * path's output; callers wanting the proof should call
+    * [[knnQueryOn]].
+    */
+  def nprobeFor(ci: graft.queries.DedupQueries.CellIndex,
+      targetRecall: Double): NprobePick = {
+    require(targetRecall >= 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in [0, 1], got $targetRecall")
+    val live = ci.bcRadii.value.size
+    require(live > 0, "nprobeFor needs an index with live cells")
+    val (frac, floor) = IsotropicRecallAnchors
+      .find { case (_, r) => r >= targetRecall }
+      .getOrElse(IsotropicRecallAnchors.last)
+    val np = math.min(live,
+      math.max(1, math.ceil(frac * live - 1e-9).toInt))
+    // full width is the exact path — promise 1.0 regardless of which
+    // anchor got us there (the degradation anchor is pinned)
+    val f = if (np == live) 1.0 else floor
+    NprobePick(np, f, np.toDouble / live,
+      "floor from the pinned ISOTROPIC curve (recall tracks scanned " +
+        "fraction; IVF has no locality to exploit there) — clustered " +
+        "geometry typically reaches the target at far smaller nprobe, " +
+        "and nprobe >= live cells is exactly the exact path's output")
+  }
+
+  /** See also [[nprobeFor]] for picking `nprobe` from a recall
+    * target instead of by hand. */
   def knnQueryApproxOn(ci: graft.queries.DedupQueries.CellIndex,
       queries: DataFrame, k: Int, nprobe: Int,
       wideHintCap: Long = DedupQueries.BroadcastHintMaxRows / 8)

@@ -464,8 +464,13 @@ object ABBench {
     // round-10 driver run): 5+ consecutive same-JVM samples each, to
     // separate code-side allocation pathology (would repeat here)
     // from host noise (would not)
-    val spikeSet = Seq("q_ts_anomaly", "q_tpch_q11", "q_stats_gini",
-      "q_tpch_q2")
+    // round-13 spike cluster (judge #5): the r12 driver window spiked
+    // q_ts_delta_stats 22×, q_ts_forecast_snaive 14×, q_tpch_q17 13×
+    // — they join the consecutive-sample in-process profile alongside
+    // the standing q_tpch_q19 canary. (The r11/r12 set was
+    // q_ts_anomaly / q_tpch_q11 / q_stats_gini / q_tpch_q2.)
+    val spikeSet = Seq("q_ts_delta_stats", "q_ts_forecast_snaive",
+      "q_tpch_q17", "q_tpch_q19")
     val nbOld: (SparkSession, String) => DataFrame = (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val Dec6 = DecimalType(18, 6)
@@ -689,9 +694,54 @@ object ABBench {
     val _ = (bkrNew, bkrOld, boNew, boOld)
     val tkfNew = () => DedupQueries.cosineTopKBanded(spark, sfDir, 10)
     val tkfOld = () => topkOldFloor(spark, sfDir)
+    val _ = (tkfNew, tkfOld)
+    // exp9 (round 13): everything below runs DUO ([X_A, X_B]
+    // back-to-back; read ONLY the B slot — self-warmed codegen).
+    // (a) judge #1/#8: noise adjudication of the two untouched-code
+    //     budget movers — q_dedup_near_ngram (1.94 r11-final →
+    //     2.78/2.48 in the two r12 windows) and q_rec_item_neighbors
+    //     (1.70 → 1.89/1.82) — against three duo'd window anchors
+    //     (q_tpch_q11 / q_stats_gini / q_ts_anomaly, r11-final
+    //     1.149/0.527/0.354, r12-final 0.977/0.419/0.354): anchor
+    //     ratio vs the final-bench values gives the window factor,
+    //     movers compare anchor-adjusted vs their r11 shape.
+    // (b) judge #3: duo sweep of the pre-duo adjacent-slot shipped
+    //     wins — the r10 verify-hint drops (Addendum 17 #2:
+    //     minhash_jaccard 2.46-vs-2.84, prefix_filter 2.58-vs-2.86,
+    //     components 2.87-vs-3.53) and the r11 AQE-width partitioner
+    //     (Addendum 18 #5: counted 4.10 vs flat 5.16; shipped
+    //     AQE-width 3.51 vs counted 3.54). Incumbent = defaults;
+    //     old shape via the kept toggles.
+    // (c) judge #5: spikeSet singles appended for the max-of-rounds
+    //     consecutive-sample profile.
+    def q(name: String) = () =>
+      graft.SparkEntry.queries(name)(spark, sfDir)
+    val mv9I = () => DedupQueries.minhashVerifiedPairs(spark, sfDir)
+    val mv9O = () => DedupQueries.minhashVerifiedPairs(spark, sfDir,
+      hintCands = true)
+    val pf9I = () => DedupQueries.prefixFilterPairs(spark, sfDir)
+    val pf9O = () => DedupQueries.prefixFilterPairs(spark, sfDir,
+      hintCands = true)
+    val cc9I = () => DedupQueries.componentReps(spark, sfDir)
+    val cc9H = () => DedupQueries.componentReps(spark, sfDir,
+      hintCands = true)
+    val cc9P = () => DedupQueries.componentReps(spark, sfDir,
+      countSizedParts = true)
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "tkf_newA" -> tkfNew, "tkf_newB" -> tkfNew,
-      "tkf_oldA" -> tkfOld, "tkf_oldB" -> tkfOld,
+      "an11_A" -> q("q_tpch_q11"), "an11_B" -> q("q_tpch_q11"),
+      "angi_A" -> q("q_stats_gini"), "angi_B" -> q("q_stats_gini"),
+      "anan_A" -> q("q_ts_anomaly"), "anan_B" -> q("q_ts_anomaly"),
+      "ng_A" -> q("q_dedup_near_ngram"),
+      "ng_B" -> q("q_dedup_near_ngram"),
+      "rec_A" -> q("q_rec_item_neighbors"),
+      "rec_B" -> q("q_rec_item_neighbors"),
+      "mvI_A" -> mv9I, "mvI_B" -> mv9I,
+      "mvO_A" -> mv9O, "mvO_B" -> mv9O,
+      "pfI_A" -> pf9I, "pfI_B" -> pf9I,
+      "pfO_A" -> pf9O, "pfO_B" -> pf9O,
+      "ccI_A" -> cc9I, "ccI_B" -> cc9I,
+      "ccH_A" -> cc9H, "ccH_B" -> cc9H,
+      "ccP_A" -> cc9P, "ccP_B" -> cc9P,
     ) ++ (if (sys.env.contains("AB_SPIKES")) spikeSet.map(q =>
       q -> (() => graft.SparkEntry.queries(q)(spark, sfDir))) else Nil)
     // ---- round-robin medians ----

@@ -524,6 +524,184 @@ class IndexLifecycleSpec extends AnyFunSuite
     spark.catalog.clearCache()
   }
 
+  test("maintainLshIndex: a below-trigger batch is a pure append " +
+    "(tombstones untouched); an at-trigger batch compacts IN PLACE " +
+    "(tombstones dropped, ratio reset, no staging residue); serving " +
+    "equals the from-scratch tombstone-applied build on both sides " +
+    "of the boundary") {
+    import spark.implicits._
+    import graft.queries.DedupQueries._
+    val docs = graft.engine.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text")
+    val existing = docs.filter($"doc_id" % 10 >= 1 && $"doc_id" % 10 <= 7)
+    val batch1 = docs.filter($"doc_id" % 10 === 8)
+    val batch2 = docs.filter($"doc_id" % 10 === 9)
+    val incoming = docs.filter($"doc_id" % 10 === 0)
+    val p = fixtureDir("lsh_maintain")
+    writeLshIndex(buildLshIndex(existing), p)
+    // ~1/8 of the corpus tombstoned: ratio ~0.125 < tau=0.2
+    val tomb1 = existing.filter($"doc_id" % 8 === 1).select("doc_id")
+    removeFromLshIndex(p, tomb1)
+    val nTomb1 = spark.read.parquet(s"$p/tombstones.parquet").count()
+    maintainLshIndex(spark, p, batch1)
+    // below the trigger: pure append — the tombstone table untouched
+    val tombFile = new java.io.File(s"$p/tombstones.parquet")
+    assert(tombFile.exists, "below-trigger maintain must not compact")
+    assert(spark.read.parquet(s"$p/tombstones.parquet").count()
+      == nTomb1, "below-trigger maintain must not touch tombstones")
+    assert(!shouldCompactLsh(spark, p))
+    val live1 = existing.unionByName(batch1)
+      .join(tomb1, Seq("doc_id"), "left_anti")
+    assert(rows(incrementalDedupOn(loadLshIndex(spark, p), incoming))
+      == rows(incrementalDedupOn(buildLshIndex(live1), incoming)),
+      "served-below-trigger must equal the tombstone-applied build")
+    spark.catalog.clearCache()
+    // two more eighths tombstoned: ratio crosses tau
+    val tomb23 = existing
+      .filter($"doc_id" % 8 === 3 || $"doc_id" % 8 === 5)
+      .select("doc_id")
+    removeFromLshIndex(p, tomb23)
+    assert(shouldCompactLsh(spark, p))
+    maintainLshIndex(spark, p, batch2)
+    // at the trigger: compacted in place — tombstones dropped, ratio
+    // reset, and the stage-then-swap leaves no residue
+    assert(!tombFile.exists,
+      "at-trigger maintain must compact (tombstones dropped)")
+    assert(!shouldCompactLsh(spark, p))
+    val stage = new java.io.File(
+      new java.io.File(p).getParentFile,
+      s".${new java.io.File(p).getName}.staging")
+    assert(!stage.exists, s"staging residue left at $stage")
+    val live2 = existing.unionByName(batch1).unionByName(batch2)
+      .join(tomb1.unionByName(tomb23), Seq("doc_id"), "left_anti")
+    assert(rows(incrementalDedupOn(loadLshIndex(spark, p), incoming))
+      == rows(incrementalDedupOn(buildLshIndex(live2), incoming)),
+      "served-after-compaction must equal the tombstone-applied build")
+    spark.catalog.clearCache()
+  }
+
+  test("maintenance preserves the vn cache posture (ADVICE r12): a " +
+    "persistVn=false index stays uncached through append, remove, " +
+    "load, and a trigger-fired rebuild; the default stays cached") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    import graft.queries.DedupQueries
+    val full = graft.engine.Tables.t(spark, sf, "embeddings")
+    val base = fixtureDir("cell_posture_base")
+    full.filter($"vec_id" % 4 === 0)
+      .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    val ci = DedupQueries.buildCellIndex(spark, base, persistVn = false)
+    assert(!ci.persistVn && ci.vn.storageLevel == StorageLevel.NONE)
+    // append below the trigger: the union must not persist either
+    val appended = DedupQueries.appendToCellIndex(ci,
+      full.filter($"vec_id" % 16 === 1)
+        .select("vec_id", "label", "embedding"))
+    assert(!appended.persistVn &&
+      appended.vn.storageLevel == StorageLevel.NONE)
+    // removal: same
+    val removed = DedupQueries.removeFromCellIndex(ci,
+      ci.memVec.select("vec_id").limit(3))
+    assert(!removed.persistVn &&
+      removed.vn.storageLevel == StorageLevel.NONE)
+    // trigger-fired rebuild via the composed step: before r13 this
+    // silently re-persisted vn (rebuild ignored the caller's posture)
+    val grown = DedupQueries.maintainCellIndex(ci,
+      full.filter($"vec_id" % 4 =!= 0)
+        .select("vec_id", "label", "embedding"))
+    assert(grown.nCells > ci.nCells, "the 2x trigger must have fired")
+    assert(!grown.persistVn &&
+      grown.vn.storageLevel == StorageLevel.NONE,
+      "rebuild must preserve the build-time persistVn=false posture")
+    // artifact round-trip records the load-time posture
+    val p = fixtureDir("cell_posture_idx")
+    DedupQueries.writeCellIndex(ci, p)
+    spark.catalog.clearCache()
+    val lf = DedupQueries.loadCellIndex(spark, p, persistVn = false)
+    assert(!lf.persistVn && lf.vn.storageLevel == StorageLevel.NONE)
+    spark.catalog.clearCache()
+    // and the cached default is unchanged
+    val cip = DedupQueries.buildCellIndex(spark, base)
+    assert(cip.persistVn &&
+      cip.vn.storageLevel != StorageLevel.NONE)
+    spark.catalog.clearCache()
+  }
+
+  test("nprobeFor: the conservative selector meets its target on the " +
+    "REAL isotropic geometry, overshoots on clustered geometry, is " +
+    "monotone in the target, hits the exact path at 1.0, and " +
+    "surfaces the isotropic caveat in the result") {
+    import spark.implicits._
+    import graft.queries.{DedupQueries, KnnOpsQueries}
+    val dir = "/root/testdata/sf0.01"
+    val ci = DedupQueries.buildCellIndex(spark, dir)
+    val q = graft.engine.Tables.t(spark, dir, "embeddings")
+      .filter($"vec_id" % 5 === 0)
+      .select(($"vec_id" + 100000000L).as("vec_id"), $"embedding")
+    val exact = KnnOpsQueries.knnQueryOn(ci, q, 5)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(np: Int): Double = {
+      val got = KnnOpsQueries.knnQueryApproxOn(ci, q, 5, np)
+        .select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    for (target <- Seq(0.5, 0.75)) {
+      val pick = KnnOpsQueries.nprobeFor(ci, target)
+      assert(pick.recallFloor >= target,
+        s"promised floor ${pick.recallFloor} below target $target")
+      assert(recallAt(pick.nprobe) >= target,
+        s"measured recall at nprobe=${pick.nprobe} below $target")
+      assert(pick.caveat.toLowerCase.contains("isotropic"),
+        "the geometry caveat must travel in the result")
+      assert(pick.scanFraction ==
+        pick.nprobe.toDouble / ci.bcRadii.value.size)
+    }
+    // monotone in the target
+    val picks = Seq(0.1, 0.5, 0.75, 1.0)
+      .map(KnnOpsQueries.nprobeFor(ci, _).nprobe)
+    assert(picks == picks.sorted, s"picks not monotone: $picks")
+    // target 1.0 = full width = EXACTLY the exact path
+    val full = KnnOpsQueries.nprobeFor(ci, 1.0)
+    assert(full.nprobe == ci.bcRadii.value.size &&
+      full.recallFloor == 1.0 && full.scanFraction == 1.0)
+    assert(rows(KnnOpsQueries.knnQueryApproxOn(ci, q, 5, full.nprobe)
+        .orderBy("qid", "rank"))
+      == rows(KnnOpsQueries.knnQueryOn(ci, q, 5).orderBy("qid", "rank")))
+    spark.catalog.clearCache()
+    // clustered geometry (the knn_approx fixture recipe): the same
+    // conservative pick OVERSHOOTS — the floors are the isotropic
+    // worst case
+    val dim = 64
+    val cdir = fixtureDir("nprobe_clustered")
+    (0L until 600L).map { id =>
+      val c = (id % 3).toInt
+      val e = Array.tabulate(dim) { j =>
+        val base = if (j == c * 21) 1.0f else 0.0f
+        base + (((id * 31 + j * 17) % 7) - 3).toFloat * 0.02f
+      }
+      (id, e.toSeq, c)
+    }.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "cast(embedding as array<float>) embedding",
+        "cast(label as int) label")
+      .write.mode("overwrite").parquet(s"$cdir/embeddings.parquet")
+    val cic = DedupQueries.buildCellIndex(spark, cdir)
+    val cq = graft.engine.Tables.t(spark, cdir, "embeddings").limit(40)
+      .selectExpr("vec_id + 100000 AS vec_id", "embedding")
+    val cExact = KnnOpsQueries.knnQueryOn(cic, cq, 5)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val cPick = KnnOpsQueries.nprobeFor(cic, 0.5)
+    val cGot = KnnOpsQueries.knnQueryApproxOn(cic, cq, 5, cPick.nprobe)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cRecall = cExact.intersect(cGot).size.toDouble / cExact.size
+    assert(cRecall >= 0.9,
+      s"clustered geometry should overshoot a 0.5 target: $cRecall")
+    spark.catalog.clearCache()
+  }
+
   test("scoped serving release: repeated serve batches return the " +
     "cache registry to the index-only baseline; the members frame " +
     "is memoized per index and released by unpersist") {
