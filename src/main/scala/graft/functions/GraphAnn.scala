@@ -58,6 +58,14 @@ import org.apache.spark.sql.functions._
   * shuffles at most the (bounded) frontier; the embedding payload
   * rides only linear-sized frames (corpus, adjacency, frontier), never
   * a pair-sized one.
+  *
+  * No streaming twin, deliberately: every beam hop ends in a
+  * per-query truncation (an aggregation over the query key), which is
+  * stream-illegal mid-pipeline, and folding the whole walk into
+  * per-query state would need the data-sized adjacency inside the
+  * state function. Streaming latency-bounded serving is the IVF
+  * twin's job (StreamTransforms.knnQueryApproxStream); this path is
+  * the batch retrieval option.
   */
 object GraphAnn {
 
