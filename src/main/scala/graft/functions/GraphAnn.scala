@@ -298,6 +298,45 @@ object GraphAnn {
       .filter(col("rnk") <= beam)
       .select("qid", "eq", "nq", "w", "cos")
 
+  /** Persist the kNN-graph artifact — skinny (qid, nid, cos) edges;
+    * vectors stay in the corpus table (the adjacency is the only
+    * state the serve path needs beyond it). Same build-once shape as
+    * writeCellIndex / writeLshIndex. */
+  def writeKnnGraph(adj: DataFrame, path: String): Unit =
+    adj.select("qid", "nid", "cos")
+      .write.mode("overwrite").parquet(s"$path/edges.parquet")
+
+  def loadKnnGraph(s: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    s.read.parquet(s"$path/edges.parquet")
+
+  /** Append maintenance — the graph twin of appendToCellIndex /
+    * appendLshIndex: each INCOMING vector gets its beam-searched
+    * top-k against the EXISTING graph as out-edges (exact scores,
+    * bounded work — the serve path doubles as the insert path, the
+    * NSW construction idea), and existing vertices' adjacency is
+    * untouched. The undirected serve still reaches incoming vectors
+    * from the existing side through their REVERSE edges, so the
+    * appended graph is navigable both ways; what degrades gradually
+    * is edge OPTIMALITY for existing vertices whose true kNN now
+    * includes incoming ids — the same weakens-never-breaks posture
+    * as the cell index's frozen geometry, with the same response:
+    * rebuild ([[buildKnnGraph]] on the union corpus) when the
+    * appended fraction stops being small (the cell index's 2× line
+    * is the right default here too). Serve appended graphs with the
+    * UNION corpus frame (incoming vectors must be attachable as
+    * endpoints). Caller owns id uniqueness.
+    */
+  def appendToKnnGraph(adj: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, incoming: DataFrame, k: Int,
+      beam: Int = 16, hops: Int = 3, entries: Int = 8): DataFrame =
+    adj.select("qid", "nid", "cos").unionByName(
+      knnQueryGraphOn(adj, corpus, idCol, vecCol,
+        incoming.select(col(idCol).as("vec_id"),
+          col(vecCol).as("embedding")),
+        k, beam, hops, entries)
+        .select(col("qid"), col("vec_id").as("nid"), col("cos")))
+
   /** Approximate global top-k closest pairs from a built graph: the
     * best `k` distinct undirected edges of the adjacency itself (the
     * graph's edges ARE its best-pair estimates). Canonical (id1 <

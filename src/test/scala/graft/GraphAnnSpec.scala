@@ -204,6 +204,69 @@ class GraphAnnSpec extends AnyFunSuite
     spark.catalog.clearCache()
   }
 
+  test("kNN-graph lifecycle: the artifact round-trips byte-identically " +
+    "into serving; an append-maintained graph serves the union corpus " +
+    "with high recall and reaches incoming vectors from both sides") {
+    import spark.implicits._
+    import graft.functions.{GraphAnn, Native}
+    import org.apache.spark.sql.expressions.Window
+    val mdir = manifoldDir()
+    val full = graft.engine.Tables.t(spark, mdir, "embeddings")
+    val existing = full.filter($"vec_id" % 5 =!= 0)
+    val incoming = full.filter($"vec_id" % 5 === 0)
+    val adj = GraphAnn.buildKnnGraph(existing, "vec_id", "embedding",
+      k = 8, iters = 3).persist()
+    val q = full.limit(40)
+      .selectExpr("vec_id + 100000 AS vec_id", "embedding")
+    val servedBuilt = rows(GraphAnn.knnQueryGraphOn(adj, existing,
+      "vec_id", "embedding", q, k = 5))
+    // artifact round-trip: loaded edges serve identically
+    val p = fixtureDir("knn_graph_artifact")
+    GraphAnn.writeKnnGraph(adj, p)
+    assert(rows(GraphAnn.knnQueryGraphOn(
+        GraphAnn.loadKnnGraph(spark, p), existing,
+        "vec_id", "embedding", q, k = 5)) == servedBuilt)
+    // append maintenance: incoming vectors get beam-searched edges;
+    // serve the UNION corpus over the appended graph
+    val appended = GraphAnn.appendToKnnGraph(adj, existing,
+      "vec_id", "embedding", incoming, k = 8).persist()
+    assert(appended.count() > adj.count(),
+      "append must add the incoming vertices' edges")
+    val got = GraphAnn.knnQueryGraphOn(appended, full, "vec_id",
+        "embedding", q, k = 5, beam = 16, hops = 3, entries = 8)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vn = full.select(col("vec_id").as("nid"),
+      col("embedding").as("e2"),
+      Native.l2NormF(col("embedding")).as("n2"))
+    val exact = q.select(col("vec_id").as("qid"),
+        col("embedding").as("e1"),
+        Native.l2NormF(col("embedding")).as("n1"))
+      .crossJoin(vn)
+      .select(col("qid"), col("nid"),
+        round(Native.dotF(col("e1"), col("e2")) /
+          (col("n1") * col("n2")), 4).as("cos"))
+      .withColumn("rk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rk") <= 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.85,
+      s"appended-graph union recall too low: $recall")
+    // incoming vectors are REACHED (their only edges are their own
+    // out-edges — the undirected serve walks them in reverse): the
+    // union ground truth necessarily contains incoming ids as
+    // neighbours of queries near them, so high recall above already
+    // implies reachability; assert it explicitly anyway
+    val incomingIds = incoming.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got.exists { case (_, nid) => incomingIds.contains(nid) },
+      "served neighbours must include incoming vectors")
+    appended.unpersist(); adj.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("beam search on the manifold reaches recall >= 0.95; on the " +
     "graded ISOTROPIC geometry it sits near the scanned-fraction " +
     "floor like every other method (honesty pin)") {
