@@ -727,7 +727,25 @@ object ABBench {
       hintCands = true)
     val cc9P = () => DedupQueries.componentReps(spark, sfDir,
       countSizedParts = true)
-    val variants: Seq[(String, () => DataFrame)] = Seq(
+    // AB_EXP=ng2: the SECOND ng window (judge #1 needs min-of-windows
+    // — the first exp9 window ran the whole dedup family 1.25-1.42x
+    // its r12 duo medians, so a single window cannot adjudicate).
+    // Focused: anchors + the two movers + mv/cc as untouched
+    // heavy-family references with r12 duo baselines (2.16-2.25 /
+    // 2.41-2.43).
+    val ng2: Seq[(String, () => DataFrame)] = Seq(
+      "an11_A" -> q("q_tpch_q11"), "an11_B" -> q("q_tpch_q11"),
+      "angi_A" -> q("q_stats_gini"), "angi_B" -> q("q_stats_gini"),
+      "anan_A" -> q("q_ts_anomaly"), "anan_B" -> q("q_ts_anomaly"),
+      "ng_A" -> q("q_dedup_near_ngram"),
+      "ng_B" -> q("q_dedup_near_ngram"),
+      "rec_A" -> q("q_rec_item_neighbors"),
+      "rec_B" -> q("q_rec_item_neighbors"),
+      "mvI_A" -> mv9I, "mvI_B" -> mv9I,
+      "ccI_A" -> cc9I, "ccI_B" -> cc9I,
+    )
+    val variants: Seq[(String, () => DataFrame)] =
+      (if (sys.env.get("AB_EXP").contains("ng2")) ng2 else Seq(
       "an11_A" -> q("q_tpch_q11"), "an11_B" -> q("q_tpch_q11"),
       "angi_A" -> q("q_stats_gini"), "angi_B" -> q("q_stats_gini"),
       "anan_A" -> q("q_ts_anomaly"), "anan_B" -> q("q_ts_anomaly"),
@@ -742,7 +760,7 @@ object ABBench {
       "ccI_A" -> cc9I, "ccI_B" -> cc9I,
       "ccH_A" -> cc9H, "ccH_B" -> cc9H,
       "ccP_A" -> cc9P, "ccP_B" -> cc9P,
-    ) ++ (if (sys.env.contains("AB_SPIKES")) spikeSet.map(q =>
+    )) ++ (if (sys.env.contains("AB_SPIKES")) spikeSet.map(q =>
       q -> (() => graft.SparkEntry.queries(q)(spark, sfDir))) else Nil)
     // ---- round-robin medians ----
     val rounds = args.headOption.map(_.toInt).getOrElse(5)
