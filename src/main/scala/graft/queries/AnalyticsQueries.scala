@@ -241,44 +241,9 @@ object AnalyticsQueries extends QSet {
         .orderBy("user_id", "day")
     }),
 
-    // Bigram LM quality scoring: corpus-trained CONDITIONAL logprobs
-    // ln(c(w1 w2)/c(w1 ·)) — the n-gram step up from q_quality_lm's
-    // unigram model (fluency scoring reacts to word ORDER, not just
-    // vocabulary). Same exactness recipe: per-bigram ln rounds 6dp,
-    // decimal-izes BEFORE the per-doc sum. The bigram table is
-    // vocab²-bounded and joins by (w1, w2) hash — no broadcast
-    // assumption, so a 100 TB corpus's model table still flows.
-    "q_quality_lm2" -> ((s, dir) => {
-      val big = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .filter(size(col("tk")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(tk) - 2), " +
-            "i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      // c(w1 ·) = Σ_w2 c(w1 w2) EXACTLY — rolling the unigram margin up
-      // from the bigram table instead of re-counting saves a full
-      // corpus explode pass (model build is ONE scan, not two; the
-      // rollup input is vocab²-bounded, not corpus-sized)
-      val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
-      val lp = c12.join(c1, "w1")
-        .select(col("w1"), col("w2"),
-          round(log(col("c12").cast(DoubleType) / col("c1")), 6)
-            .as("logp"))
-      big.join(lp, Seq("w1", "w2"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_big"),
-          sum(col("logp").cast(DecimalType(18, 8))).as("sum_lp"))
-        // no final rounding: the exact-decimal sum converts through its
-        // digit string and ONE double division is bit-identical on both
-        // engines — a cosmetic round(.,4) here hit a half-way case at
-        // sf0.1 (sum/count CAN land on the 4dp half grid; cf. pagerank)
-        .select(col("doc_id"), col("n_big"),
-          (col("sum_lp").cast(DecimalType(28, 8)).cast(StringType)
-            .cast(DoubleType) / col("n_big")).as("avg_logp"))
-        .orderBy("doc_id")
-    }),
+    // Bigram LM quality scoring — see [[qualityLm2]] below for the
+    // full shape/exactness/scale documentation.
+    "q_quality_lm2" -> ((s, dir) => qualityLm2(s, dir)),
 
     // Scalar int8 quantization of the embedding corpus with per-vector
     // reconstruction error (the vector-index compression step): per-dim
@@ -550,6 +515,61 @@ object AnalyticsQueries extends QSet {
         .orderBy("event_type")
     })
   )
+
+  /** The declared q_quality_lm2 body.
+    *
+    * Bigram LM quality scoring: corpus-trained CONDITIONAL logprobs
+    * ln(c(w1 w2)/c(w1 ·)) — the n-gram step up from q_quality_lm's
+    * unigram model (fluency scoring reacts to word ORDER, not just
+    * vocabulary). Same exactness recipe: per-bigram ln rounds 6dp,
+    * decimal-izes BEFORE the per-doc sum. The bigram table is
+    * vocab²-bounded and joins by (w1, w2) hash — no broadcast
+    * assumption, so a 100 TB corpus's model table still flows.
+    *
+    * `cutModel` (r13 optimization round) cuts lineage at the bigram
+    * count table `c12`: it has two consumers (the conditional-
+    * probability join's numerator and the unigram-margin rollup `c1`),
+    * each of which otherwise re-derives the corpus bigram explode —
+    * 3 parquet scans of `documents` in the uncut plan
+    * (plans/r13/q_quality_lm2_before.txt) vs 2 after. The cut frame is
+    * the MODEL (vocab²-bounded, the same boundedness the doc above
+    * already claims for the join) — never the per-doc bigram stream.
+    * Duo A/B at sf0.1 (7 rounds, B slots): 1.18 s cut vs 1.32 uncut
+    * (-11%) — adopted as the default (OPTIMIZATION_r13.md).
+    */
+  private[graft] def qualityLm2(s: org.apache.spark.sql.SparkSession,
+      dir: String, cutModel: Boolean = true): DataFrame = {
+    val big = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12raw = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c12 = if (cutModel) cutLineage(c12raw) else c12raw
+    // c(w1 ·) = Σ_w2 c(w1 w2) EXACTLY — rolling the unigram margin up
+    // from the bigram table instead of re-counting saves a full
+    // corpus explode pass (model build is ONE scan, not two; the
+    // rollup input is vocab²-bounded, not corpus-sized)
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val lp = c12.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        round(log(col("c12").cast(DoubleType) / col("c1")), 6)
+          .as("logp"))
+    big.join(lp, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_big"),
+        sum(col("logp").cast(DecimalType(18, 8))).as("sum_lp"))
+      // no final rounding: the exact-decimal sum converts through its
+      // digit string and ONE double division is bit-identical on both
+      // engines — a cosmetic round(.,4) here hit a half-way case at
+      // sf0.1 (sum/count CAN land on the 4dp half grid; cf. pagerank)
+      .select(col("doc_id"), col("n_big"),
+        (col("sum_lp").cast(DecimalType(28, 8)).cast(StringType)
+          .cast(DoubleType) / col("n_big")).as("avg_logp"))
+      .orderBy("doc_id")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_profile_table" ->

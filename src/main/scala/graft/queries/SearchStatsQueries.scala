@@ -212,7 +212,26 @@ object SearchStatsQueries extends QSet {
     // not corpus-bound). Per-term logs are round(ln,6) summed as exact
     // DECIMAL(18,6) (order-free merge); argmax is a doc-partitioned
     // window with a class tie-break.
-    "q_ml_naive_bayes" -> ((s, dir) => {
+    "q_ml_naive_bayes" -> ((s, dir) => naiveBayes(s, dir))
+  )
+
+  /** The declared q_ml_naive_bayes body. `cutModel` (r13 optimization
+    * round) cuts lineage at the 5-ROW class-stats frame `cls5`: it has
+    * TWO consumers (the model's smoothing constants and the final
+    * logprior join), each of which otherwise re-derives its three
+    * corpus aggregates — 9 parquet scans of `documents` in the uncut
+    * plan (plans/r13/q_ml_naive_bayes_before.txt, zero exchange reuse)
+    * vs 6 after the cut. This is NOT the r11-rejected grid restructure
+    * (which persisted the corpus-keyed (term, class) grid and lost —
+    * see the comment below); the cut frame here is 5 rows. Duo A/B at
+    * sf0.1 (7 rounds, B slots): 2.08 s cut vs 2.11 uncut — a TIMING
+    * TIE at fixture scale (the saved explode passes are cheap here),
+    * adopted on the structural argument: three fewer corpus-sized
+    * passes in the plan at any scale, for one extra 5-row job
+    * (OPTIMIZATION_r13.md).
+    */
+  private[graft] def naiveBayes(s: org.apache.spark.sql.SparkSession,
+      dir: String, cutModel: Boolean = true): DataFrame = {
       val Dec6 = DecimalType(18, 6)
       val docs = t(s, dir, "documents")
       val train = docs.filter(col("doc_id") % 5 =!= 0)
@@ -232,11 +251,12 @@ object SearchStatsQueries extends QSet {
       val vc = ttoks.agg(countDistinct(col("term")).as("v"))
       val all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
-      val cls5 = cls.join(nd, "lang")
+      val cls5raw = cls.join(nd, "lang")
         .withColumn("n_train", sum(col("n_docs_l")).over(all))
         .crossJoin(broadcast(vc))
         .withColumn("logprior", round(log(
           col("n_docs_l").cast(DoubleType) / col("n_train")), 6))
+      val cls5 = if (cutModel) cutLineage(cls5raw) else cls5raw
       val cnt = ttoks.groupBy("term", "lang").agg(count(lit(1)).as("c"))
       val logp = ttoks.select("term").distinct()
         .crossJoin(broadcast(cls5.select("lang", "tot_l", "v")))
@@ -260,8 +280,7 @@ object SearchStatsQueries extends QSet {
           col("lang").as("lang_pred"),
           col("score").cast(StringType).cast(DoubleType).as("score"))
         .orderBy("doc_id")
-    })
-  )
+  }
 
   val oracle: Map[String, String] = Map(
     // brute force is semantics-equal: cell = R with ±1 neighbors covers

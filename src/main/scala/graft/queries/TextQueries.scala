@@ -220,14 +220,7 @@ object TextQueries extends QSet {
     // vocabulary-sized aggregate (the corpus collapses to distinct
     // words × freq first — the WordPiece/BPE trainer's standard
     // compression), each merge a 1-row broadcast onto the vocab.
-    "q_text_bpe_train" -> ((s, dir) => {
-      val (b1, b2, b3, _) = bpePipeline(s, dir)
-      def row(step: Long, b: org.apache.spark.sql.DataFrame) =
-        b.select(lit(step).as("step"), col("w1").as("lhs"),
-          col("w2").as("rhs"), col("cnt"))
-      row(1L, b1).unionAll(row(2L, b2)).unionAll(row(3L, b3))
-        .orderBy("step")
-    }),
+    "q_text_bpe_train" -> ((s, dir) => bpeTrain(s, dir)),
 
     // BPE ENCODE with the learned merges: the per-word token counts
     // after 3 merges live in a VOCAB-sized table (the trained
@@ -235,21 +228,7 @@ object TextQueries extends QSet {
     // document word stream against it — never per-document retraining.
     // Output: per-document whitespace vs BPE token counts + the
     // compression ratio (one exact-int IEEE division).
-    "q_text_bpe_encode" -> ((s, dir) => {
-      val (_, _, _, e3) = bpePipeline(s, dir)
-      val vocab = e3.select(col("w"),
-        size(expr("split(trim(toks), '  ')")).cast("long").as("n_tok"))
-      t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .join(vocab, "w") // vocab-sized build side; AQE broadcasts it
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("ws_tokens"), sum(col("n_tok")).as("bpe_tokens"))
-        .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
-          (col("bpe_tokens").cast(DoubleType) / col("ws_tokens"))
-            .as("compression"))
-        .orderBy("doc_id")
-    }),
+    "q_text_bpe_encode" -> ((s, dir) => bpeEncode(s, dir)),
 
     "q_text_token_count" -> ((s, dir) => {
       // Whitespace tokens vs BPE-ish regex tokens (word / number /
@@ -351,14 +330,27 @@ object TextQueries extends QSet {
     * final merged vocabulary state e3 = (w, freq, toks)). Shared by
     * train (emits the merges) and encode (joins the corpus against the
     * per-word token counts of e3). */
-  private def bpePipeline(s: SparkSession, dir: String)
+  private[graft] def bpePipeline(s: SparkSession, dir: String,
+      cutSteps: Boolean = true)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val words = t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    val e0 = words.withColumn("toks",
-      concat(lit(" "), concat_ws("  ", split(col("w"), "")), lit(" ")))
+    // r13 optimization round: each unrolled merge step consumes its
+    // predecessor TWICE (bestPair + merge), so the uncut 3-step plan
+    // re-derives the corpus word aggregate 8× (9 parquet scans counted
+    // in plans/r13/q_text_bpe_encode_before.txt, zero exchange reuse)
+    // and AQE re-optimizes the whole prefix at every stage. cutSteps
+    // cuts lineage at each VOCAB-sized step frame (distinct words × a
+    // short token string — bounded by vocabulary, never corpus-sized;
+    // the kmeans centroid-frame precedent), leaving exactly ONE corpus
+    // pass + 3 vocab-sized step jobs. Duo A/B at sf0.1 (7 rounds,
+    // B slots): encode 1.37 s cut vs 2.13 uncut (-36%), train 0.96 vs
+    // 1.28 (-26%) — adopted as the default (OPTIMIZATION_r13.md).
+    def cut(df: DataFrame) = if (cutSteps) cutLineage(df) else df
+    val e0 = cut(words.withColumn("toks",
+      concat(lit(" "), concat_ws("  ", split(col("w"), "")), lit(" "))))
     def bestPair(e: DataFrame) =
       e.select(col("freq"), expr("split(trim(toks), '  ')").as("tk"))
         .filter(size(col("tk")) >= 2)
@@ -375,10 +367,41 @@ object TextQueries extends QSet {
           "replace(toks, concat(' ', bw1, '  ', bw2, ' '), " +
             "concat(' ', bw1, bw2, ' '))"))
         .drop("bw1", "bw2")
-    val b1 = bestPair(e0); val e1 = merge(e0, b1)
-    val b2 = bestPair(e1); val e2 = merge(e1, b2)
+    val b1 = bestPair(e0); val e1 = cut(merge(e0, b1))
+    val b2 = bestPair(e1); val e2 = cut(merge(e1, b2))
     val b3 = bestPair(e2); val e3 = merge(e2, b3)
     (b1, b2, b3, e3)
+  }
+
+  /** The declared q_text_bpe_train body (toggle passthrough for the
+    * r13 optimization A/B). */
+  private[graft] def bpeTrain(s: SparkSession, dir: String,
+      cutSteps: Boolean = true): DataFrame = {
+    val (b1, b2, b3, _) = bpePipeline(s, dir, cutSteps)
+    def row(step: Long, b: DataFrame) =
+      b.select(lit(step).as("step"), col("w1").as("lhs"),
+        col("w2").as("rhs"), col("cnt"))
+    row(1L, b1).unionAll(row(2L, b2)).unionAll(row(3L, b3))
+      .orderBy("step")
+  }
+
+  /** The declared q_text_bpe_encode body (toggle passthrough for the
+    * r13 optimization A/B). */
+  private[graft] def bpeEncode(s: SparkSession, dir: String,
+      cutSteps: Boolean = true): DataFrame = {
+    val (_, _, _, e3) = bpePipeline(s, dir, cutSteps)
+    val vocab = e3.select(col("w"),
+      size(expr("split(trim(toks), '  ')")).cast("long").as("n_tok"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(vocab, "w") // vocab-sized build side; AQE broadcasts it
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ws_tokens"), sum(col("n_tok")).as("bpe_tokens"))
+      .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+        (col("bpe_tokens").cast(DoubleType) / col("ws_tokens"))
+          .as("compression"))
+      .orderBy("doc_id")
   }
 
   /** One BPE iteration as SQL CTEs (pair count → argmax → merge). */

@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Round-13 optimization sweep helper: one summary line per named
+  * query — Exchange count, join operators, codegen spans, scan columns
+  * — so the expensive tail can be audited for structural levers
+  * (guide §7.2) without reading 600-line plans one by one. Scratch
+  * tool, not part of the driver contract.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { k =>
+      try {
+        val plan = graft.SparkEntry.queries(k)(spark, sfDir)
+          .queryExecution.explainString(FormattedMode)
+        // the formatted output lists the operator tree first, then a
+        // numbered details section; counting "(n) Op" detail headers
+        // counts each operator exactly once
+        def n(op: String) =
+          ("""\(\d+\) """ + op + """\b""").r.findAllIn(plan).length
+        val joins = Seq("BroadcastHashJoin", "SortMergeJoin",
+          "ShuffledHashJoin", "BroadcastNestedLoopJoin",
+          "CartesianProduct").map(j => j -> n(j))
+          .filter(_._2 > 0)
+          .map { case (j, c) => s"${j.replaceAll("[a-z]", "")}=$c" }
+          .mkString(",")
+        println(f"$k%-32s ex=${n("Exchange")}%2d wsc=${n("WholeStageCodegen")}%2d " +
+          f"win=${n("Window")}%2d sort=${n("Sort")}%2d agg=${n("HashAggregate") + n("ObjectHashAggregate") + n("SortAggregate")}%2d " +
+          s"joins[$joins]")
+      } catch { case e: Throwable =>
+        println(s"$k AUDIT FAILED: ${e.getMessage.take(80)}")
+      }
+    }
+    spark.stop()
+  }
+}

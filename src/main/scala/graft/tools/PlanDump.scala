@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import java.nio.file.{Files, Paths}
+
+/** Round-13 optimization artifact dumper: writes
+  * `plans/r13/<query>_<suffix>.txt` (explain("formatted")) for the
+  * named queries — the before/after plan evidence the optimization
+  * round commits alongside the A/B numbers. Not part of the driver
+  * contract. Usage:
+  *   sbt "runMain graft.tools.PlanDump before q_ml_naive_bayes ..."
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val suffix = args.headOption.getOrElse("before")
+    val names = args.drop(1)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get("plans/r13"))
+    // GRAFT_PLANDUMP_UNCUT=1: dump the PRE-round-13 shape of the four
+    // lineage-cut queries via their uncut toggles (the toggle is the
+    // old shape bit-for-bit), so before/after plans stay regenerable
+    // from HEAD.
+    val uncut = sys.env.get("GRAFT_PLANDUMP_UNCUT").contains("1")
+    def frame(k: String) =
+      if (!uncut) graft.SparkEntry.queries(k)(spark, sfDir)
+      else k match {
+        case "q_text_bpe_encode" =>
+          graft.queries.TextQueries.bpeEncode(spark, sfDir, cutSteps = false)
+        case "q_text_bpe_train" =>
+          graft.queries.TextQueries.bpeTrain(spark, sfDir, cutSteps = false)
+        case "q_ml_naive_bayes" =>
+          graft.queries.SearchStatsQueries
+            .naiveBayes(spark, sfDir, cutModel = false)
+        case "q_quality_lm2" =>
+          graft.queries.AnalyticsQueries
+            .qualityLm2(spark, sfDir, cutModel = false)
+        case other => graft.SparkEntry.queries(other)(spark, sfDir)
+      }
+    names.foreach { k =>
+      val plan = frame(k).queryExecution.explainString(FormattedMode)
+      Files.writeString(Paths.get(s"plans/r13/${k}_$suffix.txt"),
+        s"== $k ($suffix) — $sfDir, local[$cpus], " +
+          s"shuffle.partitions=$cpus ==\n\n" + plan)
+      println(s"wrote plans/r13/${k}_$suffix.txt")
+    }
+    spark.stop()
+  }
+}
