@@ -30,20 +30,7 @@ object AuditOpsQueries extends QSet {
     // fixed relaxation depth is exactly what a SQL engine should unroll,
     // the q_text_bpe_train precedent). Each round is one edge-keyed
     // equi-join + min-aggregate; the frontier frame is vertex-bounded.
-    "q_graph_bellman3" -> ((s, dir) => {
-      val edges = AnalyticsQueries.prEdges(s, dir)
-        .withColumn("w", w(col("src"), col("dst")))
-      var dist = edges.select(col("src").as("node"))
-        .filter(col("node") <= 3L).distinct()
-        .withColumn("dist", lit(0L))
-      for (_ <- 1 to 3) {
-        val relaxed = edges.join(dist, col("src") === col("node"))
-          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-        dist = dist.unionAll(relaxed)
-          .groupBy("node").agg(min(col("dist")).as("dist"))
-      }
-      dist.orderBy("node")
-    }),
+    "q_graph_bellman3" -> ((s, dir) => bellman3(s, dir)),
 
     // Rapid-repeat-order audit: same customer placing orders within 2
     // days — the possible-duplicate-submission screen an AP team
@@ -105,6 +92,38 @@ object AuditOpsQueries extends QSet {
         .orderBy("day")
     })
   )
+
+  /** The declared q_graph_bellman3 body. Each unrolled relaxation round
+    * consumes the previous distance frame TWICE (the edge join and the
+    * union), so the uncut 3-round plan re-derives every earlier round's
+    * subtree — 15 edge-table scans counted in the r13 plan audit
+    * (plans/r13/q_graph_bellman3_before.txt). `cutIters` cuts lineage
+    * at the VERTEX-BOUNDED distance frame after every round (the
+    * componentReps / kmeans iterative precedent), leaving one edge scan
+    * per round. Duo A/B at sf0.1 (7 rounds, B slots): cut 0.77 s vs
+    * uncut 0.62 — the cut LOSES 25% at fixture scale (the eager
+    * checkpoint's materialization barrier costs more than the
+    * duplicated sub-second subtrees), so the incumbent stays the
+    * default. The toggle is kept for deployments whose edge table is
+    * large enough to flip the trade: with cutIters the plan's 15 edge
+    * scans become 3 (plans/r13/q_graph_bellman3_*.txt).
+    */
+  private[graft] def bellman3(s: org.apache.spark.sql.SparkSession,
+      dir: String, cutIters: Boolean = false): DataFrame = {
+    val edges = AnalyticsQueries.prEdges(s, dir)
+      .withColumn("w", w(col("src"), col("dst")))
+    var dist = edges.select(col("src").as("node"))
+      .filter(col("node") <= 3L).distinct()
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to 3) {
+      val relaxed = edges.join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionAll(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+      dist = if (cutIters) cutLineage(next) else next
+    }
+    dist.orderBy("node")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_graph_bellman3" ->

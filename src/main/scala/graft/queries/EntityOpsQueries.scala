@@ -25,47 +25,7 @@ object EntityOpsQueries extends QSet {
     // recall/cost trade and this query's DEFINED semantics (the oracle
     // applies the identical blocking). levenshtein is codegen'd on the
     // Spark side; the per-brand rollup keeps output at |brands| rows.
-    "q_join_fuzzy_name" -> ((s, dir) => {
-      // Compress to DISTINCT names per block before pairing: duplicate
-      // names are the norm in entity data, and pairing raw rows makes
-      // per-block work quadratic in DUPLICATION (measured 112 s at the
-      // 10×-duplicated sf1.0 vs 0.8 s at sf0.1 before this rewrite).
-      // Distinct-name pairs × multiplicities reproduce the row-pair
-      // counts EXACTLY: cross-name pairs contribute cnt_a·cnt_b,
-      // same-name pairs (lev = 0 ≤ 2 always) contribute C(cnt, 2), and
-      // involved-part counts are sums of multiplicities over matched
-      // names — so comparisons now scale with distinct names per block
-      // while the output is unchanged (oracle stays the raw self-join).
-      val names = t(s, dir, "part")
-        .select(col("p_brand"), col("p_name"),
-          split(col("p_name"), " ").getItem(0).as("blk"))
-        .groupBy("p_brand", "blk", "p_name")
-        .agg(count(lit(1)).as("cnt"))
-      val a = names.select(col("p_brand"), col("blk"),
-        col("p_name").as("n1"), col("cnt").as("c1"))
-      val b = names.select(col("p_brand"), col("blk"),
-        col("p_name").as("n2"), col("cnt").as("c2"))
-      val cross = a.join(b, Seq("p_brand", "blk"))
-        .filter(col("n1") < col("n2") &&
-          levenshtein(col("n1"), col("n2")) <= FuzzyDist)
-      val pairCounts = cross
-        .select(col("p_brand"), (col("c1") * col("c2")).as("np"))
-        .unionAll(names.filter(col("cnt") >= 2)
-          .select(col("p_brand"),
-            expr("cnt * (cnt - 1) div 2").as("np")))
-        .groupBy("p_brand").agg(sum(col("np")).as("n_pairs"))
-      val involved = cross.select(col("p_brand"), col("n1").as("p_name"))
-        .unionAll(cross.select(col("p_brand"), col("n2").as("p_name")))
-        .unionAll(names.filter(col("cnt") >= 2)
-          .select(col("p_brand"), col("p_name")))
-        .distinct()
-      val partCounts = involved
-        .join(names.select("p_brand", "p_name", "cnt"),
-          Seq("p_brand", "p_name"))
-        .groupBy("p_brand").agg(sum(col("cnt")).as("n_parts"))
-      pairCounts.join(partCounts, "p_brand")
-        .orderBy("p_brand")
-    }),
+    "q_join_fuzzy_name" -> ((s, dir) => fuzzyName(s, dir)),
 
     // Order-independent table checksum per month partition (the
     // replication / cross-cluster sync audit): row-content signature =
@@ -191,6 +151,63 @@ object EntityOpsQueries extends QSet {
         .orderBy("event_type")
     })
   )
+
+  /** The declared q_join_fuzzy_name body (see comments inline). */
+  private[graft] def fuzzyName(s: org.apache.spark.sql.SparkSession,
+      dir: String, shareFuzzyFrames: Boolean = false): DataFrame = {
+      // Compress to DISTINCT names per block before pairing: duplicate
+      // names are the norm in entity data, and pairing raw rows makes
+      // per-block work quadratic in DUPLICATION (measured 112 s at the
+      // 10×-duplicated sf1.0 vs 0.8 s at sf0.1 before this rewrite).
+      // Distinct-name pairs × multiplicities reproduce the row-pair
+      // counts EXACTLY: cross-name pairs contribute cnt_a·cnt_b,
+      // same-name pairs (lev = 0 ≤ 2 always) contribute C(cnt, 2), and
+      // involved-part counts are sums of multiplicities over matched
+      // names — so comparisons now scale with distinct names per block
+      // while the output is unchanged (oracle stays the raw self-join).
+      // r13 optimization round (`shareFuzzyFrames`): `names` has four
+      // consumers and `cross` three — unshared, the levenshtein block
+      // join re-ran three times (9 part scans,
+      // plans/r13/q_join_fuzzy_name_before.txt). Both frames are
+      // bounded (distinct names / surviving fuzzy pairs) — but the
+      // duo A/B at sf0.1 (7 rounds, B slots) REFUTED the persist
+      // decisively: shared 1.05 s vs unshared 0.55 (+90%, the worst
+      // loss of the six-query batch — the levenshtein block join
+      // pipelines into its three consumers in parallel, while the
+      // persist serializes everything behind one materialization).
+      // Incumbent kept; toggle is the record (OPTIMIZATION_r13.md).
+      val namesRaw = t(s, dir, "part")
+        .select(col("p_brand"), col("p_name"),
+          split(col("p_name"), " ").getItem(0).as("blk"))
+        .groupBy("p_brand", "blk", "p_name")
+        .agg(count(lit(1)).as("cnt"))
+      val names = if (shareFuzzyFrames) namesRaw.persist() else namesRaw
+      val a = names.select(col("p_brand"), col("blk"),
+        col("p_name").as("n1"), col("cnt").as("c1"))
+      val b = names.select(col("p_brand"), col("blk"),
+        col("p_name").as("n2"), col("cnt").as("c2"))
+      val crossRaw = a.join(b, Seq("p_brand", "blk"))
+        .filter(col("n1") < col("n2") &&
+          levenshtein(col("n1"), col("n2")) <= FuzzyDist)
+      val cross = if (shareFuzzyFrames) crossRaw.persist() else crossRaw
+      val pairCounts = cross
+        .select(col("p_brand"), (col("c1") * col("c2")).as("np"))
+        .unionAll(names.filter(col("cnt") >= 2)
+          .select(col("p_brand"),
+            expr("cnt * (cnt - 1) div 2").as("np")))
+        .groupBy("p_brand").agg(sum(col("np")).as("n_pairs"))
+      val involved = cross.select(col("p_brand"), col("n1").as("p_name"))
+        .unionAll(cross.select(col("p_brand"), col("n2").as("p_name")))
+        .unionAll(names.filter(col("cnt") >= 2)
+          .select(col("p_brand"), col("p_name")))
+        .distinct()
+      val partCounts = involved
+        .join(names.select("p_brand", "p_name", "cnt"),
+          Seq("p_brand", "p_name"))
+        .groupBy("p_brand").agg(sum(col("cnt")).as("n_parts"))
+      pairCounts.join(partCounts, "p_brand")
+        .orderBy("p_brand")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_join_fuzzy_name" ->

@@ -34,29 +34,7 @@ object EvalGraphQueries extends QSet {
     // are scale-free, and the reported share divides by the exact
     // total once at the end. Each round is one edge-keyed equi-join +
     // partial aggregate; output is the top-20 authorities.
-    "q_graph_hits" -> ((s, dir) => {
-      val e = GraphMediaQueries.affinityEdges(s, dir)
-      val ed = e.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      val a1 = ed.groupBy(col("dst").as("v"))
-        .agg(count(lit(1)).as("a1"))
-      val h1 = ed.join(a1.withColumnRenamed("v", "dst"), Seq("dst"))
-        .groupBy(col("src").as("v")).agg(sum(col("a1")).as("h1"))
-      val a2 = ed.join(h1.withColumnRenamed("v", "src"), Seq("src"))
-        .groupBy(col("dst").as("v")).agg(sum(col("h1")).as("a2"))
-      val all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      a2.join(h1, Seq("v"))
-        .withColumn("tot", sum(col("a2")).over(all))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("a2").desc, col("v"))))
-        .filter(col("rn") <= 20)
-        .select(col("v").as("node"), col("h1").as("hub1"),
-          col("a2").as("auth2"),
-          (col("a2").cast(DoubleType) / col("tot").cast(DoubleType))
-            .as("auth_share"))
-        .orderBy(col("auth2").desc, col("node"))
-    }),
+    "q_graph_hits" -> ((s, dir) => graphHits(s, dir)),
 
     // Kaplan–Meier survival curve of time-to-first-purchase — the
     // cumulative twin of q_ts_hazard (same per-user exit/death ledger,
@@ -197,6 +175,44 @@ object EvalGraphQueries extends QSet {
         .orderBy("sa", "sb")
     })
   )
+
+  /** The declared q_graph_hits body. The hub frame `h1` has two
+    * consumers (the a2 round and the final report join), so the
+    * unshared plan re-derives the a1 round and its edge scans twice
+    * (4 affinity scans in plans/r13/q_graph_hits_before.txt).
+    * `share` persists the VERTEX-BOUNDED h1 so the second consumer
+    * reads the cache. Duo A/B at sf0.1 (7 rounds, B slots): shared
+    * 0.81 s vs unshared 0.58 — the persist LOSES 39% at fixture scale
+    * (cache write+read + the serialized pipeline cost more than
+    * re-running the cheap a1 round), so the incumbent recompute stays
+    * the default; toggle kept as the measured record
+    * (OPTIMIZATION_r13.md).
+    */
+  private[graft] def graphHits(s: org.apache.spark.sql.SparkSession,
+      dir: String, share: Boolean = false): DataFrame = {
+    val e = GraphMediaQueries.affinityEdges(s, dir)
+    val ed = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val a1 = ed.groupBy(col("dst").as("v"))
+      .agg(count(lit(1)).as("a1"))
+    val h1raw = ed.join(a1.withColumnRenamed("v", "dst"), Seq("dst"))
+      .groupBy(col("src").as("v")).agg(sum(col("a1")).as("h1"))
+    val h1 = if (share) h1raw.persist() else h1raw
+    val a2 = ed.join(h1.withColumnRenamed("v", "src"), Seq("src"))
+      .groupBy(col("dst").as("v")).agg(sum(col("h1")).as("a2"))
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    a2.join(h1, Seq("v"))
+      .withColumn("tot", sum(col("a2")).over(all))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("a2").desc, col("v"))))
+      .filter(col("rn") <= 20)
+      .select(col("v").as("node"), col("h1").as("hub1"),
+        col("a2").as("auth2"),
+        (col("a2").cast(DoubleType) / col("tot").cast(DoubleType))
+          .as("auth_share"))
+      .orderBy(col("auth2").desc, col("node"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q_graph_hits" ->

@@ -151,27 +151,7 @@ object GraphMediaQueries extends QSet {
     // from the same bounded wedge join (pivot at the shared neighbor),
     // existing edges drop via a canonical-pair anti-join, and the
     // ranking is sort+limit (TakeOrdered — no global sort survives).
-    "q_graph_common_neighbors" -> ((s, dir) => {
-      val e = affinityEdges(s, dir).persist()
-      val ad = e.select(col("a").as("v"), col("b").as("nb"))
-        .unionAll(e.select(col("b").as("v"), col("a").as("nb")))
-      val deg = ad.groupBy("v").agg(count(lit(1)).as("deg"))
-      val cn = ad.select(col("v"), col("nb").as("u"))
-        .join(ad.select(col("v").as("v2"), col("nb").as("w")),
-          col("v") === col("v2") && col("u") < col("w"))
-        .groupBy("u", "w").agg(count(lit(1)).as("cn"))
-      val nonadj = cn.join(
-        e.select(col("a"), col("b")),
-        cn("u") === col("a") && cn("w") === col("b"), "left_anti")
-      nonadj
-        .join(deg.select(col("v").as("u"), col("deg").as("du")), "u")
-        .join(deg.select(col("v").as("w"), col("deg").as("dw")), "w")
-        .select(col("u"), col("w"), col("cn"),
-          (col("cn").cast(DoubleType) /
-            (col("du") + col("dw") - col("cn"))).as("jaccard"))
-        .orderBy(col("cn").desc, col("u"), col("w"))
-        .limit(20)
-    }),
+    "q_graph_common_neighbors" -> ((s, dir) => commonNeighbors(s, dir)),
 
     // Degree ASSORTATIVITY of the affinity graph (Newman's r): do
     // well-connected suppliers partner with each other (r > 0) or
@@ -181,26 +161,7 @@ object GraphMediaQueries extends QSet {
     // partial-folds over the edge frame after two vertex-keyed degree
     // joins; r is a fixed IEEE expression over those exact bases —
     // identical association order both engines, nothing else floats.
-    "q_graph_assortativity" -> ((s, dir) => {
-      val e = affinityEdges(s, dir)
-      val deg = e.select(col("a").as("v"))
-        .unionAll(e.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-      val ed = e
-        .join(deg.select(col("v").as("a"), col("deg").as("dx")), "a")
-        .join(deg.select(col("v").as("b"), col("deg").as("dy")), "b")
-      val md = col("m").cast(DoubleType)
-      val mu = col("s1").cast(DoubleType) / (lit(2.0d) * md)
-      val num = col("sxy").cast(DoubleType) / md - mu * mu
-      val den = col("s2").cast(DoubleType) / (lit(2.0d) * md) - mu * mu
-      ed.agg(count(lit(1)).as("m"),
-          sum(col("dx") + col("dy")).as("s1"),
-          sum(col("dx") * col("dx") + col("dy") * col("dy")).as("s2"),
-          sum(col("dx") * col("dy")).as("sxy"))
-        .select(col("m"), col("s1"), col("s2"), col("sxy"),
-          (num / den).as("assortativity"))
-        .orderBy("m")
-    }),
+    "q_graph_assortativity" -> ((s, dir) => assortativity(s, dir)),
 
     // MODULARITY of the nation partition on the affinity graph
     // (Newman's Q, per-community terms): does geography explain the
@@ -343,6 +304,72 @@ object GraphMediaQueries extends QSet {
         .orderBy("media_id")
     })
   )
+
+  /** The declared q_graph_common_neighbors body. `share` (r13
+    * optimization round) persists the VERTEX-BOUNDED degree frame,
+    * whose two consumers (the du/dw attach joins) otherwise replay the
+    * degree aggregate over the cached edge frame. Duo A/B at sf0.1
+    * (7 rounds, B slots): shared 0.45 s vs unshared 0.32 (+39%) — the
+    * replayed aggregate over cached edges is cheaper than the extra
+    * cache round-trip; incumbent kept (OPTIMIZATION_r13.md).
+    */
+  private[graft] def commonNeighbors(s: org.apache.spark.sql.SparkSession,
+      dir: String, share: Boolean = false): DataFrame = {
+    val e = affinityEdges(s, dir).persist()
+    val ad = e.select(col("a").as("v"), col("b").as("nb"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("nb")))
+    val degRaw = ad.groupBy("v").agg(count(lit(1)).as("deg"))
+    val deg = if (share) degRaw.persist() else degRaw
+    val cn = ad.select(col("v"), col("nb").as("u"))
+      .join(ad.select(col("v").as("v2"), col("nb").as("w")),
+        col("v") === col("v2") && col("u") < col("w"))
+      .groupBy("u", "w").agg(count(lit(1)).as("cn"))
+    val nonadj = cn.join(
+      e.select(col("a"), col("b")),
+      cn("u") === col("a") && cn("w") === col("b"), "left_anti")
+    nonadj
+      .join(deg.select(col("v").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("v").as("w"), col("deg").as("dw")), "w")
+      .select(col("u"), col("w"), col("cn"),
+        (col("cn").cast(DoubleType) /
+          (col("du") + col("dw") - col("cn"))).as("jaccard"))
+      .orderBy(col("cn").desc, col("u"), col("w"))
+      .limit(20)
+  }
+
+  /** The declared q_graph_assortativity body. The degree frame has two
+    * consumers (the dx and dy attach joins) and the edge frame three
+    * (degree build + the joined base), so the unshared plan re-scans
+    * the affinity table ~10× (plans/r13/q_graph_assortativity_before
+    * .txt). `share` persists the edge frame and the VERTEX-BOUNDED
+    * degree frame. Duo A/B at sf0.1 (7 rounds, B slots): shared
+    * 0.31 s vs unshared 0.25 (+23%) — same verdict as the rest of the
+    * sub-second graph tier: recompute beats materialization here;
+    * incumbent kept (OPTIMIZATION_r13.md).
+    */
+  private[graft] def assortativity(s: org.apache.spark.sql.SparkSession,
+      dir: String, share: Boolean = false): DataFrame = {
+    val e0 = affinityEdges(s, dir)
+    val e = if (share) e0.persist() else e0
+    val degRaw = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val deg = if (share) degRaw.persist() else degRaw
+    val ed = e
+      .join(deg.select(col("v").as("a"), col("deg").as("dx")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("dy")), "b")
+    val md = col("m").cast(DoubleType)
+    val mu = col("s1").cast(DoubleType) / (lit(2.0d) * md)
+    val num = col("sxy").cast(DoubleType) / md - mu * mu
+    val den = col("s2").cast(DoubleType) / (lit(2.0d) * md) - mu * mu
+    ed.agg(count(lit(1)).as("m"),
+        sum(col("dx") + col("dy")).as("s1"),
+        sum(col("dx") * col("dx") + col("dy") * col("dy")).as("s2"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("m"), col("s1"), col("s2"), col("sxy"),
+        (num / den).as("assortativity"))
+      .orderBy("m")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_graph_triangles" ->

@@ -129,34 +129,7 @@ object SignalQueries extends QSet {
     // pairs not seen closer — the BFS precedent); 1/d weights scale by
     // LCM(1,2,3)=6 so the score Σ 6/d(u,v) is exact int64. Each layer
     // is an edge-keyed equi-join on the degree-bounded top-k graph.
-    "q_graph_closeness3" -> ((s, dir) => {
-      val e = GraphMediaQueries.affinityEdges(s, dir)
-      val ed = e.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-        .persist()
-      val d1 = ed.distinct()
-      val cand2 = d1.select(col("src"), col("dst").as("mid"))
-        .join(ed.withColumnRenamed("src", "mid"), Seq("mid"))
-        .select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
-        .distinct()
-      val d2 = cand2.join(d1, Seq("src", "dst"), "left_anti").persist()
-      val cand3 = d2.select(col("src"), col("dst").as("mid"))
-        .join(ed.withColumnRenamed("src", "mid"), Seq("mid"))
-        .select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
-        .distinct()
-      val d3 = cand3.join(d1, Seq("src", "dst"), "left_anti")
-        .join(d2, Seq("src", "dst"), "left_anti")
-      val scored = d1.select(col("src"), lit(6L).as("w"))
-        .unionAll(d2.select(col("src"), lit(3L).as("w")))
-        .unionAll(d3.select(col("src"), lit(2L).as("w")))
-        .groupBy(col("src").as("node"))
-        .agg(sum(col("w")).as("closeness6"), count(lit(1)).as("reach3"))
-      scored.withColumn("rn", row_number().over(
-          Window.orderBy(col("closeness6").desc, col("node"))))
-        .filter(col("rn") <= 20)
-        .select(col("node"), col("reach3"), col("closeness6"))
-        .orderBy(col("closeness6").desc, col("node"))
-    }),
+    "q_graph_closeness3" -> ((s, dir) => closeness3(s, dir)),
 
     // Term burstiness across the 20 sources — the dispersion signal a
     // corpus curator reads next to tf·idf (a term with high variance/
@@ -183,6 +156,50 @@ object SignalQueries extends QSet {
         .orderBy("term")
     })
   )
+
+  /** The declared q_graph_closeness3 body. `ed` and `d2` were already
+    * persisted (shared consumers); `share` (r13 optimization round)
+    * extends the same treatment to the distance-1 frame `d1` — it has
+    * FOUR consumers (the 2-hop wedge source, both anti-joins, the
+    * score union), each of which otherwise replays the distinct
+    * exchange over the cached edge frame. Edge-bounded, same posture
+    * as the existing persists — but duo A/B at sf0.1 (7 rounds, B
+    * slots) says OTHERWISE: shared 1.84 s vs unshared 1.44 (+28%).
+    * Unlike ed/d2 (whose consumers replay JOINS), d1's consumers
+    * replay one distinct over the already-cached ed — cheaper than a
+    * second cache round-trip. Incumbent kept; toggle is the record
+    * (OPTIMIZATION_r13.md).
+    */
+  private[graft] def closeness3(s: org.apache.spark.sql.SparkSession,
+      dir: String, share: Boolean = false): DataFrame = {
+    val e = GraphMediaQueries.affinityEdges(s, dir)
+    val ed = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    val d1raw = ed.distinct()
+    val d1 = if (share) d1raw.persist() else d1raw
+    val cand2 = d1.select(col("src"), col("dst").as("mid"))
+      .join(ed.withColumnRenamed("src", "mid"), Seq("mid"))
+      .select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+      .distinct()
+    val d2 = cand2.join(d1, Seq("src", "dst"), "left_anti").persist()
+    val cand3 = d2.select(col("src"), col("dst").as("mid"))
+      .join(ed.withColumnRenamed("src", "mid"), Seq("mid"))
+      .select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+      .distinct()
+    val d3 = cand3.join(d1, Seq("src", "dst"), "left_anti")
+      .join(d2, Seq("src", "dst"), "left_anti")
+    val scored = d1.select(col("src"), lit(6L).as("w"))
+      .unionAll(d2.select(col("src"), lit(3L).as("w")))
+      .unionAll(d3.select(col("src"), lit(2L).as("w")))
+      .groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("closeness6"), count(lit(1)).as("reach3"))
+    scored.withColumn("rn", row_number().over(
+        Window.orderBy(col("closeness6").desc, col("node"))))
+      .filter(col("rn") <= 20)
+      .select(col("node"), col("reach3"), col("closeness6"))
+      .orderBy(col("closeness6").desc, col("node"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q_ts_pacf" -> {

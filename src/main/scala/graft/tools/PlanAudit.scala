@@ -39,7 +39,7 @@ object PlanAudit {
           .filter(_._2 > 0)
           .map { case (j, c) => s"${j.replaceAll("[a-z]", "")}=$c" }
           .mkString(",")
-        println(f"$k%-32s ex=${n("Exchange")}%2d wsc=${n("WholeStageCodegen")}%2d " +
+        println(f"$k%-32s scan=${n("Scan parquet") + n("Scan ExistingRDD")}%2d ex=${n("Exchange")}%2d " +
           f"win=${n("Window")}%2d sort=${n("Sort")}%2d agg=${n("HashAggregate") + n("ObjectHashAggregate") + n("SortAggregate")}%2d " +
           s"joins[$joins]")
       } catch { case e: Throwable =>
