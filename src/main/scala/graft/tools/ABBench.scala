@@ -873,12 +873,13 @@ object ABBench {
         .select("lang", "rnk", "term", "tf", "df", "score")
         .orderBy("lang", "rnk")
     }
-    // exp10 RESULT (plan inspection, no timing needed): all five
-    // broadcast-hint challengers above produce BYTE-IDENTICAL plans to
-    // their incumbents at sf0.1 — every scoring join is ALREADY a
-    // BroadcastHashJoin (plans/r13/*_before.txt); the hypothesized
-    // corpus-stream exchange does not exist at bench scale, so there
-    // is nothing to time. Kept as the negative-result record; the
+    // exp10 RESULT (plan inspection, no timing needed): the
+    // hypothesized corpus-stream exchange does not exist at bench
+    // scale — every scoring join the five challengers would hint is
+    // ALREADY a BroadcastHashJoin in the incumbent plans
+    // (plans/r13/*_before.txt), so the hint has nothing to remove and
+    // timing would only measure noise. Kept as the negative-result
+    // record; the
     // r13opt legs below are exp11, the lineage-cut family the plan
     // audit surfaced instead (PlanAudit: bpe_encode 9 parquet scans,
     // naive_bayes 9, quality_lm2 3 — multi-consumer bounded frames
