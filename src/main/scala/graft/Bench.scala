@@ -90,14 +90,27 @@ object Bench {
         }
         val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         // drop per-query persisted frames so caches never accumulate
-        // across the suite (cache-memory pressure skews later timings)
+        // across the suite (cache-memory pressure skews later timings);
+        // clearCache() misses RDD-level blocks (cutLineage's
+        // localCheckpoint persists RDDs, not catalog-tracked frames),
+        // so sweep those explicitly — otherwise they wait for GC-driven
+        // ContextCleaner release and accumulate across 351 queries
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         dt
       }.sorted
       name -> samples(samples.length / 2)
     }
+    // seconds rounded to 4 decimals: the driver's artifact captures a
+    // bounded window of stdout and failed to parse round 12's full-
+    // precision line — ~5 bytes/query of non-information precision was
+    // the difference; 0.1 ms resolution is far below this host's
+    // run-to-run noise. -1.0 failure sentinels round to "-1.0000",
+    // still strictly negative for downstream failure detection.
+    def r4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedList = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
@@ -110,7 +123,7 @@ object Bench {
     // window; the full line is also persisted to bench_last.json so no
     // per-query time is ever unrecoverable.
     val line =
-      s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_failed":${failedList.size},"failed":$failedJson}"""
+      s"""{"queries":$qs,"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n_failed":${failedList.size},"failed":$failedJson}"""
     println(line)
     if (failedList.nonEmpty)
       System.err.println(s"Bench: ${failedList.size} queries FAILED: " +

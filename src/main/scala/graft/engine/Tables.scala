@@ -18,6 +18,18 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
+  /** Root for the layout-preparation scratch dirs (bucketed tables,
+    * materialized edge lists, partitioned orders, roundtrip sources):
+    * `java.io.tmpdir`, i.e. /tmp unless overridden. The parallel test
+    * harness gives each forked suite-group JVM its own tmpdir so the
+    * fixed-name layout writes (keyed by sf tag, deliberately reused
+    * across runs of ONE process) can never race across concurrent
+    * JVMs; the driver's Bench/Verify run with the default /tmp and see
+    * identical behavior to before.
+    */
+  def tmpRoot: String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/")
+
   /** Tables whose queries explode rows (char/token n-grams, bit votes,
     * vector ops): their testdata parquet is a single tiny file = ONE
     * input partition, so without a spread the whole explode-heavy
@@ -153,6 +165,14 @@ object Tables {
     *    instead of silently ignoring `spark.graft.checkpointDir`
     *    (re-pointing mid-application would also re-route every other
     *    checkpoint user).
+    *  - The localCheckpoint path persists RDD blocks that
+    *    `spark.catalog.clearCache()` does NOT release (it only drops
+    *    catalog-tracked relations); until GC drives the
+    *    ContextCleaner, those bounded frames linger. Long-running
+    *    sessions that loop over cutLineage consumers should sweep
+    *    `sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))`
+    *    between iterations — the bench loop does exactly that after
+    *    every timed sample.
     */
   def cutLineage(df: DataFrame): DataFrame = {
     val s = df.sparkSession

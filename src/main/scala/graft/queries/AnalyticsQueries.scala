@@ -93,7 +93,7 @@ object AnalyticsQueries extends QSet {
       s.sparkContext.applicationId + "|" + dir, _ => {
         val tag = new java.io.File(dir).getName
           .replaceAll("[^A-Za-z0-9]", "_")
-        val path = s"/tmp/graft_edges_$tag"
+        val path = s"${graft.engine.Tables.tmpRoot}/graft_edges_$tag"
         deriveEdges(s, dir).write.mode("overwrite").parquet(path)
         path
       })

@@ -23,7 +23,8 @@ object GovernanceQueries extends QSet {
 
   private def tmpDir(s: org.apache.spark.sql.SparkSession, kind: String,
       dir: String): String =
-    s"/tmp/graft_gov_${kind}_${new java.io.File(dir).getName}_" +
+    s"${graft.engine.Tables.tmpRoot}/graft_gov_${kind}_" +
+      s"${new java.io.File(dir).getName}_" +
       s.sparkContext.applicationId
 
   val queries: Map[String, QFn] = Map(

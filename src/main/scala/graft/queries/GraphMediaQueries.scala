@@ -68,7 +68,7 @@ object GraphMediaQueries extends QSet {
       s.sparkContext.applicationId + "|" + dir, _ => {
         val tag = new java.io.File(dir).getName
           .replaceAll("[^A-Za-z0-9]", "_")
-        val path = s"/tmp/graft_affinity_$tag"
+        val path = s"${graft.engine.Tables.tmpRoot}/graft_affinity_$tag"
         deriveAffinityEdges(s, dir).write.mode("overwrite").parquet(path)
         path
       })

@@ -48,18 +48,18 @@ object JoinQueries extends QSet {
           .filter(n => n.startsWith(s"g_orders_bkt_${tag}_") ||
             n.startsWith(s"g_customer_bkt_${tag}_"))
           .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
-        new java.io.File("/tmp").listFiles()
+        new java.io.File(graft.engine.Tables.tmpRoot).listFiles()
           .filter(f => f.isDirectory &&
             (f.getName.startsWith(s"graft_bkt_orders_${tag}_") ||
               f.getName.startsWith(s"graft_bkt_customer_${tag}_")))
           .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
         t(s, dir, "orders").select("o_custkey", "o_totalprice")
           .write.mode("overwrite")
-          .option("path", s"/tmp/graft_bkt_orders_$tag")
+          .option("path", s"${graft.engine.Tables.tmpRoot}/graft_bkt_orders_$tag")
           .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
         t(s, dir, "customer").select("c_custkey")
           .write.mode("overwrite")
-          .option("path", s"/tmp/graft_bkt_customer_$tag")
+          .option("path", s"${graft.engine.Tables.tmpRoot}/graft_bkt_customer_$tag")
           .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
         (ot, ct)
       })

@@ -23,7 +23,8 @@ object ScanQueries extends QSet {
     */
   private def tmpDir(s: org.apache.spark.sql.SparkSession, kind: String,
       dir: String): String =
-    s"/tmp/graft_src_${kind}_${new java.io.File(dir).getName}_" +
+    s"${graft.engine.Tables.tmpRoot}/graft_src_${kind}_" +
+      s"${new java.io.File(dir).getName}_" +
       s.sparkContext.applicationId
 
   /** Month-partitioned orders layout memo, keyed (applicationId, sfDir):
@@ -52,7 +53,7 @@ object ScanQueries extends QSet {
       s.sparkContext.applicationId + "|" + dir, _ => {
         val tag = new java.io.File(dir).getName
           .replaceAll("[^A-Za-z0-9]", "_")
-        val path = s"/tmp/graft_evolved_orders_$tag"
+        val path = s"${graft.engine.Tables.tmpRoot}/graft_evolved_orders_$tag"
         val o = t(s, dir, "orders")
         graft.sources.Readers.writeParquet(
           o.filter(col("o_orderkey") % 2 === 0)
@@ -72,7 +73,7 @@ object ScanQueries extends QSet {
       s.sparkContext.applicationId + "|" + dir, _ => {
         val tag = new java.io.File(dir).getName
           .replaceAll("[^A-Za-z0-9]", "_")
-        val path = s"/tmp/graft_part_orders_$tag"
+        val path = s"${graft.engine.Tables.tmpRoot}/graft_part_orders_$tag"
         graft.sources.Readers.writeParquet(
           t(s, dir, "orders").withColumn("o_month",
             date_format(col("o_orderdate"), "yyyy-MM")),

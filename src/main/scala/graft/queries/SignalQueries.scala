@@ -169,6 +169,16 @@ object SignalQueries extends QSet {
     * replay one distinct over the already-cached ed — cheaper than a
     * second cache round-trip. Incumbent kept; toggle is the record
     * (OPTIMIZATION_r13.md).
+    *
+    * Cache ownership when flipping `share` (and the sibling r13
+    * toggles — graphHits/assortativity/commonNeighbors' `share`,
+    * fuzzyName's `shareFuzzyFrames`, bellman3's `cutIters`): like the
+    * pre-existing persists here, the frames are never unpersisted by
+    * the query — the bench releases them via clearCache() after each
+    * sample, and any deployment that enables a toggle and invokes the
+    * query repeatedly in one session owns the same cleanup (unpersist
+    * or clearCache after the returned frame is consumed), else cached
+    * frames accumulate per invocation.
     */
   private[graft] def closeness3(s: org.apache.spark.sql.SparkSession,
       dir: String, share: Boolean = false): DataFrame = {

@@ -727,165 +727,24 @@ object ABBench {
       hintCands = true)
     val cc9P = () => DedupQueries.componentReps(spark, sfDir,
       countSizedParts = true)
-    // exp10 (round-13 OPTIMIZATION round, AB_EXP=r13opt): the last
-    // corpus-sized exchange family left unswept — the text-model
-    // SCORING joins, where a vocabulary-bounded model table joins the
-    // corpus token/word stream without a broadcast hint (guide §3.1 /
-    // §2.4: a broadcast join replaces the big side's shuffle). The
-    // planner's estimate for the model side is corpus-derived, so the
-    // initial plan sort-merges and the corpus stream pays a full
-    // exchange by term; AQE can only rewrite after the map stages ran.
-    // Challenger = the identical query with the model side behind the
-    // repo's job-free footprint gate (Tables.underDimGate on the
-    // documents table — the model's bytes are bounded by its source
-    // corpus, the same proxy argument basket_lift uses for part).
-    // Hint-only changes: results are identical by construction.
-    import graft.engine.{Tables => Tbl}
-    def gated(df: DataFrame): DataFrame =
-      if (Tbl.underDimGate(spark, sfDir, "documents")) broadcast(df) else df
-    // nb: broadcast the (vocab × 5 classes) logp model into the
-    // test-token scoring join (and the vocab-sized cnt grid into the
-    // model-build left join)
-    def nbBcast(s: SparkSession, dir: String): DataFrame = {
-      val Dec6 = DecimalType(18, 6)
-      val docs = t(s, dir, "documents")
-      val train = docs.filter(col("doc_id") % 5 =!= 0)
-      val ttoks = train.select(col("lang"),
-        explode(split(col("text"), " ")).as("term"))
-      val cls = ttoks.groupBy("lang").agg(count(lit(1)).as("tot_l"))
-      val nd = train.groupBy("lang").agg(count(lit(1)).as("n_docs_l"))
-      val vc = ttoks.agg(countDistinct(col("term")).as("v"))
-      val all = org.apache.spark.sql.expressions.Window.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-      val cls5 = cls.join(nd, "lang")
-        .withColumn("n_train", sum(col("n_docs_l")).over(all))
-        .crossJoin(broadcast(vc))
-        .withColumn("logprior", round(log(
-          col("n_docs_l").cast(DoubleType) / col("n_train")), 6))
-      val cnt = ttoks.groupBy("term", "lang").agg(count(lit(1)).as("c"))
-      val logp = ttoks.select("term").distinct()
-        .crossJoin(broadcast(cls5.select("lang", "tot_l", "v")))
-        .join(gated(cnt), Seq("term", "lang"), "left")
-        .withColumn("logp", round(log(
-          (coalesce(col("c"), lit(0L)) + lit(1.0)) /
-            (col("tot_l") + col("v"))), 6))
-        .select("term", "lang", "logp")
-      val stoks = docs.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id"), col("lang").as("lang_actual"),
-          explode(split(col("text"), " ")).as("term"))
-      stoks.join(gated(logp), "term")
-        .groupBy("doc_id", "lang_actual", "lang")
-        .agg(sum(col("logp").cast(Dec6)).as("sum_logp"))
-        .join(broadcast(cls5.select(col("lang"), col("logprior"))), "lang")
-        .withColumn("score", col("sum_logp") + col("logprior").cast(Dec6))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("doc_id").orderBy(col("score").desc, col("lang"))))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("lang_actual"),
-          col("lang").as("lang_pred"),
-          col("score").cast(StringType).cast(DoubleType).as("score"))
-        .orderBy("doc_id")
-    }
-    // lm2: broadcast the vocab²-bounded bigram logprob table into the
-    // per-doc scoring join (model build joins stay hash — both sides
-    // are model-sized)
-    def lm2Bcast(s: SparkSession, dir: String): DataFrame = {
-      val big = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .filter(size(col("tk")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(tk) - 2), " +
-            "i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
-      val lp = c12.join(c1, "w1")
-        .select(col("w1"), col("w2"),
-          round(log(col("c12").cast(DoubleType) / col("c1")), 6)
-            .as("logp"))
-      big.join(gated(lp), Seq("w1", "w2"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_big"),
-          sum(col("logp").cast(DecimalType(18, 8))).as("sum_lp"))
-        .select(col("doc_id"), col("n_big"),
-          (col("sum_lp").cast(DecimalType(28, 8)).cast(StringType)
-            .cast(DoubleType) / col("n_big")).as("avg_logp"))
-        .orderBy("doc_id")
-    }
-    // kx: broadcast the vocab-sized df counts into the tf·idf join so
-    // the (doc, term) tf frame is never re-shuffled by term
-    def kxBcast(s: SparkSession, dir: String): DataFrame = {
-      val tf = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("term"))
-      tf.join(gated(df), "term").crossJoin(broadcast(n))
-        .withColumn("score",
-          round(col("tf") * round(log(col("n_docs").cast(DoubleType) /
-            col("df")), 6), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("doc_id"), col("rn").cast(LongType).as("rank"),
-          col("term"), col("tf"), col("score"))
-        .orderBy("doc_id", "rank")
-    }
-    // be: broadcast the trained vocab into the corpus word-stream
-    // encode join instead of leaving the strategy to AQE estimates
-    def beBcast(s: SparkSession, dir: String): DataFrame = {
-      val e3 = graft.queries.TextQueries.bpePipeline(s, dir)._4
-      val vocab = e3.select(col("w"),
-        size(expr("split(trim(toks), '  ')")).cast("long").as("n_tok"))
-      t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .join(gated(vocab), "w")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("ws_tokens"), sum(col("n_tok")).as("bpe_tokens"))
-        .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
-          (col("bpe_tokens").cast(DoubleType) / col("ws_tokens"))
-            .as("compression"))
-        .orderBy("doc_id")
-    }
-    // tfidf: broadcast df into the (lang, term) tf join — both sides
-    // are vocab-scale, so this is the expected-smallest win of the set
-    def tfBcast(s: SparkSession, dir: String): DataFrame = {
-      val docs = t(s, dir, "documents")
-      val tok = docs.select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("term"))
-      val tf = tok.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-      val n = docs.agg(count(lit(1)).as("n_docs"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang"))
-        .orderBy(col("score").desc, col("term"))
-      tf.join(gated(df), "term")
-        .crossJoin(broadcast(n))
-        .withColumn("score", round(
-          col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 4))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select("lang", "rnk", "term", "tf", "df", "score")
-        .orderBy("lang", "rnk")
-    }
-    // exp10 RESULT (plan inspection, no timing needed): the
-    // hypothesized corpus-stream exchange does not exist at bench
-    // scale — every scoring join the five challengers would hint is
-    // ALREADY a BroadcastHashJoin in the incumbent plans
-    // (plans/r13/*_before.txt), so the hint has nothing to remove and
-    // timing would only measure noise. Kept as the negative-result
-    // record; the
-    // r13opt legs below are exp11, the lineage-cut family the plan
-    // audit surfaced instead (PlanAudit: bpe_encode 9 parquet scans,
-    // naive_bayes 9, quality_lm2 3 — multi-consumer bounded frames
-    // re-deriving their corpus prefix; the kmeans cutLineage
-    // precedent applied).
-    val _ = (nbBcast _, lm2Bcast _, kxBcast _, beBcast _, tfBcast _)
+    // exp10 (round-13 OPTIMIZATION round, AB_EXP=r13opt) — NEGATIVE
+    // RESULT, challenger bodies deleted in r14 (they duplicated the
+    // declared naiveBayes/qualityLm2/keywordExtract/bpeEncode/tfidf
+    // bodies verbatim and would silently drift; the full record lives
+    // in OPTIMIZATION_r13.md "broadcast-hint hypothesis"): the
+    // hypothesized corpus-stream exchange in the five text-model
+    // scoring joins does not exist at bench scale — every scoring join
+    // the challengers would hint is ALREADY a BroadcastHashJoin in the
+    // incumbent plans (plans/r13/*_before.txt), so a gated-broadcast
+    // hint has nothing to remove and timing would only measure noise.
+    // To rebuild a challenger, wrap the model side of the declared
+    // query body in Tables.underDimGate(spark, sfDir, "documents") ?
+    // broadcast(_) : identity — hint-only, results identical by
+    // construction. The r13opt legs below are exp11, the lineage-cut
+    // family the plan audit surfaced instead (PlanAudit: bpe_encode 9
+    // parquet scans, naive_bayes 9, quality_lm2 3 — multi-consumer
+    // bounded frames re-deriving their corpus prefix; the kmeans
+    // cutLineage precedent applied).
     import graft.queries.{TextQueries => TQ, SearchStatsQueries => SSQ,
       AnalyticsQueries => AQ}
     val r13opt: Seq[(String, () => DataFrame)] = Seq(

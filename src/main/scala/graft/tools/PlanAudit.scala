@@ -22,6 +22,46 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // --windows (r14, VERDICT #5/#6): the global-window boundedness
+    // sweep. Every partition-less Window moves ALL rows to one task
+    // (the WindowExec warning); that is fine iff its input is provably
+    // bounded — behind an aggregate (rows = groups of a domain-bounded
+    // key) or a limit. Flag any partition-less Window with NEITHER
+    // below it so each hit is fixed or documented.
+    if (args.headOption.contains("--windows")) {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      val names = if (args.length > 1) args.drop(1).toSeq
+        else graft.SparkEntry.queries.keys.toSeq.sorted
+      var flagged = 0
+      names.foreach { k =>
+        try {
+          val lp = graft.SparkEntry.queries(k)(spark, sfDir)
+            .queryExecution.optimizedPlan
+          val wins = lp.collect {
+            case w: Window if w.partitionSpec.isEmpty => w
+          }
+          wins.foreach { w =>
+            val bounded = w.child.collectFirst {
+              case a: Aggregate => s"Aggregate[${a.groupingExpressions
+                .map(_.sql).mkString(",").take(60)}]"
+              case l: GlobalLimit => s"GlobalLimit[${l.limitExpr.sql}]"
+            }
+            bounded match {
+              case Some(b) => println(s"$k OK   global window over $b")
+              case None =>
+                flagged += 1
+                println(s"$k FLAG global window over UNBOUNDED input: " +
+                  w.windowExpressions.map(_.sql).mkString(";").take(100))
+            }
+          }
+        } catch { case e: Throwable =>
+          println(s"$k AUDIT FAILED: ${e.getMessage.take(80)}")
+        }
+      }
+      println(s"window sweep: $flagged unexplained partition-less windows")
+      spark.stop()
+      return
+    }
     val names = if (args.nonEmpty) args.toSeq
       else graft.SparkEntry.queries.keys.toSeq.sorted
     names.foreach { k =>
