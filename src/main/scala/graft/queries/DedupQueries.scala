@@ -506,7 +506,8 @@ object DedupQueries extends QSet {
     */
   def prefixFilterPairs(s: SparkSession, dir: String,
       hintCands: Boolean = HintVerifyCands,
-      mergeIntersect: Boolean = false): DataFrame = {
+      mergeIntersect: Boolean = false,
+      hashOnlyCands: Boolean = true): DataFrame = {
     val (groups, members, repDocs) = textGroups(s, dir)
     val sh = shinglesOf(repDocs).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -543,21 +544,32 @@ object DedupQueries extends QSet {
         expr("slice(fa, 1, size(fa) - (4 * size(fa) + 4) div 5 + 1)")
           .as("pa"))
       .persist()
+    // hashOnlyCands (ADOPTED default, r14): join on the 8-byte gram
+    // hash only and drop the gram string from the exploded prefix — a
+    // collision SUPERSET the exact verify kills, output unchanged
+    // (R14TogglesSpec), narrower candidate exchange (guide §2.3). Duo
+    // B slots: sf0.1 tie across two windows (-8%/+5%), sf1.0 -9%;
+    // adopted like containmentPrefixPairs.
     val prefix = docArr
       .select(col("doc_id"), size(col("arr")).cast(LongType).as("sz"),
         explode(col("pa")).as("p"))
-      .select(col("doc_id"), xxhash64(col("p.sh")).as("hb"),
-        col("p.sh").as("sh"), col("sz"))
+      .select(Seq(col("doc_id"), xxhash64(col("p.sh")).as("hb"),
+        col("sz")) ++
+        (if (hashOnlyCands) Nil else Seq(col("p.sh").as("sh"))): _*)
     // candidate pairs: prefix-prefix equi-join (hash-led key like
     // ngramPairs), jaccard length bound inside the join condition; the
     // distinct carries ids only — the verify stage re-derives sizes
     // from its arrays
-    val cands = prefix.select(col("doc_id").as("r1"), col("hb"),
-        col("sh"), col("sz").as("sz1"))
-      .join(prefix.select(col("doc_id").as("r2"), col("hb").as("hb2"),
-        col("sh").as("sh2"), col("sz").as("sz2")),
-        col("hb") === col("hb2") && col("sh") === col("sh2") &&
-          col("r1") < col("r2") &&
+    val candKey =
+      if (hashOnlyCands) col("hb") === col("hb2")
+      else col("hb") === col("hb2") && col("sh") === col("sh2")
+    val cands = prefix.select(Seq(col("doc_id").as("r1"), col("hb"),
+        col("sz").as("sz1")) ++
+        (if (hashOnlyCands) Nil else Seq(col("sh"))): _*)
+      .join(prefix.select(Seq(col("doc_id").as("r2"),
+        col("hb").as("hb2"), col("sz").as("sz2")) ++
+        (if (hashOnlyCands) Nil else Seq(col("sh").as("sh2"))): _*),
+        candKey && col("r1") < col("r2") &&
           col("sz1") * 5 >= col("sz2") * 4 &&
           col("sz2") * 5 >= col("sz1") * 4)
       .select("r1", "r2").distinct()
@@ -642,7 +654,8 @@ object DedupQueries extends QSet {
     */
   def containmentPrefixPairs(s: SparkSession, dir: String,
       hintCands: Boolean = true,
-      mergeIntersect: Boolean = false): DataFrame = {
+      mergeIntersect: Boolean = false,
+      hashOnlyCands: Boolean = true): DataFrame = {
     val (groups, members, repDocs) = textGroups(s, dir)
     val sh = shinglesOf(repDocs).persist()
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("dfq"))
@@ -667,19 +680,34 @@ object DedupQueries extends QSet {
         expr("slice(fa, 1, size(fa) - (9 * size(fa) + 9) div 10 + 1)")
           .as("pa"))
       .persist()
+    // hashOnlyCands (ADOPTED default, r14): the candidate join
+    // compares ONLY the 8-byte xxhash64 of the gram and drops the gram
+    // string from both exploded sides — candidates are a
+    // (hash-collision) SUPERSET and the exact verify below kills every
+    // false candidate, so the output is unchanged
+    // (R14TogglesSpec pins both shapes row-identical) while the
+    // candidate exchange narrows by the string column (guide §2.3,
+    // shuffle fewer bytes — the string is most of the exploded row's
+    // bytes and the quadratic term's width at corpus scale). Duo B
+    // slots: sf0.1 tie across two windows (+4%/-7%), sf1.0 -3% with
+    // the cold A slots -35%; adopted on the sf1.0 direction plus the
+    // structural bytes argument, incumbent one flag away.
     val prefix = docArr
       .select(col("doc_id").as("dp"),
         size(col("arr")).cast(LongType).as("szp"),
         explode(col("pa")).as("p"))
-      .select(col("dp"), xxhash64(col("p.sh")).as("hb"),
-        col("p.sh").as("sh"), col("szp"))
+      .select(Seq(col("dp"), xxhash64(col("p.sh")).as("hb"), col("szp"))
+        ++ (if (hashOnlyCands) Nil else Seq(col("p.sh").as("sh"))): _*)
     val full = docArr
       .select(col("doc_id").as("dq"), size(col("arr")).cast(LongType)
         .as("szq"), explode(col("arr")).as("sh2"))
-      .withColumn("hb2", xxhash64(col("sh2")))
+      .select(Seq(col("dq"), xxhash64(col("sh2")).as("hb2"), col("szq"))
+        ++ (if (hashOnlyCands) Nil else Seq(col("sh2"))): _*)
+    val candKey =
+      if (hashOnlyCands) col("hb") === col("hb2")
+      else col("hb") === col("hb2") && col("sh") === col("sh2")
     val cands = prefix.join(full,
-        col("hb") === col("hb2") && col("sh") === col("sh2") &&
-          col("dp") =!= col("dq") && col("szp") <= col("szq"))
+        candKey && col("dp") =!= col("dq") && col("szp") <= col("szq"))
       .select(least(col("dp"), col("dq")).as("r1"),
         greatest(col("dp"), col("dq")).as("r2"))
       .distinct()
@@ -2033,6 +2061,30 @@ object DedupQueries extends QSet {
   private[graft] def pairCosCol(e1: Column, n1: Column,
       e2: Column, n2: Column): Column =
     round(graft.functions.Native.dotF(e1, e2) / (n1 * n2), 4)
+
+  /** In-row scored top-k of one cell's member array
+    * (CellIndex.cellMembers rows) for one query vector: the same
+    * rounded-4dp cosine expression shape as [[pairCosCol]], ranked by
+    * the same (cos DESC, nbr ASC) total order. Shared by the streaming
+    * kNN twins (where per-query windows are illegal) and the batch
+    * banded-kNN array path (where it caps the vote tail's sort input
+    * at k rows per (query, cell) instead of one row per scored pair).
+    */
+  private[graft] def topkScoredCol(k: Int)(ms: Column, e1: Column,
+      n1: Column): Column = {
+    import graft.functions.Native
+    val scored = transform(ms, m =>
+      struct(
+        round(Native.dotF(e1, m.getField("e2")) /
+          (n1 * m.getField("n2")), 4).as("cos"),
+        m.getField("nbr").as("nbr")))
+    slice(array_sort(scored, (a, b) =>
+      when(a.getField("cos") > b.getField("cos"), -1)
+        .when(a.getField("cos") < b.getField("cos"), 1)
+        .when(a.getField("nbr") < b.getField("nbr"), -1)
+        .when(a.getField("nbr") > b.getField("nbr"), 1)
+        .otherwise(0)), 1, k)
+  }
 
   /** Incremental (against-existing) EMBEDDING dedup — the vector twin
     * of the LSH text path (q_dedup_incremental) and the serving half

@@ -127,12 +127,17 @@ object KnnOpsQueries extends QSet {
 
   /** [[bandedKnnAccuracy]] against an already-built (or
     * DedupQueries.loadCellIndex-loaded) index — the repeated-query
-    * shape. */
+    * shape. `arrayTopK` (r14 optimization round) selects the in-row
+    * per-cell top-k variant: see [[bandedKnnAccuracyArrayOn]].
+    */
   private[graft] def bandedKnnAccuracyOn(
       ci: graft.queries.DedupQueries.CellIndex,
       wideHintCap: Long = DedupQueries.BroadcastHintMaxRows / 8,
-      floorFilterMinRows: Long = KnnFloorFilterMinRows)
-      : DataFrame = {
+      floorFilterMinRows: Long = KnnFloorFilterMinRows,
+      arrayTopK: Boolean = false)
+      : DataFrame = if (arrayTopK)
+    bandedKnnAccuracyArrayOn(ci, wideHintCap, floorFilterMinRows)
+  else {
     // the shared √N-cell index (DedupQueries.buildCellIndex): two
     // LINEAR in-row passes against the broadcast centroid/radii state
     // yield the n-row assignment frame and the surviving probe list —
@@ -244,6 +249,87 @@ object KnnOpsQueries extends QSet {
     // hand by construction — its own top-5 all satisfy cos ≥ l5)
     knnVoteTail(floorPrune(withinDir).unionAll(crossDir),
       bcSkinny(vn.select(col("vec_id"), col("label"))))
+  }
+
+  /** The in-row ARRAY-top-k banded 5-NN (r14 optimization round): the
+    * stream twin's per-cell shape (StreamTransforms.knnQueryStream /
+    * DedupQueries.topkScoredCol) ported to the batch accuracy query.
+    *
+    * Why: in the row shape the vote tail's WindowGroupLimit machinery
+    * sorts EVERY scored directional pair map-side (~n² rows on the
+    * isotropic fixture — plans/r14/q_ml_knn_accuracy_banded_before.txt
+    * Sort(68)) before the top-5-per-vector exchange. Here each scoring
+    * join row is one (query, cell) pair carrying the cell's member
+    * ARRAY (CellIndex.cellMembers — √N rows, n total bytes), the
+    * cosines compute in-row inside topkScoredCol's transform (same
+    * rounded-4dp expression, same (cos DESC, nbr ASC) order), and only
+    * the per-cell top-5 survive to rows — the vote tail's sort input
+    * drops from ~n² to ≤ 5·(n + probe survivors) rows while the dot
+    * count stays exactly the information-theoretic floor.
+    *
+    * Exactness (same oracle as brute): for any query q, any member x
+    * of q's true top-5 living in cell C ranks above at most 4 other
+    * members of C in the SAME total order (anything above x in C is
+    * above x globally), plus q itself in q's own cell — so x survives
+    * the own-cell top-6-drop-self (exact top-5 among non-self members)
+    * or the foreign-cell top-5, the candidate union contains the true
+    * top-5, and the unchanged knnVoteTail picks identically.
+    *
+    * The own-cell top-5's 5th cosine IS the l5 floor (the row shape
+    * derived it from a window over the within tier), so the probes cap
+    * test is unchanged; past `floorFilterMinRows` the floor also
+    * prunes foreign-cell candidates in-row (cos ≥ floor keeps ties,
+    * same as the row shape's floorPrune).
+    */
+  private[graft] def bandedKnnAccuracyArrayOn(
+      ci: graft.queries.DedupQueries.CellIndex,
+      wideHintCap: Long = DedupQueries.BroadcastHintMaxRows / 8,
+      floorFilterMinRows: Long = KnnFloorFilterMinRows)
+      : DataFrame = {
+    val useFloor = ci.nVec >= floorFilterMinRows
+    def bcSkinny(df: DataFrame): DataFrame =
+      DedupQueries.maybeBroadcast(df, ci.nVec, wideHintCap * 8)
+    val cm = ci.cellMembers
+    // own tier: every member against its own cell's array — top-6
+    // including self, self dropped in-row, leaving the exact top-5
+    // among the other members (self always scores round(1.0, 4); even
+    // when ≥6 members tie at 1.0 the slice keeps the 6 best and
+    // dropping self leaves the 5 best non-self — see the ranking
+    // containment argument above). Persisted: consumed by the
+    // candidate union and the probe pass.
+    val own = ci.memVec
+      .join(cm, Seq("cell"))
+      .withColumn("t6", DedupQueries.topkScoredCol(6)(col("ms"),
+        col("embedding"), col("nrm")))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        expr("slice(filter(t6, c -> c.nbr != vec_id), 1, 5)").as("t5"))
+      .withColumn("floor", when(size(col("t5")) >= 5,
+        element_at(col("t5"), 5).getField("cos")))
+      .persist()
+    val ownCands = own
+      .select(col("vec_id").as("id1"), explode(col("t5")).as("c"))
+      .select(col("id1"), col("c.nbr").as("id2"), col("c.cos").as("cos"))
+    val probes = ci.probes(own.select(col("vec_id"), col("embedding"),
+      col("nrm"), col("floor")))
+    // foreign-cell candidates: per (query, surviving cell) the in-row
+    // top-5; past the floor crossover the l5 floor also drops
+    // candidates in-row at birth (ties kept, exactly floorPrune) —
+    // below it the floor attach join is skipped like the row shape
+    val scored = (if (useFloor)
+        probes.join(bcSkinny(own.select(col("vec_id").as("id1"),
+          col("floor"))), Seq("id1"), "left")
+      else probes)
+      .join(cm, Seq("cell"))
+      .withColumn("ct5",
+        DedupQueries.topkScoredCol(5)(col("ms"), col("e1"), col("n1")))
+    val crossCands = scored
+      .select(col("id1"), explode(
+        if (!useFloor) col("ct5")
+        else expr("filter(ct5, c -> floor IS NULL OR c.cos >= floor)"))
+        .as("c"))
+      .select(col("id1"), col("c.nbr").as("id2"), col("c.cos").as("cos"))
+    knnVoteTail(ownCands.unionAll(crossCands),
+      bcSkinny(ci.vn.select(col("vec_id"), col("label"))))
   }
 
 

@@ -359,24 +359,13 @@ object StreamTransforms {
     ci.cellMembers
 
   /** In-row scored top-k of one cell's member array for one query
-    * vector: the same rounded-4dp cosine expression shape as
-    * pairCosCol, ranked by the same (cos DESC, nbr ASC) total order.
+    * vector — the shared DedupQueries.topkScoredCol (hoisted in r14 so
+    * the batch banded-kNN array path and these stream twins cannot
+    * drift apart).
     */
   private def topkCol(k: Int)(ms: Column, e1: Column, n1: Column)
-      : Column = {
-    import graft.functions.Native
-    val scored = transform(ms, m =>
-      struct(
-        round(Native.dotF(e1, m.getField("e2")) /
-          (n1 * m.getField("n2")), 4).as("cos"),
-        m.getField("nbr").as("nbr")))
-    slice(array_sort(scored, (a, b) =>
-      when(a.getField("cos") > b.getField("cos"), -1)
-        .when(a.getField("cos") < b.getField("cos"), 1)
-        .when(a.getField("nbr") < b.getField("nbr"), -1)
-        .when(a.getField("nbr") > b.getField("nbr"), 1)
-        .otherwise(0)), 1, k)
-  }
+      : Column =
+    graft.queries.DedupQueries.topkScoredCol(k)(ms, e1, n1)
 
   /** Per-query top-k merge in flatMapGroupsWithState: every candidate
     * row derives from one input row, so each group is complete within

@@ -826,8 +826,78 @@ object ABBench {
       "fzC_B" -> (() => EOQ.fuzzyName(spark, sfDir,
         shareFuzzyFrames = true)),
     )
+    // exp13 (AB_EXP=r14opt, round-14 optimization round): duo A/Bs of
+    // the two new structural challengers plus the judge-requested
+    // re-adjudication duos.
+    //  kb: banded kNN — in-row ARRAY per-cell top-5 (the stream twin's
+    //      shape, bandedKnnAccuracyArrayOn) vs the incumbent row shape
+    //      whose WindowGroupLimit sorts every scored pair map-side.
+    //  cp/pf: containment_prefix / prefix_filter — hash-only candidate
+    //      join keys (drop the gram string from the candidate
+    //      exchange; exact verify kills collision candidates).
+    //  bl/rec: A/A anchor duos for the two window-inflated untouched
+    //      heavies (VERDICT r13 #7) — parked-or-drifting check only.
+    import graft.queries.{KnnOpsQueries => KOQ}
+    val r14opt: Seq[(String, () => DataFrame)] = Seq(
+      "an11_A" -> q("q_tpch_q11"), "an11_B" -> q("q_tpch_q11"),
+      "kbI_A" -> (() => KOQ.bandedKnnAccuracyOn(
+        DedupQueries.buildCellIndex(spark, sfDir))),
+      "kbI_B" -> (() => KOQ.bandedKnnAccuracyOn(
+        DedupQueries.buildCellIndex(spark, sfDir))),
+      "kbC_A" -> (() => KOQ.bandedKnnAccuracyOn(
+        DedupQueries.buildCellIndex(spark, sfDir), arrayTopK = true)),
+      "kbC_B" -> (() => KOQ.bandedKnnAccuracyOn(
+        DedupQueries.buildCellIndex(spark, sfDir), arrayTopK = true)),
+      "cpI_A" -> (() => DedupQueries.containmentPrefixPairs(spark, sfDir,
+        hashOnlyCands = false)),
+      "cpI_B" -> (() => DedupQueries.containmentPrefixPairs(spark, sfDir,
+        hashOnlyCands = false)),
+      "cpC_A" -> (() => DedupQueries.containmentPrefixPairs(spark, sfDir,
+        hashOnlyCands = true)),
+      "cpC_B" -> (() => DedupQueries.containmentPrefixPairs(spark, sfDir,
+        hashOnlyCands = true)),
+      "pfI_A" -> (() => DedupQueries.prefixFilterPairs(spark, sfDir,
+        hashOnlyCands = false)),
+      "pfI_B" -> (() => DedupQueries.prefixFilterPairs(spark, sfDir,
+        hashOnlyCands = false)),
+      "pfC_A" -> (() => DedupQueries.prefixFilterPairs(spark, sfDir,
+        hashOnlyCands = true)),
+      "pfC_B" -> (() => DedupQueries.prefixFilterPairs(spark, sfDir,
+        hashOnlyCands = true)),
+      "bl_A" -> q("q_basket_lift"), "bl_B" -> q("q_basket_lift"),
+      "rec_A" -> q("q_rec_item_neighbors"),
+      "rec_B" -> q("q_rec_item_neighbors"),
+    )
+    // AB_EXP=r14opt2: the second r14 window, focused — kb dropped
+    // (refuted at +70% in window 1: the in-row HOF scoring lambda
+    // costs more than the row-shape sort it saves), cp/pf/bl/rec kept
+    // (window 1 was noisy: an11 first-slots ran 1.5x second slots).
+    val r14opt2: Seq[(String, () => DataFrame)] = Seq(
+      "an11_A" -> q("q_tpch_q11"), "an11_B" -> q("q_tpch_q11"),
+      "cpI_A" -> (() => DedupQueries.containmentPrefixPairs(spark, sfDir,
+        hashOnlyCands = false)),
+      "cpI_B" -> (() => DedupQueries.containmentPrefixPairs(spark, sfDir,
+        hashOnlyCands = false)),
+      "cpC_A" -> (() => DedupQueries.containmentPrefixPairs(spark, sfDir,
+        hashOnlyCands = true)),
+      "cpC_B" -> (() => DedupQueries.containmentPrefixPairs(spark, sfDir,
+        hashOnlyCands = true)),
+      "pfI_A" -> (() => DedupQueries.prefixFilterPairs(spark, sfDir,
+        hashOnlyCands = false)),
+      "pfI_B" -> (() => DedupQueries.prefixFilterPairs(spark, sfDir,
+        hashOnlyCands = false)),
+      "pfC_A" -> (() => DedupQueries.prefixFilterPairs(spark, sfDir,
+        hashOnlyCands = true)),
+      "pfC_B" -> (() => DedupQueries.prefixFilterPairs(spark, sfDir,
+        hashOnlyCands = true)),
+      "bl_A" -> q("q_basket_lift"), "bl_B" -> q("q_basket_lift"),
+      "rec_A" -> q("q_rec_item_neighbors"),
+      "rec_B" -> q("q_rec_item_neighbors"),
+    )
     val variants: Seq[(String, () => DataFrame)] =
-      (if (sys.env.get("AB_EXP").contains("r13opt2")) r13opt2
+      (if (sys.env.get("AB_EXP").contains("r14opt2")) r14opt2
+      else if (sys.env.get("AB_EXP").contains("r14opt")) r14opt
+      else if (sys.env.get("AB_EXP").contains("r13opt2")) r13opt2
       else if (sys.env.get("AB_EXP").contains("r13opt")) r13opt
       else if (sys.env.get("AB_EXP").contains("ng2")) ng2 else Seq(
       "an11_A" -> q("q_tpch_q11"), "an11_B" -> q("q_tpch_q11"),

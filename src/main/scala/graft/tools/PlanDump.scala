@@ -26,7 +26,8 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Files.createDirectories(Paths.get("plans/r13"))
+    val outDir = sys.env.getOrElse("GRAFT_PLANDUMP_DIR", "plans/r14")
+    Files.createDirectories(Paths.get(outDir))
     // GRAFT_PLANDUMP_UNCUT=1: dump the PRE-round-13 shape of the four
     // lineage-cut queries via their uncut toggles (the toggle is the
     // old shape bit-for-bit), so before/after plans stay regenerable
@@ -49,10 +50,10 @@ object PlanDump {
       }
     names.foreach { k =>
       val plan = frame(k).queryExecution.explainString(FormattedMode)
-      Files.writeString(Paths.get(s"plans/r13/${k}_$suffix.txt"),
+      Files.writeString(Paths.get(s"$outDir/${k}_$suffix.txt"),
         s"== $k ($suffix) — $sfDir, local[$cpus], " +
           s"shuffle.partitions=$cpus ==\n\n" + plan)
-      println(s"wrote plans/r13/${k}_$suffix.txt")
+      println(s"wrote $outDir/${k}_$suffix.txt")
     }
     spark.stop()
   }
