@@ -17,6 +17,47 @@ import graft.engine.Tables._
   */
 object CorpusOpsQueries extends QSet {
 
+  /** q_corpus_mix body — balanced-corpus downsampling: derive each
+    * language's keep-rate from its OWN count so every class lands at
+    * the minority class's size — the class-rebalance shape. The rate
+    * table is one row per lang (broadcast by construction); selection
+    * is the deterministic md5-threshold from q_sample_hash, with the
+    * 16-bit threshold in exact integer arithmetic ((t·65536) div n,
+    * hex-printed) so both engines cut at the identical hash value. No
+    * driver loop, no sampleBy approximation, reproducible under
+    * re-runs.
+    *
+    * `windowTarget` (r14): ride the minority-class minimum over the
+    * LANG-BOUNDED cnt frame as a window instead of a separate
+    * agg + crossJoin — the incumbent's `cnt` had two consumers (the
+    * 1-row min and the rate table), so the documents scan + lang
+    * aggregate ran TWICE (plan_audit: scan=3). The window keeps one
+    * consumer: 3 corpus scans → 2, zero materialization (the same
+    * vocab-frame-window discipline as q_text_collocation). min over
+    * all rows of the identical frame — values unchanged
+    * (R14TogglesSpec pins both shapes row-for-row). */
+  private[graft] def corpusMix(s: org.apache.spark.sql.SparkSession,
+      dir: String, windowTarget: Boolean = true): DataFrame = {
+    val d = t(s, dir, "documents")
+    val cnt = d.groupBy("lang").agg(count(lit(1)).as("n"))
+    val rates0 =
+      if (windowTarget) {
+        val all = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        cnt.withColumn("t", min(col("n")).over(all))
+      } else {
+        val target = cnt.agg(min(col("n")).as("t"))
+        cnt.crossJoin(broadcast(target))
+      }
+    val rates = rates0.select(col("lang"), col("n"), col("t"),
+      lpad(lower(hex(expr("(t * 65536) div n"))), 4, "0").as("thr"))
+    d.join(broadcast(rates), "lang")
+      .filter(col("n") === col("t") ||
+        substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Tokenized documents — the shared explode for the n-gram queries. */
   private def toks(s: org.apache.spark.sql.SparkSession, dir: String) =
     t(s, dir, "documents")
@@ -77,19 +118,7 @@ object CorpusOpsQueries extends QSet {
     // exact integer arithmetic ((t·65536) div n, hex-printed) so both
     // engines cut at the identical hash value. No driver loop, no
     // sampleBy approximation, reproducible under re-runs.
-    "q_corpus_mix" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val cnt = d.groupBy("lang").agg(count(lit(1)).as("n"))
-      val target = cnt.agg(min(col("n")).as("t"))
-      val rates = cnt.crossJoin(broadcast(target))
-        .select(col("lang"), col("n"), col("t"),
-          lpad(lower(hex(expr("(t * 65536) div n"))), 4, "0").as("thr"))
-      d.join(broadcast(rates), "lang")
-        .filter(col("n") === col("t") ||
-          substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"))
-        .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy("doc_id")
-    }),
+    "q_corpus_mix" -> ((s, dir) => corpusMix(s, dir)),
 
     // Collocation mining by ASSOCIATION STRENGTH (the PMI ranking,
     // kept libm-free): lift(w1,w2) = c_ab·N / (c_a·c_b) — PMI is its

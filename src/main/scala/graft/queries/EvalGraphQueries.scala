@@ -44,42 +44,7 @@ object EvalGraphQueries extends QSet {
     // Hours where d = r (absorption, S → 0) contribute NULL; both
     // engines' window SUM skips NULLs identically, and the row keeps
     // at_risk/deaths so the absorption point stays visible.
-    "q_ts_kaplan_meier" -> ((s, dir) => {
-      val ev = events(s, dir).select(col("user_id"), col("event_type"),
-        unix_micros(col("ts_us")).as("tu"))
-      val u = ev.groupBy("user_id").agg(
-          min(col("tu")).as("t0"),
-          max(col("tu")).as("t1"),
-          min(when(col("event_type") === "purchase", col("tu"))).as("tp"))
-        .select(col("user_id"),
-          coalesce(expr("(tp - t0) div 3600000000"),
-            expr("(t1 - t0) div 3600000000")).as("exit_h"),
-          when(col("tp").isNotNull, 1L).otherwise(0L).as("death"))
-      val deltas = u.select(lit(0L).as("h"), lit(1L).as("d"))
-        .unionAll(u.select((col("exit_h") + 1).as("h"), lit(-1L).as("d")))
-        .groupBy("h").agg(sum(col("d")).as("delta"))
-      val deaths = u.filter(col("death") === 1)
-        .groupBy(col("exit_h").as("h")).agg(count(lit(1)).as("deaths"))
-      val spine = u.agg(max(col("exit_h")).as("maxh"))
-        .select(explode(sequence(lit(0L), col("maxh"))).as("h"))
-      val byH = Window.orderBy("h")
-      spine
-        .join(deltas, Seq("h"), "left")
-        .join(deaths, Seq("h"), "left")
-        .withColumn("at_risk",
-          sum(coalesce(col("delta"), lit(0L))).over(byH))
-        .filter(col("at_risk") > 0)
-        .withColumn("dth", coalesce(col("deaths"), lit(0L)))
-        .withColumn("term", when(col("dth") < col("at_risk"),
-          round(log((col("at_risk") - col("dth")).cast(DoubleType) /
-            col("at_risk").cast(DoubleType)), 10)
-            .cast(DecimalType(28, 10))))
-        .withColumn("km_log_survival",
-          sum(col("term")).over(byH).cast(StringType).cast(DoubleType))
-        .select(col("h"), col("at_risk"), col("dth").as("deaths"),
-          col("km_log_survival"))
-        .orderBy("h")
-    }),
+    "q_ts_kaplan_meier" -> ((s, dir) => kaplanMeier(s, dir)),
 
     // Mean-average-precision@10 of `value` as a per-user retrieval
     // score (relevant = purchase) — the order-sensitive companion of
@@ -154,27 +119,92 @@ object EvalGraphQueries extends QSet {
     // whose fan-out per word is the number of sources carrying it
     // (≤ 20, a catalog bound); Jaccard is exact int64 counts up to one
     // shared IEEE division.
-    "q_source_vocab_overlap" -> ((s, dir) => {
-      val sw = t(s, dir, "documents")
-        .select(col("source"), explode(split(col("text"), " ")).as("w"))
-        .distinct()
-      val sizes = sw.groupBy("source").agg(count(lit(1)).as("nv"))
-      val inter = sw.select(col("source").as("sa"), col("w"))
-        .join(sw.select(col("source").as("sb"), col("w")), Seq("w"))
-        .filter(col("sa") < col("sb"))
-        .groupBy("sa", "sb").agg(count(lit(1)).as("inter"))
-      inter
-        .join(broadcast(sizes.select(col("source").as("sa"),
-          col("nv").as("na"))), Seq("sa"))
-        .join(broadcast(sizes.select(col("source").as("sb"),
-          col("nv").as("nb"))), Seq("sb"))
-        .select(col("sa"), col("sb"), col("na"), col("nb"), col("inter"),
-          (col("inter").cast(DoubleType) /
-            (col("na") + col("nb") - col("inter")).cast(DoubleType))
-            .as("jaccard"))
-        .orderBy("sa", "sb")
-    })
+    "q_source_vocab_overlap" -> ((s, dir) => vocabOverlap(s, dir))
   )
+
+  /** The declared q_ts_kaplan_meier body. `cutUsers` cuts lineage at
+    * the per-user exit/death ledger `u`: it has FOUR consumers (the
+    * two ±1 delta branches, the deaths count, the hour spine), each of
+    * which otherwise re-derives the full events scan + per-user
+    * aggregate — 4 corpus scans in the uncut plan (the r14 --rescans
+    * sweep). The ledger is one narrow row per user (the same
+    * users-not-events discipline the query already argues), so the cut
+    * trades 3 corpus scan+shuffle passes for one user-sized
+    * materialization — the adopted r13 boundary (corpus pass × ≥3
+    * consumers). Output toggle-invariant (R14TogglesSpec).
+    */
+  private[graft] def kaplanMeier(s: org.apache.spark.sql.SparkSession,
+      dir: String, cutUsers: Boolean = true): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts_us")).as("tu"))
+    val uRaw = ev.groupBy("user_id").agg(
+        min(col("tu")).as("t0"),
+        max(col("tu")).as("t1"),
+        min(when(col("event_type") === "purchase", col("tu"))).as("tp"))
+      .select(col("user_id"),
+        coalesce(expr("(tp - t0) div 3600000000"),
+          expr("(t1 - t0) div 3600000000")).as("exit_h"),
+        when(col("tp").isNotNull, 1L).otherwise(0L).as("death"))
+    val u = if (cutUsers) cutLineage(uRaw) else uRaw
+    val deltas = u.select(lit(0L).as("h"), lit(1L).as("d"))
+      .unionAll(u.select((col("exit_h") + 1).as("h"), lit(-1L).as("d")))
+      .groupBy("h").agg(sum(col("d")).as("delta"))
+    val deaths = u.filter(col("death") === 1)
+      .groupBy(col("exit_h").as("h")).agg(count(lit(1)).as("deaths"))
+    val spine = u.agg(max(col("exit_h")).as("maxh"))
+      .select(explode(sequence(lit(0L), col("maxh"))).as("h"))
+    val byH = Window.orderBy("h")
+    spine
+      .join(deltas, Seq("h"), "left")
+      .join(deaths, Seq("h"), "left")
+      .withColumn("at_risk",
+        sum(coalesce(col("delta"), lit(0L))).over(byH))
+      .filter(col("at_risk") > 0)
+      .withColumn("dth", coalesce(col("deaths"), lit(0L)))
+      .withColumn("term", when(col("dth") < col("at_risk"),
+        round(log((col("at_risk") - col("dth")).cast(DoubleType) /
+          col("at_risk").cast(DoubleType)), 10)
+          .cast(DecimalType(28, 10))))
+      .withColumn("km_log_survival",
+        sum(col("term")).over(byH).cast(StringType).cast(DoubleType))
+      .select(col("h"), col("at_risk"), col("dth").as("deaths"),
+        col("km_log_survival"))
+      .orderBy("h")
+  }
+
+  /** The declared q_source_vocab_overlap body. `shareSw` cuts lineage
+    * at the distinct (source, word) frame `sw`: it has THREE consumers
+    * (the per-source sizes and both sides of the word-keyed
+    * intersection self-join), each of which otherwise re-runs the
+    * corpus tokenize → explode → distinct (its own shuffle) — 4
+    * document scans in the uncut plan (r14 --rescans sweep). sw is
+    * catalog × vocabulary bounded (≤ 20 sources per word), so the cut
+    * trades 3 corpus tokenize+distinct passes for one vocab-sized
+    * materialization — the adopted r13 boundary (corpus pass × ≥3
+    * consumers). Output toggle-invariant (R14TogglesSpec).
+    */
+  private[graft] def vocabOverlap(s: org.apache.spark.sql.SparkSession,
+      dir: String, shareSw: Boolean = true): DataFrame = {
+    val swRaw = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val sw = if (shareSw) cutLineage(swRaw) else swRaw
+    val sizes = sw.groupBy("source").agg(count(lit(1)).as("nv"))
+    val inter = sw.select(col("source").as("sa"), col("w"))
+      .join(sw.select(col("source").as("sb"), col("w")), Seq("w"))
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("sa"),
+        col("nv").as("na"))), Seq("sa"))
+      .join(broadcast(sizes.select(col("source").as("sb"),
+        col("nv").as("nb"))), Seq("sb"))
+      .select(col("sa"), col("sb"), col("na"), col("nb"), col("inter"),
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")).cast(DoubleType))
+          .as("jaccard"))
+      .orderBy("sa", "sb")
+  }
 
   /** The declared q_graph_hits body. The hub frame `h1` has two
     * consumers (the a2 round and the final report join), so the

@@ -181,39 +181,7 @@ object ExperimentQueries extends QSet {
     // q_ts_active_intervals precedent) — one tiny per-user aggregate,
     // then all windows ride the ~720-row hour spine, never the fact.
     // hazard = deaths/at_risk as one shared int-base IEEE division.
-    "q_ts_hazard" -> ((s, dir) => {
-      val ev = events(s, dir).select(col("user_id"), col("event_type"),
-        unix_micros(col("ts_us")).as("tu"))
-      val u = ev.groupBy("user_id").agg(
-          min(col("tu")).as("t0"),
-          max(col("tu")).as("t1"),
-          min(when(col("event_type") === "purchase", col("tu"))).as("tp"))
-        .select(col("user_id"),
-          expr("(t1 - t0) div 3600000000").as("hu"),
-          expr("(tp - t0) div 3600000000").as("fp"))
-        .select(col("user_id"),
-          coalesce(col("fp"), col("hu")).as("exit_h"),
-          when(col("fp").isNotNull, 1L).otherwise(0L).as("death"))
-      val deltas = u.select(lit(0L).as("h"), lit(1L).as("d"))
-        .unionAll(u.select((col("exit_h") + 1).as("h"), lit(-1L).as("d")))
-        .groupBy("h").agg(sum(col("d")).as("delta"))
-      val deaths = u.filter(col("death") === 1)
-        .groupBy(col("exit_h").as("h")).agg(count(lit(1)).as("deaths"))
-      val spine = u.agg(max(col("exit_h")).as("maxh"))
-        .select(explode(sequence(lit(0L), col("maxh"))).as("h"))
-      val byH = Window.orderBy("h")
-      spine
-        .join(deltas, Seq("h"), "left")
-        .join(deaths, Seq("h"), "left")
-        .withColumn("at_risk", sum(coalesce(col("delta"), lit(0L))).over(byH))
-        .filter(col("at_risk") > 0)
-        .select(col("h"),
-          col("at_risk"),
-          coalesce(col("deaths"), lit(0L)).as("deaths"),
-          (coalesce(col("deaths"), lit(0L)).cast(DoubleType) /
-            col("at_risk").cast(DoubleType)).as("hazard"))
-        .orderBy("h")
-    }),
+    "q_ts_hazard" -> ((s, dir) => tsHazard(s, dir)),
 
     // Linear multi-touch attribution: every purchase distributes one
     // unit of credit equally over the user's view/click/signup touches
@@ -292,6 +260,51 @@ object ExperimentQueries extends QSet {
         .limit(100)
     })
   )
+
+  /** The declared q_ts_hazard body. `cutUsers` cuts lineage at the
+    * per-user exit/death ledger `u` — FOUR consumers (two ±1 delta
+    * branches, deaths, the hour spine), each otherwise re-deriving the
+    * events scan + per-user aggregate (4 corpus scans, r14 --rescans
+    * sweep). Same ledger and same argument as
+    * [[EvalGraphQueries.kaplanMeier]]: one narrow row per user, the
+    * adopted r13 cut boundary (corpus pass × ≥3 consumers). Output
+    * toggle-invariant (R14TogglesSpec).
+    */
+  private[graft] def tsHazard(s: org.apache.spark.sql.SparkSession,
+      dir: String, cutUsers: Boolean = false): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts_us")).as("tu"))
+    val uRaw = ev.groupBy("user_id").agg(
+        min(col("tu")).as("t0"),
+        max(col("tu")).as("t1"),
+        min(when(col("event_type") === "purchase", col("tu"))).as("tp"))
+      .select(col("user_id"),
+        expr("(t1 - t0) div 3600000000").as("hu"),
+        expr("(tp - t0) div 3600000000").as("fp"))
+      .select(col("user_id"),
+        coalesce(col("fp"), col("hu")).as("exit_h"),
+        when(col("fp").isNotNull, 1L).otherwise(0L).as("death"))
+    val u = if (cutUsers) cutLineage(uRaw) else uRaw
+    val deltas = u.select(lit(0L).as("h"), lit(1L).as("d"))
+      .unionAll(u.select((col("exit_h") + 1).as("h"), lit(-1L).as("d")))
+      .groupBy("h").agg(sum(col("d")).as("delta"))
+    val deaths = u.filter(col("death") === 1)
+      .groupBy(col("exit_h").as("h")).agg(count(lit(1)).as("deaths"))
+    val spine = u.agg(max(col("exit_h")).as("maxh"))
+      .select(explode(sequence(lit(0L), col("maxh"))).as("h"))
+    val byH = Window.orderBy("h")
+    spine
+      .join(deltas, Seq("h"), "left")
+      .join(deaths, Seq("h"), "left")
+      .withColumn("at_risk", sum(coalesce(col("delta"), lit(0L))).over(byH))
+      .filter(col("at_risk") > 0)
+      .select(col("h"),
+        col("at_risk"),
+        coalesce(col("deaths"), lit(0L)).as("deaths"),
+        (coalesce(col("deaths"), lit(0L)).cast(DoubleType) /
+          col("at_risk").cast(DoubleType)).as("hazard"))
+      .orderBy("h")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_stats_prop_test" ->

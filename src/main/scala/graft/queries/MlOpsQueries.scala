@@ -179,35 +179,7 @@ object MlOpsQueries extends QSet {
     // decimal round can land on a half — the cast is engine-exact);
     // cov = (Σxy − Σx·Σy/n)/(n−1) is then the identical IEEE
     // expression shape on both engines.
-    "q_feat_cov" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(
-        expr("transform(embedding, e -> cast(e as double))").as("v"))
-      val pairs = emb.select(explode(expr(
-        "flatten(transform(sequence(0, size(v)-1), i -> " +
-          "transform(sequence(i, size(v)-1), j -> " +
-          "struct(i as p1, j as p2, round(v[i] * v[j], 10) as xy))))"))
-        .as("pr"))
-        .select(col("pr.p1").cast(LongType).as("p1"),
-          col("pr.p2").cast(LongType).as("p2"), col("pr.xy").as("xy"))
-      val sxy = pairs.groupBy("p1", "p2").agg(
-        count(lit(1)).as("n"),
-        sum(col("xy").cast(DecimalType(30, 10))).cast(StringType)
-          .cast(DoubleType).as("sxy"))
-      val sx = emb.select(posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("pos")
-        .agg(sum(col("x").cast(DecimalType(19, 8))).cast(StringType)
-          .cast(DoubleType).as("sx"))
-        .select(col("pos").cast(LongType).as("pos"), col("sx"))
-      sxy
-        .join(broadcast(sx.select(col("pos").as("p1"), col("sx").as("sx1"))),
-          "p1")
-        .join(broadcast(sx.select(col("pos").as("p2"), col("sx").as("sx2"))),
-          "p2")
-        .select(col("p1"), col("p2"),
-          ((col("sxy") - col("sx1") * col("sx2") / col("n")) /
-            (col("n") - lit(1L))).as("cov"))
-        .orderBy("p1", "p2")
-    }),
+    "q_feat_cov" -> ((s, dir) => featCov(s, dir)),
 
     // Per-language quality calibration: type-token ratio scored per
     // doc, percentile-ranked WITHIN its language, bottom quintile
@@ -254,6 +226,48 @@ object MlOpsQueries extends QSet {
         .orderBy(col("cnt").desc, col("user_id"))
     })
   )
+
+  /** The declared q_feat_cov body. `cutSx` cuts lineage at the
+    * per-position first-moment frame `sx` (DIMENSION rows — ~32): it
+    * joins the covariance grid TWICE (as sx1 on p1 and sx2 on p2), so
+    * the uncut plan re-runs its corpus posexplode + aggregate once per
+    * consumer (3 embedding scans, r14 --rescans sweep). The cut trades
+    * one corpus pass for a dim-sized materialization. Two consumers ×
+    * one corpus pass each — the naive-Bayes cls5 precedent rather than
+    * the ≥3-consumer rule; adopted/refuted on the duo. Output
+    * toggle-invariant (R14TogglesSpec).
+    */
+  private[graft] def featCov(s: org.apache.spark.sql.SparkSession,
+      dir: String, cutSx: Boolean = false): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(
+      expr("transform(embedding, e -> cast(e as double))").as("v"))
+    val pairs = emb.select(explode(expr(
+      "flatten(transform(sequence(0, size(v)-1), i -> " +
+        "transform(sequence(i, size(v)-1), j -> " +
+        "struct(i as p1, j as p2, round(v[i] * v[j], 10) as xy))))"))
+      .as("pr"))
+      .select(col("pr.p1").cast(LongType).as("p1"),
+        col("pr.p2").cast(LongType).as("p2"), col("pr.xy").as("xy"))
+    val sxy = pairs.groupBy("p1", "p2").agg(
+      count(lit(1)).as("n"),
+      sum(col("xy").cast(DecimalType(30, 10))).cast(StringType)
+        .cast(DoubleType).as("sxy"))
+    val sxRaw = emb.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(sum(col("x").cast(DecimalType(19, 8))).cast(StringType)
+        .cast(DoubleType).as("sx"))
+      .select(col("pos").cast(LongType).as("pos"), col("sx"))
+    val sx = if (cutSx) cutLineage(sxRaw) else sxRaw
+    sxy
+      .join(broadcast(sx.select(col("pos").as("p1"), col("sx").as("sx1"))),
+        "p1")
+      .join(broadcast(sx.select(col("pos").as("p2"), col("sx").as("sx2"))),
+        "p2")
+      .select(col("p1"), col("p2"),
+        ((col("sxy") - col("sx1") * col("sx2") / col("n")) /
+          (col("n") - lit(1L))).as("cov"))
+      .orderBy("p1", "p2")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_feat_target_encode" ->

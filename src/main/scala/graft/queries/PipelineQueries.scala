@@ -142,38 +142,7 @@ object PipelineQueries extends QSet {
     // — the composition a pretraining pipeline actually ships. Catalyst
     // fuses the narrow stages; the only shuffles are the dedup window
     // and the contaminated-id distinct; the holdout gram set broadcasts.
-    "q_pipeline_corpus" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("text"),
-          split(col("text"), " ").as("tk"), col("n_chars"))
-      val ngrams = (df: org.apache.spark.sql.DataFrame) =>
-        df.filter(size(col("tk")) >= 4)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(tk) - 4), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3]))"))
-            .as("g"))
-      val quality = toks.filter(size(col("tk")) >= 8 &&
-        col("n_chars") >= 50 &&
-        size(array_distinct(col("tk"))).cast(DoubleType) / size(col("tk")) >= 0.1)
-      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-      val deduped = quality.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
-      val hold = ngrams(toks.filter(col("source") === "src0"))
-        .select("g").distinct()
-      val corpus = deduped.filter(col("source") =!= "src0")
-      val contam = ngrams(corpus).join(broadcast(hold), "g")
-        .select("doc_id").distinct()
-      corpus.join(contam, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("source"), col("tk"))
-        .select(col("doc_id"), col("source"), col("tk"),
-          explode(expr("sequence(1, size(tk), 8)")).as("start"))
-        .select(col("doc_id"), col("source"),
-          col("start").cast(LongType).as("start"),
-          expr("slice(tk, start, 12)").as("ck"))
-        .select(col("doc_id"), col("source"), col("start"),
-          size(col("ck")).cast(LongType).as("n_tok"),
-          concat_ws(" ", col("ck")).as("chunk"))
-        .orderBy("doc_id", "start")
-    }),
+    "q_pipeline_corpus" -> ((s, dir) => pipelineCorpus(s, dir)),
 
     // Repetition scoring (the Gopher duplicate-n-gram signal): fraction
     // of non-distinct token bigrams per doc. One per-doc aggregate over
@@ -194,6 +163,62 @@ object PipelineQueries extends QSet {
         .orderBy("doc_id")
     })
   )
+
+  /** The declared q_pipeline_corpus body — the end-to-end corpus-prep
+    * chain in ONE declarative plan: quality gate → exact dedup →
+    * benchmark decontamination → chunking. Catalyst fuses the narrow
+    * stages; the only shuffles are the dedup window and the
+    * contaminated-id distinct; the holdout gram set broadcasts.
+    *
+    * `contamPreDedup` (r14): mine the contaminated doc ids from the
+    * QUALITY frame (pre-dedup) instead of the deduped corpus. The
+    * incumbent derived `contam` FROM `corpus`, giving the deduped
+    * chain two consumers — the md5-dedup WINDOW SHUFFLE ran twice
+    * (r14 --rescans sweep: 3 document scans, two through the window).
+    * Contamination is TEXT-determined (same text ⇒ same 4-grams ⇒
+    * same verdict), and a left-anti join ignores ids absent from its
+    * left side, so anti-joining corpus against the pre-dedup
+    * contaminated-id superset removes exactly the same rows: for any
+    * doc in corpus, its id is in contam-pre-dedup iff its grams hit
+    * the holdout iff it was in contam-post-dedup. The window runs
+    * once; values unchanged (R14TogglesSpec pins both shapes). */
+  private[graft] def pipelineCorpus(s: org.apache.spark.sql.SparkSession,
+      dir: String, contamPreDedup: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        split(col("text"), " ").as("tk"), col("n_chars"))
+    val ngrams = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(size(col("tk")) >= 4)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(tk) - 4), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3]))"))
+          .as("g"))
+    val quality = toks.filter(size(col("tk")) >= 8 &&
+      col("n_chars") >= 50 &&
+      size(array_distinct(col("tk"))).cast(DoubleType) / size(col("tk")) >= 0.1)
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val deduped = quality.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val hold = ngrams(toks.filter(col("source") === "src0"))
+      .select("g").distinct()
+    val corpus = deduped.filter(col("source") =!= "src0")
+    val contamSrc =
+      if (contamPreDedup) quality.filter(col("source") =!= "src0")
+      else corpus
+    val contam = ngrams(contamSrc).join(broadcast(hold), "g")
+      .select("doc_id").distinct()
+    corpus.join(contam, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("tk"))
+      .select(col("doc_id"), col("source"), col("tk"),
+        explode(expr("sequence(1, size(tk), 8)")).as("start"))
+      .select(col("doc_id"), col("source"),
+        col("start").cast(LongType).as("start"),
+        expr("slice(tk, start, 12)").as("ck"))
+      .select(col("doc_id"), col("source"), col("start"),
+        size(col("ck")).cast(LongType).as("n_tok"),
+        concat_ws(" ", col("ck")).as("chunk"))
+      .orderBy("doc_id", "start")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_sessionize" ->

@@ -29,6 +29,81 @@ object SearchStatsQueries extends QSet {
   /** BM25 free parameters (the standard Robertson defaults). */
   private val QueryTerms = Seq("merge", "window", "scan")
 
+  /** q_text_bm25 body — BM25 ranking of the corpus against a fixed
+    * query-term set — the relevance scoring every retrieval pipeline
+    * runs over its inverted index. tf/df/dl/N are exact integer
+    * aggregates (tf and df only over the FILTERED query terms, so the
+    * shuffled frames are O(matching docs), never the token stream);
+    * idf is the shared round(ln,6) recipe; the tf-saturation/
+    * length-normalization factor is one IEEE expression over exact-int
+    * bases with identical association on both engines. Corpus stats
+    * attach as a 1-row broadcast; top-20 per term is a term-partitioned
+    * window.
+    *
+    * r14 toggles (both pinned output-identical in R14TogglesSpec):
+    *  - `fuseDl`: compute dl IN the token pass (size(split) rides the
+    *    explode projection) and carry it through the tf aggregate —
+    *    removes the corpus-wide dl frame and its join/exchange
+    *    entirely (guide §2.4; the incumbent scans documents once just
+    *    to join dl back onto tf by doc_id).
+    *  - `dfFromTf`: derive df from the tf frame (count per term over
+    *    one-row-per-(doc,term) == countDistinct(doc_id) per term over
+    *    the token stream) instead of a third corpus scan; the tf frame
+    *    is persisted so its two consumers share one tokenize pass —
+    *    tf is the FILTERED matching-docs frame (≤|QueryTerms| rows per
+    *    doc), not the token stream, so the materialization is strictly
+    *    smaller than the corpus pass it saves.
+    */
+  private[graft] def bm25(s: org.apache.spark.sql.SparkSession,
+      dir: String, fuseDl: Boolean = true, dfFromTf: Boolean = true)
+      : DataFrame = {
+    val docs = t(s, dir, "documents")
+    val stats = docs
+      .select(size(split(col("text"), " ")).cast(LongType).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens"))
+    val scoredBase =
+      if (fuseDl) {
+        val base = docs.select(col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("dl"),
+            explode(split(col("text"), " ")).as("term"))
+          .filter(col("term").isin(QueryTerms: _*))
+        val tfRaw = base.groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        val tf = if (dfFromTf) tfRaw.persist() else tfRaw
+        val dfq =
+          if (dfFromTf) tf.groupBy("term").agg(count(lit(1)).as("df"))
+          else base.groupBy("term")
+            .agg(countDistinct(col("doc_id")).as("df"))
+        tf.join(broadcast(dfq), "term")
+      } else {
+        val toks = docs.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("term"))
+          .filter(col("term").isin(QueryTerms: _*))
+        val dl = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("dl"))
+        val tf = toks.groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"))
+        val dfq = toks.groupBy("term")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        tf.join(dl, "doc_id").join(broadcast(dfq), "term")
+      }
+    scoredBase
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        round(log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)), 6) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl").cast(DoubleType) /
+              (col("tot_tokens").cast(DoubleType) /
+                col("n_docs").cast(DoubleType))))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rn") <= 20)
+      .select("term", "doc_id", "tf", "dl", "score")
+      .orderBy(col("term"), col("score").desc, col("doc_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
     // Grid-bucketed spatial nearest join: deterministic planar
     // coordinates ride the dimension keys (integer arithmetic — no
@@ -79,35 +154,7 @@ object SearchStatsQueries extends QSet {
     // is one IEEE expression over exact-int bases with identical
     // association on both engines. Corpus stats attach as a 1-row
     // broadcast; top-20 per term is a term-partitioned window.
-    "q_text_bm25" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val toks = docs.select(col("doc_id"),
-          explode(split(col("text"), " ")).as("term"))
-        .filter(col("term").isin(QueryTerms: _*))
-      val dl = docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast(LongType).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("tot_tokens"))
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfq = toks.groupBy("term")
-        .agg(countDistinct(col("doc_id")).as("df"))
-      tf.join(dl, "doc_id")
-        .join(broadcast(dfq), "term")
-        .crossJoin(broadcast(stats))
-        .withColumn("score",
-          round(log((col("n_docs") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5)) + lit(1.0)), 6) *
-            (col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
-              (col("dl").cast(DoubleType) /
-                (col("tot_tokens").cast(DoubleType) /
-                  col("n_docs").cast(DoubleType))))))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))))
-        .filter(col("rn") <= 20)
-        .select("term", "doc_id", "tf", "dl", "score")
-        .orderBy(col("term"), col("score").desc, col("doc_id"))
-    }),
+    "q_text_bm25" -> ((s, dir) => bm25(s, dir)),
 
     // Population-stability-index drift between two halves of the event
     // stream (reference = even event ids, current = odd): the standard

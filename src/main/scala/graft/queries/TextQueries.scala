@@ -166,24 +166,7 @@ object TextQueries extends QSet {
     // are rounded to 6dp (Java vs libm ln differ in the ulp) and
     // decimal-ized BEFORE the per-doc sum — order-independent exact
     // aggregation — with the d4-style string hop back to DOUBLE.
-    "q_quality_lm" -> ((s, dir) => {
-      val tok = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val total = tok.agg(count(lit(1)).as("n_total"))
-      val lp = tok.groupBy("term").agg(count(lit(1)).as("tf"))
-        .crossJoin(broadcast(total))
-        .select(col("term"),
-          round(log(col("tf").cast(DoubleType) / col("n_total")), 6)
-            .as("logp"))
-      tok.join(broadcast(lp), "term")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-          sum(col("logp").cast(DecimalType(18, 8))).as("sum_lp"))
-        .select(col("doc_id"), col("n_tok"),
-          round(col("sum_lp").cast(DecimalType(28, 8)).cast(StringType)
-            .cast(DoubleType) / col("n_tok"), 4).as("avg_logp"))
-        .orderBy("doc_id")
-    }),
+    "q_quality_lm" -> ((s, dir) => qualityLm(s, dir)),
 
     // Pattern redaction: scrub a sensitive-term list from every doc
     // (the PII/compliance pass a corpus pipeline runs before training),
@@ -325,6 +308,50 @@ object TextQueries extends QSet {
         .orderBy("doc_id")
     })
   )
+
+  /** The declared q_quality_lm body — unigram-LM quality scoring (the
+    * perplexity-filter shape): train token logprobs from the corpus
+    * itself, then score each doc by mean token log-likelihood. The
+    * vocab is corpus-bounded so the logprob table broadcasts into a
+    * map-side join; per-token logprobs are rounded to 6dp (Java vs
+    * libm ln differ in the ulp) and decimal-ized BEFORE the per-doc
+    * sum — order-independent exact aggregation — with the d4-style
+    * string hop back to DOUBLE.
+    *
+    * `windowTotal` (r14): ride the corpus token total over the
+    * VOCAB-BOUNDED tf frame as a window (Σtf == count of all tokens —
+    * the same identity q_text_collocation already uses) instead of a
+    * separate corpus-wide count + crossJoin. The incumbent's separate
+    * `total` aggregate re-scanned + re-exploded the whole corpus for
+    * one number (3 document scans, r14 --rescans sweep) — the window
+    * makes it 2 with ZERO materialization. Values unchanged
+    * (R14TogglesSpec pins both shapes row-for-row). */
+  private[graft] def qualityLm(s: SparkSession, dir: String,
+      windowTotal: Boolean = true): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy("term").agg(count(lit(1)).as("tf"))
+    val withTotal =
+      if (windowTotal) {
+        val all = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        tf.withColumn("n_total", sum(col("tf")).over(all))
+      } else {
+        val total = tok.agg(count(lit(1)).as("n_total"))
+        tf.crossJoin(broadcast(total))
+      }
+    val lp = withTotal.select(col("term"),
+      round(log(col("tf").cast(DoubleType) / col("n_total")), 6)
+        .as("logp"))
+    tok.join(broadcast(lp), "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("logp").cast(DecimalType(18, 8))).as("sum_lp"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("sum_lp").cast(DecimalType(28, 8)).cast(StringType)
+          .cast(DoubleType) / col("n_tok"), 4).as("avg_logp"))
+      .orderBy("doc_id")
+  }
 
   /** The 3-step BPE training pipeline: returns (best pair per step ×3,
     * final merged vocabulary state e3 = (w, freq, toks)). Shared by

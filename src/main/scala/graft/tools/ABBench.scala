@@ -894,8 +894,113 @@ object ABBench {
       "rec_A" -> q("q_rec_item_neighbors"),
       "rec_B" -> q("q_rec_item_neighbors"),
     )
+    // AB_EXP=r14opt3 (round-14 continuation window): duo A/Bs of the
+    // two fresh structural challengers + the flagged bl re-duo.
+    //  ph: multimodal_phash — persist the (media_id, phash) frame
+    //      before the banded self-join (codec MapPartitions ×2 → ×1,
+    //      the simhash signature-persist precedent).
+    //  bm: text_bm25 — F = dl fused into the token pass (corpus dl
+    //      join removed); S = F + df derived from the persisted tf
+    //      frame (4 corpus scans → 2).
+    //  bl: q_basket_lift A/A re-duo (r14 upper-envelope drift flag).
+    import graft.queries.{MiscQueries => MQ, SearchStatsQueries => SSQ}
+    val r14opt3: Seq[(String, () => DataFrame)] = Seq(
+      "an11_A" -> q("q_tpch_q11"), "an11_B" -> q("q_tpch_q11"),
+      "phI_A" -> (() => MQ.phashPairs(spark, sfDir, shareHashes = false)),
+      "phI_B" -> (() => MQ.phashPairs(spark, sfDir, shareHashes = false)),
+      "phC_A" -> (() => MQ.phashPairs(spark, sfDir, shareHashes = true)),
+      "phC_B" -> (() => MQ.phashPairs(spark, sfDir, shareHashes = true)),
+      "bmI_A" -> (() => SSQ.bm25(spark, sfDir)),
+      "bmI_B" -> (() => SSQ.bm25(spark, sfDir)),
+      "bmF_A" -> (() => SSQ.bm25(spark, sfDir, fuseDl = true)),
+      "bmF_B" -> (() => SSQ.bm25(spark, sfDir, fuseDl = true)),
+      "bmS_A" -> (() => SSQ.bm25(spark, sfDir, fuseDl = true,
+        dfFromTf = true)),
+      "bmS_B" -> (() => SSQ.bm25(spark, sfDir, fuseDl = true,
+        dfFromTf = true)),
+      "bl_A" -> q("q_basket_lift"), "bl_B" -> q("q_basket_lift"),
+    )
+    // AB_EXP=r14opt4 (round-14 continuation window 2): duos for the
+    // --rescans sweep batch — bounded-frame cuts (fc/vo/km/hz), the
+    // zero-materialization window rewrites (ql/cm), and the pre-dedup
+    // contamination restructure (pc).
+    import graft.queries.{CorpusOpsQueries => COQ,
+      EvalGraphQueries => EGQ, ExperimentQueries => EXQ,
+      MlOpsQueries => MOQ, PipelineQueries => PQ, TextQueries => TQ}
+    val r14opt4: Seq[(String, () => DataFrame)] = Seq(
+      "an11_A" -> q("q_tpch_q11"), "an11_B" -> q("q_tpch_q11"),
+      "fcI_A" -> (() => MOQ.featCov(spark, sfDir, cutSx = false)),
+      "fcI_B" -> (() => MOQ.featCov(spark, sfDir, cutSx = false)),
+      "fcC_A" -> (() => MOQ.featCov(spark, sfDir, cutSx = true)),
+      "fcC_B" -> (() => MOQ.featCov(spark, sfDir, cutSx = true)),
+      "voI_A" -> (() => EGQ.vocabOverlap(spark, sfDir, shareSw = false)),
+      "voI_B" -> (() => EGQ.vocabOverlap(spark, sfDir, shareSw = false)),
+      "voC_A" -> (() => EGQ.vocabOverlap(spark, sfDir, shareSw = true)),
+      "voC_B" -> (() => EGQ.vocabOverlap(spark, sfDir, shareSw = true)),
+      "kmI_A" -> (() => EGQ.kaplanMeier(spark, sfDir, cutUsers = false)),
+      "kmI_B" -> (() => EGQ.kaplanMeier(spark, sfDir, cutUsers = false)),
+      "kmC_A" -> (() => EGQ.kaplanMeier(spark, sfDir, cutUsers = true)),
+      "kmC_B" -> (() => EGQ.kaplanMeier(spark, sfDir, cutUsers = true)),
+      "hzI_A" -> (() => EXQ.tsHazard(spark, sfDir, cutUsers = false)),
+      "hzI_B" -> (() => EXQ.tsHazard(spark, sfDir, cutUsers = false)),
+      "hzC_A" -> (() => EXQ.tsHazard(spark, sfDir, cutUsers = true)),
+      "hzC_B" -> (() => EXQ.tsHazard(spark, sfDir, cutUsers = true)),
+      "qlI_A" -> (() => TQ.qualityLm(spark, sfDir, windowTotal = false)),
+      "qlI_B" -> (() => TQ.qualityLm(spark, sfDir, windowTotal = false)),
+      "qlC_A" -> (() => TQ.qualityLm(spark, sfDir, windowTotal = true)),
+      "qlC_B" -> (() => TQ.qualityLm(spark, sfDir, windowTotal = true)),
+      "pcI_A" -> (() => PQ.pipelineCorpus(spark, sfDir,
+        contamPreDedup = false)),
+      "pcI_B" -> (() => PQ.pipelineCorpus(spark, sfDir,
+        contamPreDedup = false)),
+      "pcC_A" -> (() => PQ.pipelineCorpus(spark, sfDir,
+        contamPreDedup = true)),
+      "pcC_B" -> (() => PQ.pipelineCorpus(spark, sfDir,
+        contamPreDedup = true)),
+      "cmI_A" -> (() => COQ.corpusMix(spark, sfDir, windowTarget = false)),
+      "cmI_B" -> (() => COQ.corpusMix(spark, sfDir, windowTarget = false)),
+      "cmC_A" -> (() => COQ.corpusMix(spark, sfDir, windowTarget = true)),
+      "cmC_B" -> (() => COQ.corpusMix(spark, sfDir, windowTarget = true)),
+    )
+    // AB_EXP=r14opt5 (round-14 continuation window 3): the second
+    // --rescans batch — qq single-pass restructure, grid/spine/ledger
+    // cuts (ts/kd/pf2/nh/rf).
+    import graft.queries.{AssocStatsQueries => ASQ,
+      EmbAuditQueries => EAQ, RobustStatsQueries => RSQ,
+      SignalQueries => SGQ, VarianceSeqQueries => VSQ,
+      WarehouseQueries => WQ}
+    val r14opt5: Seq[(String, () => DataFrame)] = Seq(
+      "an11_A" -> q("q_tpch_q11"), "an11_B" -> q("q_tpch_q11"),
+      "qqI_A" -> (() => VSQ.statsQq(spark, sfDir, singlePass = false)),
+      "qqI_B" -> (() => VSQ.statsQq(spark, sfDir, singlePass = false)),
+      "qqC_A" -> (() => VSQ.statsQq(spark, sfDir, singlePass = true)),
+      "qqC_B" -> (() => VSQ.statsQq(spark, sfDir, singlePass = true)),
+      "tsI_A" -> (() => RSQ.theilSen(spark, sfDir, cutCells = false)),
+      "tsI_B" -> (() => RSQ.theilSen(spark, sfDir, cutCells = false)),
+      "tsC_A" -> (() => RSQ.theilSen(spark, sfDir, cutCells = true)),
+      "tsC_B" -> (() => RSQ.theilSen(spark, sfDir, cutCells = true)),
+      "kdI_A" -> (() => ASQ.kendall(spark, sfDir, cutCells = false)),
+      "kdI_B" -> (() => ASQ.kendall(spark, sfDir, cutCells = false)),
+      "kdC_A" -> (() => ASQ.kendall(spark, sfDir, cutCells = true)),
+      "kdC_B" -> (() => ASQ.kendall(spark, sfDir, cutCells = true)),
+      "pf2I_A" -> (() => SGQ.tsPacf(spark, sfDir, cutDaily = false)),
+      "pf2I_B" -> (() => SGQ.tsPacf(spark, sfDir, cutDaily = false)),
+      "pf2C_A" -> (() => SGQ.tsPacf(spark, sfDir, cutDaily = true)),
+      "pf2C_B" -> (() => SGQ.tsPacf(spark, sfDir, cutDaily = true)),
+      "nhI_A" -> (() => EAQ.embNormHist(spark, sfDir, cutN2 = false)),
+      "nhI_B" -> (() => EAQ.embNormHist(spark, sfDir, cutN2 = false)),
+      "nhC_A" -> (() => EAQ.embNormHist(spark, sfDir, cutN2 = true)),
+      "nhC_B" -> (() => EAQ.embNormHist(spark, sfDir, cutN2 = true)),
+      "rfI_A" -> (() => WQ.ordersRfm(spark, sfDir, cutRfm = false)),
+      "rfI_B" -> (() => WQ.ordersRfm(spark, sfDir, cutRfm = false)),
+      "rfC_A" -> (() => WQ.ordersRfm(spark, sfDir, cutRfm = true)),
+      "rfC_B" -> (() => WQ.ordersRfm(spark, sfDir, cutRfm = true)),
+    )
     val variants: Seq[(String, () => DataFrame)] =
-      (if (sys.env.get("AB_EXP").contains("r14opt2")) r14opt2
+      (if (sys.env.get("AB_EXP").contains("r14opt5")) r14opt5
+      else if (sys.env.get("AB_EXP").contains("r14opt4")) r14opt4
+      else if (sys.env.get("AB_EXP").contains("r14opt3")) r14opt3
+      else if (sys.env.get("AB_EXP").contains("r14opt2")) r14opt2
       else if (sys.env.get("AB_EXP").contains("r14opt")) r14opt
       else if (sys.env.get("AB_EXP").contains("r13opt2")) r13opt2
       else if (sys.env.get("AB_EXP").contains("r13opt")) r13opt

@@ -62,6 +62,41 @@ object PlanAudit {
       spark.stop()
       return
     }
+    // --rescans (r14 continuation): flag every query that scans the
+    // SAME parquet table more than once with the same required columns
+    // — the signature of a duplicated subtree (a multi-consumer frame
+    // whose prefix re-derives per consumer, the phash/bm25 shape).
+    // Candidates only: two independent aggregates over one table can
+    // be the RIGHT shape (the adjudicated naive-Bayes fused-pass
+    // lesson), so each hit needs a human verdict.
+    if (args.headOption.contains("--rescans")) {
+      // walk the OPTIMIZED LOGICAL plan: the physical plan hides its
+      // tree behind AdaptiveSparkPlanExec (collect sees nothing), while
+      // the logical tree carries every relation copy a duplicated
+      // subtree will re-execute
+      import org.apache.spark.sql.execution.datasources.{
+        LogicalRelation, HadoopFsRelation}
+      val names = if (args.length > 1) args.drop(1).toSeq
+        else graft.SparkEntry.queries.keys.toSeq.sorted
+      names.foreach { k =>
+        try {
+          val scans = graft.SparkEntry.queries(k)(spark, sfDir)
+            .queryExecution.optimizedPlan.collect {
+              case l @ LogicalRelation(h: HadoopFsRelation, _, _, _, _) =>
+                h.location.rootPaths.headOption
+                  .map(_.getName).getOrElse("?")
+            }
+          val dups = scans.groupBy(identity).filter(_._2.size > 1)
+          if (dups.nonEmpty)
+            println(s"$k RESCAN " + dups.toSeq.sortBy(_._1)
+              .map { case (p, v) => s"${v.size}x $p" }.mkString(" | "))
+        } catch { case e: Throwable =>
+          println(s"$k AUDIT FAILED: ${e.getMessage.take(80)}")
+        }
+      }
+      spark.stop()
+      return
+    }
     val names = if (args.nonEmpty) args.toSeq
       else graft.SparkEntry.queries.keys.toSeq.sorted
     names.foreach { k =>

@@ -46,6 +46,29 @@ object PlanDump {
         case "q_quality_lm2" =>
           graft.queries.AnalyticsQueries
             .qualityLm2(spark, sfDir, cutModel = false)
+        // r14 continuation adoptions — toggles reproduce the pre-r14
+        // shapes bit-for-bit
+        case "q_multimodal_phash" =>
+          graft.queries.MiscQueries
+            .phashPairs(spark, sfDir, shareHashes = false)
+        case "q_text_bm25" =>
+          graft.queries.SearchStatsQueries
+            .bm25(spark, sfDir, fuseDl = false, dfFromTf = false)
+        case "q_corpus_mix" =>
+          graft.queries.CorpusOpsQueries
+            .corpusMix(spark, sfDir, windowTarget = false)
+        case "q_source_vocab_overlap" =>
+          graft.queries.EvalGraphQueries
+            .vocabOverlap(spark, sfDir, shareSw = false)
+        case "q_ts_kaplan_meier" =>
+          graft.queries.EvalGraphQueries
+            .kaplanMeier(spark, sfDir, cutUsers = false)
+        case "q_quality_lm" =>
+          graft.queries.TextQueries
+            .qualityLm(spark, sfDir, windowTotal = false)
+        case "q_pipeline_corpus" =>
+          graft.queries.PipelineQueries
+            .pipelineCorpus(spark, sfDir, contamPreDedup = false)
         case other => graft.SparkEntry.queries(other)(spark, sfDir)
       }
     names.foreach { k =>
