@@ -31,41 +31,7 @@ object AssocStatsQueries extends QSet {
     // corpus size. Tie corrections n1/n2 come from the value margins.
     // Exactness: every concordant/discordant sum is ≤ n(n−1)/2 —
     // BIGINT-exact on both engines; τ is one shared IEEE expression.
-    "q_stats_kendall" -> ((s, dir) => {
-      val cells = t(s, dir, "lineitem")
-        .select(col("l_returnflag").as("rf"),
-          col("l_quantity").cast(LongType).as("xq"),
-          round(col("l_discount") * 100).cast(LongType).as("yd"))
-        .groupBy("rf", "xq", "yd").agg(count(lit(1)).as("cnt"))
-      val a = cells.select(col("rf"), col("xq").as("x1"),
-        col("yd").as("y1"), col("cnt").as("c1"))
-      val b = cells.select(col("rf"), col("xq").as("x2"),
-        col("yd").as("y2"), col("cnt").as("c2"))
-      val cd = a.join(b, Seq("rf")).filter(col("x1") < col("x2"))
-        .groupBy("rf")
-        .agg(sum(when(col("y1") < col("y2"), col("c1") * col("c2"))
-          .otherwise(0L)).as("conc"),
-          sum(when(col("y1") > col("y2"), col("c1") * col("c2"))
-            .otherwise(0L)).as("disc"))
-      def ties(k: String) = cells.groupBy("rf", k)
-        .agg(sum(col("cnt")).as("ck"))
-        .groupBy("rf")
-        .agg(sum(col("ck")).as("n"),
-          // `div`, not `/`: Spark's `/` is double division even for
-          // integer operands, and the tie ledgers must stay int64-exact.
-          sum(expr("ck * (ck - 1) div 2")).as(s"t_$k"))
-      val tx = ties("xq").select(col("rf"), col("n"), col("t_xq"))
-      val ty = ties("yd").select(col("rf"), col("t_yd"))
-      cd.join(broadcast(tx), Seq("rf")).join(broadcast(ty), Seq("rf"))
-        .withColumn("n0", expr("n * (n - 1) div 2"))
-        .select(col("rf").as("l_returnflag"), col("n"),
-          col("conc"), col("disc"),
-          ((col("conc") - col("disc")).cast(DoubleType) /
-            sqrt((col("n0") - col("t_xq")).cast(DoubleType) *
-              (col("n0") - col("t_yd")).cast(DoubleType)))
-            .as("kendall_tau_b"))
-        .orderBy("l_returnflag")
-    }),
+    "q_stats_kendall" -> ((s, dir) => kendall(s, dir)),
 
     // Per-brand least-squares fit of extended price on quantity PLUS
     // residual diagnostics (RMSE / MAE / R²) — the model-audit pass a
@@ -200,6 +166,52 @@ object AssocStatsQueries extends QSet {
         .orderBy("lag_days")
     })
   )
+
+  /** The declared q_stats_kendall body. `cutCells` cuts lineage at the
+    * value-grid cell frame (≤ 550 rows per return flag): it has FOUR
+    * consumers (both sides of the concordance self-join + the two tie
+    * ledgers), each of which otherwise re-runs the corpus scan +
+    * (rf, xq, yd) aggregate — 4 lineitem scans in the uncut plan (r14
+    * --rescans sweep). Grid-bounded frame, corpus-pass prefix, ≥3
+    * consumers — the adopted r13 cut boundary. Output toggle-invariant
+    * (R14TogglesSpec). */
+  private[graft] def kendall(s: org.apache.spark.sql.SparkSession,
+      dir: String, cutCells: Boolean = false): DataFrame = {
+    val cellsRaw = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"),
+        col("l_quantity").cast(LongType).as("xq"),
+        round(col("l_discount") * 100).cast(LongType).as("yd"))
+      .groupBy("rf", "xq", "yd").agg(count(lit(1)).as("cnt"))
+    val cells = if (cutCells) cutLineage(cellsRaw) else cellsRaw
+    val a = cells.select(col("rf"), col("xq").as("x1"),
+      col("yd").as("y1"), col("cnt").as("c1"))
+    val b = cells.select(col("rf"), col("xq").as("x2"),
+      col("yd").as("y2"), col("cnt").as("c2"))
+    val cd = a.join(b, Seq("rf")).filter(col("x1") < col("x2"))
+      .groupBy("rf")
+      .agg(sum(when(col("y1") < col("y2"), col("c1") * col("c2"))
+        .otherwise(0L)).as("conc"),
+        sum(when(col("y1") > col("y2"), col("c1") * col("c2"))
+          .otherwise(0L)).as("disc"))
+    def ties(k: String) = cells.groupBy("rf", k)
+      .agg(sum(col("cnt")).as("ck"))
+      .groupBy("rf")
+      .agg(sum(col("ck")).as("n"),
+        // `div`, not `/`: Spark's `/` is double division even for
+        // integer operands, and the tie ledgers must stay int64-exact.
+        sum(expr("ck * (ck - 1) div 2")).as(s"t_$k"))
+    val tx = ties("xq").select(col("rf"), col("n"), col("t_xq"))
+    val ty = ties("yd").select(col("rf"), col("t_yd"))
+    cd.join(broadcast(tx), Seq("rf")).join(broadcast(ty), Seq("rf"))
+      .withColumn("n0", expr("n * (n - 1) div 2"))
+      .select(col("rf").as("l_returnflag"), col("n"),
+        col("conc"), col("disc"),
+        ((col("conc") - col("disc")).cast(DoubleType) /
+          sqrt((col("n0") - col("t_xq")).cast(DoubleType) *
+            (col("n0") - col("t_yd")).cast(DoubleType)))
+          .as("kendall_tau_b"))
+      .orderBy("l_returnflag")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_stats_kendall" ->

@@ -55,26 +55,38 @@ object EmbAuditQueries extends QSet {
     // over [0, maxn2) from the 1-row max attach — the norm-collapse
     // screen (a healthy encoder's norms cluster; a broken one's
     // spread or pile at zero). Vec-keyed aggregate + 10-row report.
-    "q_emb_norm_hist" -> ((s, dir) => {
-      val n2 = t(s, dir, "embeddings")
-        .select(col("vec_id"), explode(col("embedding")).as("xf"))
-        .select(col("vec_id"), col("xf").cast(DoubleType).as("x"))
-        .withColumn("x2", round(col("x") * col("x"), 12))
-        .groupBy("vec_id")
-        .agg(sum(col("x2").cast(DecimalType(28, 12)))
-          .cast(StringType).cast(DoubleType).as("n2"))
-      val mx = n2.agg(max(col("n2")).as("maxn2"))
-      n2.crossJoin(broadcast(mx))
-        .withColumn("bucket", least(
-          floor(col("n2") * lit(10.0) / col("maxn2")), lit(9.0))
-          .cast(LongType))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_vecs"),
-          d4(min(col("n2")).cast(DecimalType(18, 4))).as("min_n2"),
-          d4(max(col("n2")).cast(DecimalType(18, 4))).as("max_n2"))
-        .orderBy("bucket")
-    })
+    "q_emb_norm_hist" -> ((s, dir) => embNormHist(s, dir))
   )
+
+  /** The declared q_emb_norm_hist body. `cutN2` cuts lineage at the
+    * per-vector norm² frame: its TWO consumers (the 1-row max and the
+    * bucket pass) each otherwise re-run the corpus explode + decimal
+    * aggregate (2 embedding scans, r14 --rescans sweep). The frame is
+    * one narrow row per vector — far smaller than the N×D explode it
+    * saves — but only 2 consumers, so this is the naive-Bayes-boundary
+    * case: adopted/refuted on the duo. Output toggle-invariant
+    * (R14TogglesSpec). */
+  private[graft] def embNormHist(s: org.apache.spark.sql.SparkSession,
+      dir: String, cutN2: Boolean = false): DataFrame = {
+    val n2Raw = t(s, dir, "embeddings")
+      .select(col("vec_id"), explode(col("embedding")).as("xf"))
+      .select(col("vec_id"), col("xf").cast(DoubleType).as("x"))
+      .withColumn("x2", round(col("x") * col("x"), 12))
+      .groupBy("vec_id")
+      .agg(sum(col("x2").cast(DecimalType(28, 12)))
+        .cast(StringType).cast(DoubleType).as("n2"))
+    val n2 = if (cutN2) cutLineage(n2Raw) else n2Raw
+    val mx = n2.agg(max(col("n2")).as("maxn2"))
+    n2.crossJoin(broadcast(mx))
+      .withColumn("bucket", least(
+        floor(col("n2") * lit(10.0) / col("maxn2")), lit(9.0))
+        .cast(LongType))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"),
+        d4(min(col("n2")).cast(DecimalType(18, 4))).as("min_n2"),
+        d4(max(col("n2")).cast(DecimalType(18, 4))).as("max_n2"))
+      .orderBy("bucket")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_emb_drift" ->

@@ -29,34 +29,7 @@ object RobustStatsQueries extends QSet {
     // where OLS (q_ml_regression_metrics) is not. The pair frame is
     // value-grid-bounded; the weighted median is a cumulative-weight
     // window over the ≤ 550²-row slope frame — nothing scales with n.
-    "q_stats_theil_sen" -> ((s, dir) => {
-      val cells = t(s, dir, "lineitem")
-        .select(col("l_returnflag").as("rf"),
-          col("l_quantity").cast(LongType).as("xq"),
-          round(col("l_discount") * 100).cast(LongType).as("yd"))
-        .groupBy("rf", "xq", "yd").agg(count(lit(1)).as("cnt"))
-      val a = cells.select(col("rf"), col("xq").as("x1"),
-        col("yd").as("y1"), col("cnt").as("c1"))
-      val b = cells.select(col("rf"), col("xq").as("x2"),
-        col("yd").as("y2"), col("cnt").as("c2"))
-      val slopes = a.join(b, Seq("rf")).filter(col("x1") < col("x2"))
-        .withColumn("slope", (col("y2") - col("y1")).cast(DoubleType) /
-          (col("x2") - col("x1")).cast(DoubleType))
-        .groupBy("rf", "slope").agg(sum(col("c1") * col("c2")).as("w"))
-      val wTot = Window.partitionBy("rf")
-      val wCum = Window.partitionBy("rf").orderBy("slope")
-      slopes
-        .withColumn("wt", sum(col("w")).over(wTot))
-        .withColumn("cum", sum(col("w")).over(wCum))
-        // lower weighted median: first slope whose cumulative weight
-        // reaches ceil(W/2) = (W+1) div 2 (deterministic under ties)
-        .filter(col("cum") >= (col("wt") + 1) / lit(2.0))
-        .withColumn("rk", row_number().over(wCum))
-        .filter(col("rk") === 1)
-        .select(col("rf").as("l_returnflag"), col("wt").as("n_pairs"),
-          round(col("slope"), 8).as("theil_sen_slope"))
-        .orderBy("l_returnflag")
-    }),
+    "q_stats_theil_sen" -> ((s, dir) => theilSen(s, dir)),
 
     // Mann–Whitney U (rank-sum) comparing the quantity distribution of
     // returned (R) vs accepted (A) line items — the nonparametric twin
@@ -194,6 +167,44 @@ object RobustStatsQueries extends QSet {
         .orderBy("n_urgent")
     })
   )
+
+  /** The declared q_stats_theil_sen body. `cutCells` cuts lineage at
+    * the value-grid cell frame (≤ 550 rows per return flag): it feeds
+    * BOTH sides of the slope self-join, so the uncut plan re-runs the
+    * corpus scan + (rf, xq, yd) aggregate once per side (2 lineitem
+    * scans, r14 --rescans sweep) — the simhash signature-persist
+    * precedent on a grid-bounded frame. Output toggle-invariant
+    * (R14TogglesSpec). */
+  private[graft] def theilSen(s: org.apache.spark.sql.SparkSession,
+      dir: String, cutCells: Boolean = false): DataFrame = {
+    val cellsRaw = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"),
+        col("l_quantity").cast(LongType).as("xq"),
+        round(col("l_discount") * 100).cast(LongType).as("yd"))
+      .groupBy("rf", "xq", "yd").agg(count(lit(1)).as("cnt"))
+    val cells = if (cutCells) cutLineage(cellsRaw) else cellsRaw
+    val a = cells.select(col("rf"), col("xq").as("x1"),
+      col("yd").as("y1"), col("cnt").as("c1"))
+    val b = cells.select(col("rf"), col("xq").as("x2"),
+      col("yd").as("y2"), col("cnt").as("c2"))
+    val slopes = a.join(b, Seq("rf")).filter(col("x1") < col("x2"))
+      .withColumn("slope", (col("y2") - col("y1")).cast(DoubleType) /
+        (col("x2") - col("x1")).cast(DoubleType))
+      .groupBy("rf", "slope").agg(sum(col("c1") * col("c2")).as("w"))
+    val wTot = Window.partitionBy("rf")
+    val wCum = Window.partitionBy("rf").orderBy("slope")
+    slopes
+      .withColumn("wt", sum(col("w")).over(wTot))
+      .withColumn("cum", sum(col("w")).over(wCum))
+      // lower weighted median: first slope whose cumulative weight
+      // reaches ceil(W/2) = (W+1) div 2 (deterministic under ties)
+      .filter(col("cum") >= (col("wt") + 1) / lit(2.0))
+      .withColumn("rk", row_number().over(wCum))
+      .filter(col("rk") === 1)
+      .select(col("rf").as("l_returnflag"), col("wt").as("n_pairs"),
+        round(col("slope"), 8).as("theil_sen_slope"))
+      .orderBy("l_returnflag")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_stats_theil_sen" ->

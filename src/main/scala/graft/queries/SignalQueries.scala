@@ -45,39 +45,7 @@ object SignalQueries extends QSet {
     // exact decimal moment sums over the ~700-row day spine;
     // Durbin–Levinson gives φ11 = ρ1, φ22 = (ρ2 − ρ1²)/(1 − ρ1²) as
     // one shared IEEE expression over the two exact-moment ρs.
-    "q_ts_pacf" -> ((s, dir) => {
-      val daily = t(s, dir, "orders")
-        .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) " +
-          "div 86400000000").as("day"),
-          D(col("o_totalprice")).as("v"))
-        .groupBy("day").agg(sum(col("v")).cast(Dec).as("x"))
-      val w = Window.orderBy("day")
-      def rho(k: Int): DataFrame = {
-        val pairs = daily.withColumn("y", lag(col("x"), k).over(w))
-          .filter(col("y").isNotNull)
-        val xd = col("x").cast(DecimalType(19, 4))
-        val yd = col("y").cast(DecimalType(19, 4))
-        val m = pairs.agg(count(lit(1)).as("n"),
-          sum(xd).as("sx"), sum(yd).as("sy"),
-          sum((xd * xd).cast(DecimalType(38, 8))).as("sxx"),
-          sum((yd * yd).cast(DecimalType(38, 8))).as("syy"),
-          sum((xd * yd).cast(DecimalType(38, 8))).as("sxy"))
-        val nd = col("n").cast(DoubleType)
-        m.select(((hop38(col("sxy")) - hop38(col("sx")) *
-          hop38(col("sy")) / nd) /
-          sqrt((hop38(col("sxx")) - hop38(col("sx")) *
-            hop38(col("sx")) / nd) *
-            (hop38(col("syy")) - hop38(col("sy")) *
-              hop38(col("sy")) / nd))).as(s"r$k"))
-      }
-      val j = rho(1).crossJoin(broadcast(rho(2)))
-      j.select(lit(1L).as("lag"), col("r1").as("acf"),
-          col("r1").as("pacf"))
-        .unionAll(j.select(lit(2L).as("lag"), col("r2").as("acf"),
-          ((col("r2") - col("r1") * col("r1")) /
-            (lit(1.0) - col("r1") * col("r1"))).as("pacf")))
-        .orderBy("lag")
-    }),
+    "q_ts_pacf" -> ((s, dir) => tsPacf(s, dir)),
 
     // Benjamini–Hochberg FDR correction over the 25 per-nation
     // urgent-rate z-tests — the multiple-testing discipline missing
@@ -209,6 +177,63 @@ object SignalQueries extends QSet {
       .filter(col("rn") <= 20)
       .select(col("node"), col("reach3"), col("closeness6"))
       .orderBy(col("closeness6").desc, col("node"))
+  }
+
+  /** The declared q_ts_pacf body. `cutDaily` (r14) cuts lineage at the
+    * DAY-SPINE daily-revenue frame (~700 rows): rho(1) and rho(2) each
+    * re-derive the full orders scan + day aggregate, and the 1-row
+    * joined rho frame `j` is ALSO consumed by both unionAll branches —
+    * 4 orders scans in the uncut plan (r14 --rescans sweep). The cut
+    * materializes the spine once (bounded frame, corpus-pass prefix,
+    * 2+ consumers), and the toggled shape additionally emits the two
+    * output rows by exploding a 2-element literal array over `j`
+    * instead of unioning two selects of it (1 consumer instead of 2 —
+    * same two rows). Output toggle-invariant (R14TogglesSpec). */
+  private[graft] def tsPacf(s: org.apache.spark.sql.SparkSession,
+      dir: String, cutDaily: Boolean = true): DataFrame = {
+    val dailyRaw = t(s, dir, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) " +
+        "div 86400000000").as("day"),
+        D(col("o_totalprice")).as("v"))
+      .groupBy("day").agg(sum(col("v")).cast(Dec).as("x"))
+    val daily = if (cutDaily) cutLineage(dailyRaw) else dailyRaw
+    val w = Window.orderBy("day")
+    def rho(k: Int): DataFrame = {
+      val pairs = daily.withColumn("y", lag(col("x"), k).over(w))
+        .filter(col("y").isNotNull)
+      val xd = col("x").cast(DecimalType(19, 4))
+      val yd = col("y").cast(DecimalType(19, 4))
+      val m = pairs.agg(count(lit(1)).as("n"),
+        sum(xd).as("sx"), sum(yd).as("sy"),
+        sum((xd * xd).cast(DecimalType(38, 8))).as("sxx"),
+        sum((yd * yd).cast(DecimalType(38, 8))).as("syy"),
+        sum((xd * yd).cast(DecimalType(38, 8))).as("sxy"))
+      val nd = col("n").cast(DoubleType)
+      m.select(((hop38(col("sxy")) - hop38(col("sx")) *
+        hop38(col("sy")) / nd) /
+        sqrt((hop38(col("sxx")) - hop38(col("sx")) *
+          hop38(col("sx")) / nd) *
+          (hop38(col("syy")) - hop38(col("sy")) *
+            hop38(col("sy")) / nd))).as(s"r$k"))
+    }
+    val j = rho(1).crossJoin(broadcast(rho(2)))
+    val pacf2 = (col("r2") - col("r1") * col("r1")) /
+      (lit(1.0) - col("r1") * col("r1"))
+    if (cutDaily)
+      j.select(explode(array(
+          struct(lit(1L).as("lag"), col("r1").as("acf"),
+            col("r1").as("pacf")),
+          struct(lit(2L).as("lag"), col("r2").as("acf"),
+            pacf2.as("pacf")))).as("s"))
+        .select(col("s.lag").as("lag"), col("s.acf").as("acf"),
+          col("s.pacf").as("pacf"))
+        .orderBy("lag")
+    else
+      j.select(lit(1L).as("lag"), col("r1").as("acf"),
+          col("r1").as("pacf"))
+        .unionAll(j.select(lit(2L).as("lag"), col("r2").as("acf"),
+          pacf2.as("pacf")))
+        .orderBy("lag")
   }
 
   val oracle: Map[String, String] = Map(

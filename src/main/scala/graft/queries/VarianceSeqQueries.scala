@@ -78,28 +78,7 @@ object VarianceSeqQueries extends QSet {
     // deciles, exact element selection on exact decimals; the gap is
     // one decimal subtraction). Two conditional decile aggregates,
     // everything after is a 9-row literal frame.
-    "q_stats_qq" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .select(col("o_orderpriority").as("g"),
-          D(col("o_totalprice")).as("x"))
-      def deciles(p: String, pre: String) = {
-        val pd = (1 to 9).map(i => expr(
-          s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY x)")
-          .as(s"c$i"))
-        o.filter(col("g") === p).agg(pd.head, pd.tail: _*)
-          .select(explode(array((1 to 9).map(i =>
-            struct(lit(i).as("q"), col(s"c$i").as(s"${pre}_val"))): _*))
-            .as("s"))
-          .select(col("s.q").as("q"), col(s"s.${pre}_val"))
-      }
-      def dd(c: Column) = c.cast(StringType).cast(DoubleType)
-      deciles("1-URGENT", "urgent").join(deciles("5-LOW", "low"), Seq("q"))
-        .select(col("q").cast(LongType).as("decile"),
-          dd(col("urgent_val")).as("urgent_val"),
-          dd(col("low_val")).as("low_val"),
-          dd((col("urgent_val") - col("low_val")).cast(Dec)).as("gap"))
-        .orderBy("decile")
-    }),
+    "q_stats_qq" -> ((s, dir) => statsQq(s, dir)),
 
     // Cross-entropy (log-loss) of the p = value/(value+100) purchase
     // model, with the constant-rate baseline and the skill score — the
@@ -197,6 +176,58 @@ object VarianceSeqQueries extends QSet {
       |  $ssw AS ss_within,
       |  (($ssb) / 4.0e0) / (($ssw) / CAST(n_all - 5 AS DOUBLE)) w_stat
       |FROM m ORDER BY k""".stripMargin
+  }
+
+  /** The declared q_stats_qq body — quantile–quantile table of urgent
+    * vs low-priority order values (both marginals at the nine deciles,
+    * exact element selection on exact decimals; the gap is one decimal
+    * subtraction).
+    *
+    * `singlePass` (r14): the incumbent ran ONE conditional decile
+    * aggregate PER SIDE (two full orders scans — the r14 --rescans
+    * sweep), then joined the two 9-row frames. The single-pass shape
+    * groups the filtered scan by priority (one scan, one aggregate —
+    * the same percentile_disc picks per group), explodes the 2×9
+    * decile grid, and pivots via conditional max per decile (each
+    * (q, side) holds exactly one non-null value, so max IS the value).
+    * Exact decimals in, identical final expressions out
+    * (R14TogglesSpec pins both shapes row-for-row). */
+  private[graft] def statsQq(s: org.apache.spark.sql.SparkSession,
+      dir: String, singlePass: Boolean = false): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("g"),
+        D(col("o_totalprice")).as("x"))
+    val pd = (1 to 9).map(i => expr(
+      s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY x)")
+      .as(s"c$i"))
+    def dd(c: Column) = c.cast(StringType).cast(DoubleType)
+    val joined =
+      if (singlePass) {
+        val byG = o.filter(col("g").isin("1-URGENT", "5-LOW"))
+          .groupBy("g").agg(pd.head, pd.tail: _*)
+        byG.select(col("g"), explode(array((1 to 9).map(i =>
+            struct(lit(i).as("q"), col(s"c$i").as("v"))): _*)).as("s"))
+          .select(col("g"), col("s.q").as("q"), col("s.v").as("v"))
+          .groupBy("q")
+          .agg(max(when(col("g") === "1-URGENT", col("v")))
+              .as("urgent_val"),
+            max(when(col("g") === "5-LOW", col("v"))).as("low_val"))
+      } else {
+        def deciles(p: String, pre: String) =
+          o.filter(col("g") === p).agg(pd.head, pd.tail: _*)
+            .select(explode(array((1 to 9).map(i =>
+              struct(lit(i).as("q"), col(s"c$i").as(s"${pre}_val"))): _*))
+              .as("s"))
+            .select(col("s.q").as("q"), col(s"s.${pre}_val"))
+        deciles("1-URGENT", "urgent").join(deciles("5-LOW", "low"),
+          Seq("q"))
+      }
+    joined
+      .select(col("q").cast(LongType).as("decile"),
+        dd(col("urgent_val")).as("urgent_val"),
+        dd(col("low_val")).as("low_val"),
+        dd((col("urgent_val") - col("low_val")).cast(Dec)).as("gap"))
+      .orderBy("decile")
   }
 
   val oracle: Map[String, String] = Map(

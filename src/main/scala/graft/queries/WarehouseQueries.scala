@@ -68,38 +68,7 @@ object WarehouseQueries extends QSet {
     // cross-engine exact) carried as a 1-row broadcast; bucketing is
     // pure comparison, so a 100 TB customer frame never needs the
     // global ntile sort the naive formulation uses.
-    "q_orders_rfm" -> ((s, dir) => {
-      val maxd = t(s, dir, "orders")
-        .agg(max(col("o_orderdate").cast("date")).as("dmax"))
-      val rfm = t(s, dir, "orders")
-        .groupBy("o_custkey")
-        .agg(max(col("o_orderdate").cast("date")).as("last_order"),
-          count(lit(1)).as("freq"),
-          sum(D(col("o_totalprice"))).as("mon_dec"))
-        .crossJoin(broadcast(maxd))
-        .select(col("o_custkey"),
-          datediff(col("dmax"), col("last_order")).cast(LongType)
-            .as("recency_days"),
-          col("freq"), d4(col("mon_dec")).as("monetary"))
-      val th = rfm.agg(
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY recency_days)")
-          .as("r50"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY freq)").as("f50"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY monetary)")
-          .as("m50"))
-      rfm.crossJoin(broadcast(th))
-        .select(col("o_custkey"), col("recency_days"), col("freq"),
-          col("monetary"),
-          // recency scores HIGH when RECENT (≤ median days since order)
-          when(col("recency_days") <= col("r50"), 2L).otherwise(1L)
-            .as("r_score"),
-          when(col("freq") > col("f50"), 2L).otherwise(1L).as("f_score"),
-          when(col("monetary") > col("m50"), 2L).otherwise(1L)
-            .as("m_score"))
-        .withColumn("segment", concat(lit("R"), col("r_score"),
-          lit("F"), col("f_score"), lit("M"), col("m_score")))
-        .orderBy("o_custkey")
-    }),
+    "q_orders_rfm" -> ((s, dir) => ordersRfm(s, dir)),
 
     // Temporal burst detection: each (event_type, hour) flagged when
     // its count at least doubles the trailing-24h max (and clears an
@@ -122,6 +91,55 @@ object WarehouseQueries extends QSet {
         .orderBy("event_type", "h")
     })
   )
+
+  /** The declared q_orders_rfm body — RFM customer segmentation:
+    * recency/frequency/monetary per customer, median-split into 8
+    * segments. Thresholds are exact percentile_disc picks (value FROM
+    * the data, no interpolation — cross-engine exact) carried as a
+    * 1-row broadcast; bucketing is pure comparison, so a 100 TB
+    * customer frame never needs the global ntile sort the naive
+    * formulation uses.
+    *
+    * `cutRfm` (r14) cuts lineage at the per-customer RFM ledger: its
+    * TWO consumers (the 1-row median thresholds and the final scoring
+    * crossJoin) each otherwise re-run the orders scan + per-customer
+    * aggregate (+ the nested dmax scan — 4 orders scans total, r14
+    * --rescans sweep). One narrow row per customer, the kaplan-meier
+    * ledger discipline. Output toggle-invariant (R14TogglesSpec). */
+  private[graft] def ordersRfm(s: org.apache.spark.sql.SparkSession,
+      dir: String, cutRfm: Boolean = false): DataFrame = {
+    val maxd = t(s, dir, "orders")
+      .agg(max(col("o_orderdate").cast("date")).as("dmax"))
+    val rfmRaw = t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(max(col("o_orderdate").cast("date")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(D(col("o_totalprice"))).as("mon_dec"))
+      .crossJoin(broadcast(maxd))
+      .select(col("o_custkey"),
+        datediff(col("dmax"), col("last_order")).cast(LongType)
+          .as("recency_days"),
+        col("freq"), d4(col("mon_dec")).as("monetary"))
+    val rfm = if (cutRfm) cutLineage(rfmRaw) else rfmRaw
+    val th = rfm.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY recency_days)")
+        .as("r50"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY freq)").as("f50"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY monetary)")
+        .as("m50"))
+    rfm.crossJoin(broadcast(th))
+      .select(col("o_custkey"), col("recency_days"), col("freq"),
+        col("monetary"),
+        // recency scores HIGH when RECENT (≤ median days since order)
+        when(col("recency_days") <= col("r50"), 2L).otherwise(1L)
+          .as("r_score"),
+        when(col("freq") > col("f50"), 2L).otherwise(1L).as("f_score"),
+        when(col("monetary") > col("m50"), 2L).otherwise(1L)
+          .as("m_score"))
+      .withColumn("segment", concat(lit("R"), col("r_score"),
+        lit("F"), col("f_score"), lit("M"), col("m_score")))
+      .orderBy("o_custkey")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_layout_compaction_plan" ->

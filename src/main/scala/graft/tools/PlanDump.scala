@@ -69,6 +69,9 @@ object PlanDump {
         case "q_pipeline_corpus" =>
           graft.queries.PipelineQueries
             .pipelineCorpus(spark, sfDir, contamPreDedup = false)
+        case "q_ts_pacf" =>
+          graft.queries.SignalQueries
+            .tsPacf(spark, sfDir, cutDaily = false)
         case other => graft.SparkEntry.queries(other)(spark, sfDir)
       }
     names.foreach { k =>
