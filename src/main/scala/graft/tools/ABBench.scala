@@ -996,8 +996,35 @@ object ABBench {
       "rfC_A" -> (() => WQ.ordersRfm(spark, sfDir, cutRfm = true)),
       "rfC_B" -> (() => WQ.ordersRfm(spark, sfDir, cutRfm = true)),
     )
+    // AB_EXP=r14opt6: the sf1.0 confirmation window for the four
+    // material r14-continuation adoptions (run with
+    // SPARK_GRAFT_SF_DIR=/tmp/sf1.0, 5 rounds).
+    val r14opt6: Seq[(String, () => DataFrame)] = Seq(
+      "an11_A" -> q("q_tpch_q11"), "an11_B" -> q("q_tpch_q11"),
+      "phI_A" -> (() => MQ.phashPairs(spark, sfDir, shareHashes = false)),
+      "phI_B" -> (() => MQ.phashPairs(spark, sfDir, shareHashes = false)),
+      "phC_A" -> (() => MQ.phashPairs(spark, sfDir, shareHashes = true)),
+      "phC_B" -> (() => MQ.phashPairs(spark, sfDir, shareHashes = true)),
+      "bmI_A" -> (() => SSQ.bm25(spark, sfDir, fuseDl = false,
+        dfFromTf = false)),
+      "bmI_B" -> (() => SSQ.bm25(spark, sfDir, fuseDl = false,
+        dfFromTf = false)),
+      "bmS_A" -> (() => SSQ.bm25(spark, sfDir, fuseDl = true,
+        dfFromTf = true)),
+      "bmS_B" -> (() => SSQ.bm25(spark, sfDir, fuseDl = true,
+        dfFromTf = true)),
+      "voI_A" -> (() => EGQ.vocabOverlap(spark, sfDir, shareSw = false)),
+      "voI_B" -> (() => EGQ.vocabOverlap(spark, sfDir, shareSw = false)),
+      "voC_A" -> (() => EGQ.vocabOverlap(spark, sfDir, shareSw = true)),
+      "voC_B" -> (() => EGQ.vocabOverlap(spark, sfDir, shareSw = true)),
+      "kmI_A" -> (() => EGQ.kaplanMeier(spark, sfDir, cutUsers = false)),
+      "kmI_B" -> (() => EGQ.kaplanMeier(spark, sfDir, cutUsers = false)),
+      "kmC_A" -> (() => EGQ.kaplanMeier(spark, sfDir, cutUsers = true)),
+      "kmC_B" -> (() => EGQ.kaplanMeier(spark, sfDir, cutUsers = true)),
+    )
     val variants: Seq[(String, () => DataFrame)] =
-      (if (sys.env.get("AB_EXP").contains("r14opt5")) r14opt5
+      (if (sys.env.get("AB_EXP").contains("r14opt6")) r14opt6
+      else if (sys.env.get("AB_EXP").contains("r14opt5")) r14opt5
       else if (sys.env.get("AB_EXP").contains("r14opt4")) r14opt4
       else if (sys.env.get("AB_EXP").contains("r14opt3")) r14opt3
       else if (sys.env.get("AB_EXP").contains("r14opt2")) r14opt2
