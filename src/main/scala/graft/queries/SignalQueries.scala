@@ -179,24 +179,41 @@ object SignalQueries extends QSet {
       .orderBy(col("closeness6").desc, col("node"))
   }
 
-  /** The declared q_ts_pacf body. `cutDaily` (r14) cuts lineage at the
+  /** The declared q_ts_pacf body. `shareDaily` (r14) persists the
     * DAY-SPINE daily-revenue frame (~700 rows): rho(1) and rho(2) each
     * re-derive the full orders scan + day aggregate, and the 1-row
     * joined rho frame `j` is ALSO consumed by both unionAll branches —
-    * 4 orders scans in the uncut plan (r14 --rescans sweep). The cut
-    * materializes the spine once (bounded frame, corpus-pass prefix,
-    * 2+ consumers), and the toggled shape additionally emits the two
-    * output rows by exploding a 2-element literal array over `j`
-    * instead of unioning two selects of it (1 consumer instead of 2 —
-    * same two rows). Output toggle-invariant (R14TogglesSpec). */
+    * 4 orders scans in the unshared plan (r14 --rescans sweep). The
+    * persist materializes the spine once (bounded frame, corpus-pass
+    * prefix, 2+ consumers), and the toggled shape additionally emits
+    * the two output rows by exploding a 2-element literal array over
+    * `j` instead of unioning two selects of it (1 consumer instead of
+    * 2 — same two rows). Output toggle-invariant (R14TogglesSpec).
+    *
+    * REFUTED, default OFF: the cutLineage form of this share tied in
+    * B slots (0.407 vs 0.408) with a −34% cold A, but its checkpoint
+    * leaf hides the day aggregate from PlanSpec's global-window
+    * boundedness proof (the partition-less lag window sits DIRECTLY
+    * on the frame); the persist form keeps the proof visible but
+    * loses the duo (B 0.452 vs 0.535, +18% — the ~700-row cache
+    * round-trip costs more than two warm orders re-aggregates, the
+    * same floor as the refuted rfm/kendall/theil-sen checkpoints).
+    * The unshared incumbent stays declared. */
   private[graft] def tsPacf(s: org.apache.spark.sql.SparkSession,
-      dir: String, cutDaily: Boolean = true): DataFrame = {
+      dir: String, shareDaily: Boolean = false): DataFrame = {
+    val cutDaily = shareDaily
     val dailyRaw = t(s, dir, "orders")
       .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) " +
         "div 86400000000").as("day"),
         D(col("o_totalprice")).as("v"))
       .groupBy("day").agg(sum(col("v")).cast(Dec).as("x"))
-    val daily = if (cutDaily) cutLineage(dailyRaw) else dailyRaw
+    // persist, NOT cutLineage: the lag window below is partition-less
+    // and sits DIRECTLY on this frame, and the PlanSpec boundedness
+    // gate proves the single-task window safe by finding the day
+    // aggregate under it — a checkpoint leaf would hide that proof
+    // (an InMemoryRelation keeps it visible; the sharing effect is
+    // identical).
+    val daily = if (shareDaily) dailyRaw.persist() else dailyRaw
     val w = Window.orderBy("day")
     def rho(k: Int): DataFrame = {
       val pairs = daily.withColumn("y", lag(col("x"), k).over(w))

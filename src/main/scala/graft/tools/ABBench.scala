@@ -983,10 +983,10 @@ object ABBench {
       "kdI_B" -> (() => ASQ.kendall(spark, sfDir, cutCells = false)),
       "kdC_A" -> (() => ASQ.kendall(spark, sfDir, cutCells = true)),
       "kdC_B" -> (() => ASQ.kendall(spark, sfDir, cutCells = true)),
-      "pf2I_A" -> (() => SGQ.tsPacf(spark, sfDir, cutDaily = false)),
-      "pf2I_B" -> (() => SGQ.tsPacf(spark, sfDir, cutDaily = false)),
-      "pf2C_A" -> (() => SGQ.tsPacf(spark, sfDir, cutDaily = true)),
-      "pf2C_B" -> (() => SGQ.tsPacf(spark, sfDir, cutDaily = true)),
+      "pf2I_A" -> (() => SGQ.tsPacf(spark, sfDir, shareDaily = false)),
+      "pf2I_B" -> (() => SGQ.tsPacf(spark, sfDir, shareDaily = false)),
+      "pf2C_A" -> (() => SGQ.tsPacf(spark, sfDir, shareDaily = true)),
+      "pf2C_B" -> (() => SGQ.tsPacf(spark, sfDir, shareDaily = true)),
       "nhI_A" -> (() => EAQ.embNormHist(spark, sfDir, cutN2 = false)),
       "nhI_B" -> (() => EAQ.embNormHist(spark, sfDir, cutN2 = false)),
       "nhC_A" -> (() => EAQ.embNormHist(spark, sfDir, cutN2 = true)),

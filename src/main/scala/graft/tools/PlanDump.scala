@@ -71,7 +71,7 @@ object PlanDump {
             .pipelineCorpus(spark, sfDir, contamPreDedup = false)
         case "q_ts_pacf" =>
           graft.queries.SignalQueries
-            .tsPacf(spark, sfDir, cutDaily = false)
+            .tsPacf(spark, sfDir, shareDaily = false)
         case other => graft.SparkEntry.queries(other)(spark, sfDir)
       }
     names.foreach { k =>

@@ -189,10 +189,10 @@ class R14TogglesSpec extends AnyFunSuite {
   test("ts pacf: the cut day spine + exploded output equals the " +
     "uncut unionAll incumbent row for row") {
     val incumbent = rows(graft.queries.SignalQueries
-      .tsPacf(spark, sf, cutDaily = false))
+      .tsPacf(spark, sf, shareDaily = false))
     spark.catalog.clearCache()
     val cut = rows(graft.queries.SignalQueries
-      .tsPacf(spark, sf, cutDaily = true))
+      .tsPacf(spark, sf, shareDaily = true))
     assert(cut == incumbent)
   }
 
