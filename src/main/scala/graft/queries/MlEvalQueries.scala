@@ -151,27 +151,7 @@ object MlEvalQueries extends QSet {
     // decimal; the h−24 / h−1 attachments are equi-joins on the hour
     // key (gap-safe, unlike a row-offset lag); MAEs and the skill
     // score are shared IEEE tails over string-hopped exact sums.
-    "q_ts_forecast_snaive" -> ((s, dir) => {
-      val byh = events(s, dir)
-        .groupBy(expr("unix_micros(ts_us) div 3600000000").as("h"))
-        .agg(sum(D(col("value"))).cast(Dec).as("v"))
-      val a = byh.select(col("h"), col("v"))
-      val f24 = byh.select((col("h") + 24).as("h"), col("v").as("v24"))
-      val f1 = byh.select((col("h") + 1).as("h"), col("v").as("v1"))
-      val hop = (c: org.apache.spark.sql.Column) =>
-        c.cast(DecimalType(38, 8)).cast(StringType).cast(DoubleType)
-      a.join(f24, "h").join(f1, "h")
-        .agg(count(lit(1)).as("n_hours"),
-          sum(abs(col("v") - col("v24"))).as("s24"),
-          sum(abs(col("v") - col("v1"))).as("s1"))
-        .select(col("n_hours"),
-          (hop(col("s24")) / col("n_hours").cast(DoubleType))
-            .as("mae_snaive"),
-          (hop(col("s1")) / col("n_hours").cast(DoubleType))
-            .as("mae_naive1"))
-        .withColumn("skill", lit(1.0) - col("mae_snaive") / col("mae_naive1"))
-        .orderBy("n_hours")
-    }),
+    "q_ts_forecast_snaive" -> ((s, dir) => forecastSnaive(s, dir)),
 
     // Storage-encoding advisor: per column, distinct ratio and
     // BLOCK-LOCAL run count (8192-row blocks in the table's key order —
@@ -214,6 +194,45 @@ object MlEvalQueries extends QSet {
         .orderBy("col_name")
     })
   )
+
+  /** The declared q_ts_forecast_snaive body — seasonal-naive forecast
+    * backtest: forecast(h) = actual(h−24), scored against the lag-1
+    * naive baseline. Hourly totals are exact decimal; the h−24 / h−1
+    * attachments are equi-joins on the hour key (gap-safe, unlike a
+    * row-offset lag); MAEs and the skill score are shared IEEE tails
+    * over string-hopped exact sums.
+    *
+    * `shareByh` (r14) cuts lineage at the ~720-row hour spine: its
+    * THREE consumers (actuals, the h−24 and h−1 shifts) each otherwise
+    * re-run the full events scan + hourly decimal aggregate (3 events
+    * scans, r14 --rescans sweep) — the kaplan-meier events-ledger
+    * boundary (corpus pass × ≥3 consumers, bounded frame). No
+    * partition-less window sits on the frame (plain joins + one global
+    * aggregate), so the PlanSpec boundedness proof is unaffected.
+    * Output toggle-invariant (R14TogglesSpec). */
+  private[graft] def forecastSnaive(s: org.apache.spark.sql.SparkSession,
+      dir: String, shareByh: Boolean = false): DataFrame = {
+    val byhRaw = events(s, dir)
+      .groupBy(expr("unix_micros(ts_us) div 3600000000").as("h"))
+      .agg(sum(D(col("value"))).cast(Dec).as("v"))
+    val byh = if (shareByh) cutLineage(byhRaw) else byhRaw
+    val a = byh.select(col("h"), col("v"))
+    val f24 = byh.select((col("h") + 24).as("h"), col("v").as("v24"))
+    val f1 = byh.select((col("h") + 1).as("h"), col("v").as("v1"))
+    val hop = (c: org.apache.spark.sql.Column) =>
+      c.cast(DecimalType(38, 8)).cast(StringType).cast(DoubleType)
+    a.join(f24, "h").join(f1, "h")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("v") - col("v24"))).as("s24"),
+        sum(abs(col("v") - col("v1"))).as("s1"))
+      .select(col("n_hours"),
+        (hop(col("s24")) / col("n_hours").cast(DoubleType))
+          .as("mae_snaive"),
+        (hop(col("s1")) / col("n_hours").cast(DoubleType))
+          .as("mae_naive1"))
+      .withColumn("skill", lit(1.0) - col("mae_snaive") / col("mae_naive1"))
+      .orderBy("n_hours")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_ml_auc" ->

@@ -47,23 +47,7 @@ object PipelineQueries extends QSet {
     // week; n_active distinct users per (cohort, week offset). Two
     // aggregates on user_id (co-partitioned: the join reuses the
     // groupBy's hash partitioning) then one on the cohort key.
-    "q_retention_cohort" -> ((s, dir) => {
-      val wk = events(s, dir)
-        .select(col("user_id"),
-          to_date(date_trunc("week", col("ts_us"))).as("wk"))
-      val first = wk.groupBy("user_id").agg(min(col("wk")).as("cohort"))
-      val sized = first.groupBy("cohort")
-        .agg(countDistinct(col("user_id")).as("cohort_size"))
-      wk.join(first, "user_id")
-        .withColumn("week_offset", expr("datediff(wk, cohort) div 7"))
-        .groupBy("cohort", "week_offset")
-        .agg(countDistinct(col("user_id")).as("n_active"))
-        .join(sized, "cohort")
-        .withColumn("retention",
-          round(col("n_active").cast(DoubleType) / col("cohort_size"), 4))
-        .select("cohort", "week_offset", "cohort_size", "n_active", "retention")
-        .orderBy("cohort", "week_offset")
-    }),
+    "q_retention_cohort" -> ((s, dir) => retentionCohort(s, dir)),
 
     // Sequence packing: assign docs to fixed 512-token context bins by
     // contiguous fill — per-(lang, source) shard, docs in doc_id order,
@@ -163,6 +147,39 @@ object PipelineQueries extends QSet {
         .orderBy("doc_id")
     })
   )
+
+  /** The declared q_retention_cohort body — weekly cohort retention:
+    * cohort = Monday of a user's first event week; n_active distinct
+    * users per (cohort, week offset). Two aggregates on user_id
+    * (co-partitioned: the join reuses the groupBy's hash partitioning)
+    * then one on the cohort key.
+    *
+    * `cutFirst` (r14) cuts lineage at the per-user first-week ledger:
+    * its TWO consumers (the cohort sizing and the activity join) each
+    * otherwise re-run the events scan + per-user aggregate (3 events
+    * scans, r14 --rescans sweep). One narrow row per user — the
+    * kaplan-meier ledger boundary on the same events table. Output
+    * toggle-invariant (R14TogglesSpec). */
+  private[graft] def retentionCohort(s: org.apache.spark.sql.SparkSession,
+      dir: String, cutFirst: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    val wk = events(s, dir)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts_us"))).as("wk"))
+    val firstRaw = wk.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+    val first = if (cutFirst) cutLineage(firstRaw) else firstRaw
+    val sized = first.groupBy("cohort")
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    wk.join(first, "user_id")
+      .withColumn("week_offset", expr("datediff(wk, cohort) div 7"))
+      .groupBy("cohort", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sized, "cohort")
+      .withColumn("retention",
+        round(col("n_active").cast(DoubleType) / col("cohort_size"), 4))
+      .select("cohort", "week_offset", "cohort_size", "n_active", "retention")
+      .orderBy("cohort", "week_offset")
+  }
 
   /** The declared q_pipeline_corpus body — the end-to-end corpus-prep
     * chain in ONE declarative plan: quality gate → exact dedup →

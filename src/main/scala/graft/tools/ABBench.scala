@@ -1022,8 +1022,32 @@ object ABBench {
       "kmC_A" -> (() => EGQ.kaplanMeier(spark, sfDir, cutUsers = true)),
       "kmC_B" -> (() => EGQ.kaplanMeier(spark, sfDir, cutUsers = true)),
     )
+    // AB_EXP=r14opt7: the events-ledger boundary probes — forecast
+    // snaive hour spine (3 consumers) and retention cohort user ledger
+    // (2 consumers), the km-won / hz-lost family.
+    import graft.queries.{MlEvalQueries => MEQ}
+    val r14opt7: Seq[(String, () => DataFrame)] = Seq(
+      "an11_A" -> q("q_tpch_q11"), "an11_B" -> q("q_tpch_q11"),
+      "fsI_A" -> (() => MEQ.forecastSnaive(spark, sfDir,
+        shareByh = false)),
+      "fsI_B" -> (() => MEQ.forecastSnaive(spark, sfDir,
+        shareByh = false)),
+      "fsC_A" -> (() => MEQ.forecastSnaive(spark, sfDir,
+        shareByh = true)),
+      "fsC_B" -> (() => MEQ.forecastSnaive(spark, sfDir,
+        shareByh = true)),
+      "rcI_A" -> (() => PQ.retentionCohort(spark, sfDir,
+        cutFirst = false)),
+      "rcI_B" -> (() => PQ.retentionCohort(spark, sfDir,
+        cutFirst = false)),
+      "rcC_A" -> (() => PQ.retentionCohort(spark, sfDir,
+        cutFirst = true)),
+      "rcC_B" -> (() => PQ.retentionCohort(spark, sfDir,
+        cutFirst = true)),
+    )
     val variants: Seq[(String, () => DataFrame)] =
-      (if (sys.env.get("AB_EXP").contains("r14opt6")) r14opt6
+      (if (sys.env.get("AB_EXP").contains("r14opt7")) r14opt7
+      else if (sys.env.get("AB_EXP").contains("r14opt6")) r14opt6
       else if (sys.env.get("AB_EXP").contains("r14opt5")) r14opt5
       else if (sys.env.get("AB_EXP").contains("r14opt4")) r14opt4
       else if (sys.env.get("AB_EXP").contains("r14opt3")) r14opt3

@@ -206,6 +206,26 @@ class R14TogglesSpec extends AnyFunSuite {
     assert(cut == incumbent)
   }
 
+  test("forecast snaive: the cut hour spine equals the uncut " +
+    "incumbent row for row") {
+    val incumbent = rows(graft.queries.MlEvalQueries
+      .forecastSnaive(spark, sf, shareByh = false))
+    spark.catalog.clearCache()
+    val cut = rows(graft.queries.MlEvalQueries
+      .forecastSnaive(spark, sf, shareByh = true))
+    assert(cut == incumbent)
+  }
+
+  test("retention cohort: the cut first-week ledger equals the uncut " +
+    "incumbent row for row") {
+    val incumbent = rows(graft.queries.PipelineQueries
+      .retentionCohort(spark, sf, cutFirst = false))
+    spark.catalog.clearCache()
+    val cut = rows(graft.queries.PipelineQueries
+      .retentionCohort(spark, sf, cutFirst = true))
+    assert(cut == incumbent)
+  }
+
   test("orders rfm: the cut customer ledger equals the uncut " +
     "incumbent row for row") {
     val incumbent = rows(graft.queries.WarehouseQueries
